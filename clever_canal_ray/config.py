@@ -1,0 +1,36 @@
+"""Pipeline configuration — the CanalParameter / instance-assembly analog.
+
+Mirrors the reference's filter + instance configuration surface
+(CanalParameter → CanalInstanceWithManager.java:102-221; filter wiring
+AbstractEventParser.java:63-65 and EntryEventSink.doFilter:151-162):
+
+- ``table_whitelist_regex`` / ``table_blacklist_regex`` — Perl-regex
+  table filters, ``^…$``-anchored like AviaterRegexFilter.java:63-96 (F1/F2).
+- ``table_list`` — exact-membership filter (AviaterSimpleFilter.java:25-47, F3).
+- ``predicate`` — arbitrary user predicate over the batch, the
+  AviaterELFilter analog (F4): ``fn(pa.Table) -> bool mask``.
+- ``drop_ops`` — event-class filters (F6): e.g. drop all deletes.
+- ``column_projection`` — per-payload-column keep list (F5 field
+  white-list, LogEventConvert.needField:937-943): dropped columns are
+  nulled in the row images.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+@dataclass
+class ReplayConfig:
+    num_partitions: int = 16  # lake hash partitions (P)
+    segments_per_batch: int = 4  # micro-batch = this many journal files
+    batch_size: int = 8192  # rows per map_batches call in the combiner
+    salt_factor: int = 1  # >1 = salted two-stage reduce for hot keys
+    table_whitelist_regex: Optional[str] = None
+    table_blacklist_regex: Optional[str] = None
+    table_list: Optional[tuple[str, ...]] = None
+    drop_ops: tuple[str, ...] = ()
+    column_projection: Optional[tuple[str, ...]] = None  # payload columns to KEEP
+    predicate: Optional[Callable] = None  # fn(pa.Table) -> BooleanArray mask
+    combiner_concurrency: Optional[int] = None  # None = elastic tasks

@@ -1,0 +1,376 @@
+"""Deterministic synthetic binlog-segment + lake generator (FIXTURES.md).
+
+Generation is a pure function of the spec (seed + knobs) — no external
+data. The shapes mirror the reference's data model flattened to one row
+per changed row-image (Entry/Header/RowChange/RowData,
+EntryProtocol.proto:80-183) with transaction framing *columns* instead
+of framing rows, and offsets strictly monotone per segment
+(EntryPosition total order, EntryPosition.java:107-115).
+
+Apply semantics (documented deviation): Canal only *delivers* events —
+clients apply them. We fix the idempotent-upsert apply convention:
+INSERT and UPDATE both set the row image, DELETE tombstones, UPDATE on
+a missing/deleted key upserts, DELETE on a missing key is a no-op.
+This makes replay idempotent (the exactly-once foundation) and lets the
+generator draw event targets without liveness constraints.
+
+Event mix defaults (FIXTURES.md §2): 60% INSERT (new doc_ids),
+30% UPDATE, 10% DELETE; hot-key skew: ``hot_mass`` of U/D events
+target the ``hot_frac`` hottest doc_ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clever_canal_ray.schema import (
+    LAKE_SCHEMA_V0,
+    event_schema,
+    lake_schema,
+    pack_position,
+)
+
+OPS = np.array(["I", "U", "D", "DDL"])
+
+
+@dataclass(frozen=True)
+class EventLogSpec:
+    seed: int = 42
+    n_initial_docs: int = 1_000
+    n_events: int = 5_000
+    n_segments: int = 4
+    p_insert: float = 0.6
+    p_update: float = 0.3
+    p_delete: float = 0.1
+    hot_frac: float = 0.001  # top fraction of initial keys is "hot"
+    hot_mass: float = 0.30  # fraction of U/D aimed at the hot set
+    mean_txn_size: int = 5
+    vocab: int = 50257
+    mean_tokens: int = 120  # lognormal-ish mean token-sequence length
+    max_tokens: int = 2048
+    include_before: bool = True  # before-images double payload; bench may disable
+    # DDL scenario: [(position_fraction, ddl_record_dict), ...] in order
+    ddls: tuple = ()
+
+    def doc_id(self, i: int) -> str:
+        return f"doc{i:012d}"
+
+
+SOURCES = np.array(["web", "books", "code", "wiki"])
+LANGS = np.array(["en", "de", "fr", "es", "zh"])
+
+
+def _token_lengths(rng: np.random.Generator, n: int, spec: EventLogSpec) -> np.ndarray:
+    # zipf-ish long-tailed lengths in [1, max_tokens]
+    raw = rng.lognormal(mean=np.log(spec.mean_tokens), sigma=0.8, size=n)
+    return np.clip(raw.astype(np.int64), 1, spec.max_tokens)
+
+
+def _ragged_tokens(rng: np.random.Generator, lengths: np.ndarray, vocab: int):
+    """Flat int32 token array + int64 offsets for a ListArray."""
+    total = int(lengths.sum())
+    flat = rng.integers(0, vocab, size=total, dtype=np.int32)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return flat, offsets
+
+
+def generate_lake(spec: EventLogSpec) -> pa.Table:
+    """Initial lake table (schema v0), first ``n_initial_docs`` doc_ids."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_initial_docs
+    ids = np.array([spec.doc_id(i) for i in range(n)])
+    lengths = _token_lengths(rng, n, spec)
+    flat, offsets = _ragged_tokens(rng, lengths, spec.vocab)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat, pa.int32()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            tokens,
+            pa.array(lengths.astype(np.int32), pa.int32()),
+            pa.array(SOURCES[rng.integers(0, len(SOURCES), n)], pa.string()),
+        ],
+        schema=LAKE_SCHEMA_V0,
+    )
+
+
+def _payload_struct(schema_payload: pa.Schema, arrays: dict[str, pa.Array], valid: np.ndarray):
+    children = [arrays[f.name] for f in schema_payload]
+    return pa.StructArray.from_arrays(
+        children, fields=list(schema_payload), mask=pa.array(~valid)
+    )
+
+
+def _object_tokens_to_list_array(obj: np.ndarray, valid: np.ndarray, dtype: pa.DataType):
+    """Object array of np int arrays (or None) -> Arrow ListArray."""
+    lengths = np.array([len(a) if v else 0 for a, v in zip(obj, valid)], dtype=np.int64)
+    offsets = np.zeros(len(obj) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] > 0:
+        flat = np.concatenate([a for a, v in zip(obj, valid) if v and len(a)])
+    else:
+        flat = np.array([], dtype=np.int64)
+    assert offsets[-1] <= 2**31 - 1, "segment token payload exceeds int32 list offsets"
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(flat, dtype.value_type)
+    )
+
+
+def generate_events(spec: EventLogSpec):
+    """Generate the change-event log.
+
+    Returns ``(segments, final_payload_schema)`` where ``segments`` is a
+    list of ``pa.Table`` (one per segment file, ordered by segment_id)
+    encoded in the *final* schema version's physical layout (widenings
+    are lossless, so encoding every segment at the widest version is
+    semantically identical to per-epoch encoding; the logical epoch is
+    the ``schema_version`` column — merge-on-read up-cast rule,
+    FIXTURES.md §3).
+    """
+    rng = np.random.default_rng(spec.seed + 1)
+    n = spec.n_events
+    r0 = spec.n_initial_docs
+
+    # ---- skeleton: ops + keys -------------------------------------------
+    ops = rng.choice(
+        np.array(["I", "U", "D"]), size=n, p=[spec.p_insert, spec.p_update, spec.p_delete]
+    )
+    key_idx = np.zeros(n, dtype=np.int64)
+    is_ins = ops == "I"
+    key_idx[is_ins] = r0 + np.arange(int(is_ins.sum()))
+    n_ud = int((~is_ins).sum())
+    hot_n = max(1, int(r0 * spec.hot_frac))
+    is_hot = rng.random(n_ud) < spec.hot_mass
+    ud_targets = np.where(
+        is_hot,
+        rng.integers(0, hot_n, size=n_ud),
+        rng.integers(0, r0, size=n_ud),
+    )
+    key_idx[~is_ins] = ud_targets
+
+    # ---- inject DDL rows at fixed fractional positions ------------------
+    ddl_positions = [min(n - 1, int(frac * n)) for frac, _ in spec.ddls]
+    ddl_records = [json.dumps(d) for _, d in spec.ddls]
+    # build full arrays including DDL rows
+    total = n + len(ddl_positions)
+    op_all = np.empty(total, dtype=object)
+    key_all = np.full(total, -1, dtype=np.int64)
+    ddl_all = np.full(total, None, dtype=object)
+    sv_all = np.zeros(total, dtype=np.int32)  # schema_version per event
+    src_pos = 0
+    version = 0
+    order = np.argsort(ddl_positions, kind="stable")
+    ddl_iter = [(ddl_positions[i], ddl_records[i]) for i in order]
+    ddl_i = 0
+    # merge skeleton with DDL insertion points (DDL emitted just before
+    # the skeleton event at its fractional position)
+    for out_pos in range(total):
+        emit_ddl = ddl_i < len(ddl_iter) and (src_pos >= n or src_pos == ddl_iter[ddl_i][0])
+        if emit_ddl:
+            op_all[out_pos] = "DDL"
+            ddl_all[out_pos] = ddl_iter[ddl_i][1]
+            version += 1
+            sv_all[out_pos] = version
+            ddl_i += 1
+        else:
+            op_all[out_pos] = ops[src_pos]
+            key_all[out_pos] = key_idx[src_pos]
+            sv_all[out_pos] = version
+            src_pos += 1
+    n_versions = version + 1
+    final_payload = lake_schema([d for _, d in spec.ddls])
+
+    # ---- positions: segments / offsets / txns ---------------------------
+    seg_bounds = np.linspace(0, total, spec.n_segments + 1).astype(np.int64)
+    segment_id = np.zeros(total, dtype=np.int32)
+    offset = np.zeros(total, dtype=np.int64)
+    txn_id = np.zeros(total, dtype=np.int64)
+    seq_in_txn = np.zeros(total, dtype=np.int32)
+    txn_commit = np.zeros(total, dtype=bool)
+    steps = rng.integers(1, 64, size=total)
+    next_txn = 0
+    for s in range(spec.n_segments):
+        lo, hi = int(seg_bounds[s]), int(seg_bounds[s + 1])
+        segment_id[lo:hi] = s
+        offset[lo:hi] = 4 + np.cumsum(steps[lo:hi])
+        # transaction framing: consecutive runs; DDL rows are isolated
+        # transactions of their own (DDL-isolation analog,
+        # MemoryEventStoreWithBuffer.java:389-417).
+        i = lo
+        while i < hi:
+            if op_all[i] == "DDL":
+                size = 1
+            else:
+                size = int(rng.geometric(1.0 / spec.mean_txn_size))
+                size = max(1, min(size, hi - i))
+                # cut at the next DDL if one falls inside the run
+                for j in range(i, i + size):
+                    if op_all[j] == "DDL":
+                        size = max(1, j - i)
+                        break
+            txn_id[i : i + size] = next_txn
+            seq_in_txn[i : i + size] = np.arange(size, dtype=np.int32)
+            txn_commit[i + size - 1] = True
+            next_txn += 1
+            i += size
+
+    # execute_ts: increasing with jitter; may regress inside a txn
+    # (TimelineBarrier.java:114-125 tolerance — (segment,offset) wins).
+    base = np.int64(1_700_000_000_000)
+    ts = base + np.cumsum(rng.integers(0, 20, size=total)) + rng.integers(-40, 40, size=total)
+
+    # ---- after images ----------------------------------------------------
+    has_after = (op_all == "I") | (op_all == "U")
+    n_img = int(has_after.sum())
+    lengths = np.zeros(total, dtype=np.int64)
+    lengths[has_after] = _token_lengths(rng, n_img, spec)
+    flat, offsets_arr = _ragged_tokens(rng, lengths, spec.vocab)
+    after_tokens_obj = np.empty(total, dtype=object)
+    img_idx = np.where(has_after)[0]
+    for k, i in enumerate(img_idx):
+        after_tokens_obj[i] = flat[offsets_arr[i] : offsets_arr[i + 1]]
+    after_source = np.empty(total, dtype=object)
+    after_source[has_after] = SOURCES[rng.integers(0, len(SOURCES), n_img)]
+    # extra (DDL-added) string columns get values only for events at or
+    # after the version that introduced them
+    extra_vals: dict[str, np.ndarray] = {}
+    extra_since: dict[str, int] = {}
+    v = 0
+    for _, d in spec.ddls:
+        v += 1
+        if d["op"] == "add_column":
+            name = d["name"]
+            extra_since[name] = v
+            vals = np.empty(total, dtype=object)
+            m = has_after & (sv_all >= v)
+            vals[m] = LANGS[rng.integers(0, len(LANGS), int(m.sum()))]
+            extra_vals[name] = vals
+
+    # ---- before images (per-key lag of after image / lake image) --------
+    before_tokens_obj = np.full(total, None, dtype=object)
+    before_source = np.full(total, None, dtype=object)
+    before_ntok = np.full(total, -1, dtype=np.int64)
+    before_extra = {name: np.full(total, None, dtype=object) for name in extra_vals}
+    has_before = np.zeros(total, dtype=bool)
+    if spec.include_before:
+        pos64 = pack_position(segment_id, offset)
+        row_ev = (op_all == "U") | (op_all == "D") | (op_all == "I")
+        df = pd.DataFrame(
+            {
+                "i": np.arange(total)[row_ev],
+                "key": key_all[row_ev],
+                "op": op_all[row_ev],
+                "pos": pos64[row_ev],
+            }
+        ).sort_values(["key", "pos"], kind="stable")
+        g = df.groupby("key", sort=False)
+        prev_i = g["i"].shift(1)
+        prev_op = g["op"].shift(1)
+        cur_i = df["i"].to_numpy()
+        cur_op = df["op"].to_numpy()
+        cur_key = df["key"].to_numpy()
+        pi = prev_i.to_numpy()
+        po = prev_op.to_numpy()
+        # case 1: previous event set an image
+        m1 = pd.notna(pi) & ((po == "I") | (po == "U")) & (cur_op != "I")
+        src = pi[m1].astype(np.int64)
+        dst = cur_i[m1]
+        before_tokens_obj[dst] = after_tokens_obj[src]
+        before_source[dst] = after_source[src]
+        before_ntok[dst] = lengths[src]
+        for name, vals in extra_vals.items():
+            before_extra[name][dst] = vals[src]
+        has_before[dst] = True
+        # case 2: no previous event, key in the initial lake
+        m2 = pd.isna(pi) & (cur_key < r0) & (cur_op != "I")
+        dst2 = cur_i[m2]
+        if len(dst2):
+            lake_rng = np.random.default_rng(spec.seed)
+            lake_lengths = _token_lengths(lake_rng, r0, spec)
+            lake_flat, lake_off = _ragged_tokens(lake_rng, lake_lengths, spec.vocab)
+            lake_sources = SOURCES[lake_rng.integers(0, len(SOURCES), r0)]
+            for i in dst2:
+                k = key_all[i]
+                before_tokens_obj[i] = lake_flat[lake_off[k] : lake_off[k + 1]]
+                before_source[i] = lake_sources[k]
+                before_ntok[i] = lake_lengths[k]
+            has_before[dst2] = True
+
+    # ---- assemble arrow tables per segment ------------------------------
+    doc_ids = np.full(total, None, dtype=object)
+    m = key_all >= 0
+    doc_ids[m] = np.array([spec.doc_id(int(k)) for k in key_all[m]], dtype=object)
+
+    tok_type = final_payload.field("tokens").type
+    ntok_type = final_payload.field("n_tok").type
+
+    def payload_arrays(tokens_obj, source_obj, ntok_np, valid, extra):
+        arrays = {
+            "doc_id": pa.array(np.where(valid, doc_ids, None), pa.string()),
+            "tokens": _object_tokens_to_list_array(tokens_obj, valid, tok_type),
+            "n_tok": pa.array(
+                np.where(valid, ntok_np, 0), ntok_type
+            ),
+            "source": pa.array(np.where(valid, source_obj, None), pa.string()),
+        }
+        for f in final_payload:
+            if f.name in arrays:
+                continue
+            arrays[f.name] = pa.array(extra.get(f.name, np.full(total, None, dtype=object)), f.type)
+        return arrays
+
+    after_struct = _payload_struct(
+        final_payload, payload_arrays(after_tokens_obj, after_source, lengths, has_after, extra_vals), has_after
+    )
+    before_struct = _payload_struct(
+        final_payload,
+        payload_arrays(before_tokens_obj, before_source, before_ntok, has_before, before_extra),
+        has_before,
+    )
+
+    ev_schema = event_schema(final_payload)
+    full = pa.Table.from_arrays(
+        [
+            pa.array(segment_id, pa.int32()),
+            pa.array(offset, pa.int64()),
+            pa.array(txn_id, pa.int64()),
+            pa.array(seq_in_txn, pa.int32()),
+            pa.array(txn_commit, pa.bool_()),
+            pa.array(ts, pa.timestamp("ms")),
+            pa.array(op_all, pa.string()),
+            pa.array(np.full(total, "lake.sequences", dtype=object), pa.string()),
+            pa.array(doc_ids, pa.string()),
+            pa.array(sv_all, pa.int32()),
+            pa.array(ddl_all, pa.string()),
+            before_struct,
+            after_struct,
+        ],
+        schema=ev_schema,
+    )
+    segments = [full.filter(pa.compute.equal(full["segment_id"], s)) for s in range(spec.n_segments)]
+    return segments, final_payload
+
+
+def write_fixture(spec: EventLogSpec, root: str) -> dict:
+    """Write ``root/segments/segment-%05d.parquet`` + return metadata.
+
+    One Parquet file = one binlog "journal" segment (S2 source analog,
+    LocalBinLogConnection.java:75-120). The initial lake table is
+    returned for the engine to load via ``Lake.create``.
+    """
+    seg_dir = os.path.join(root, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    segments, payload = generate_events(spec)
+    paths = []
+    for s, t in enumerate(segments):
+        p = os.path.join(seg_dir, f"segment-{s:05d}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return {"segment_paths": paths, "payload_schema": payload, "n_events": sum(len(t) for t in segments)}

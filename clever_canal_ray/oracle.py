@@ -1,0 +1,64 @@
+"""Serial-apply oracle: the ground truth for replay convergence.
+
+Applies the change-event log one event at a time, in strict
+``(segment_id, offset)`` order (EntryPosition total order,
+EntryPosition.java:107-115), to an in-memory dict keyed by ``doc_id``
+— exactly what a single-threaded Canal client consuming get/ack
+batches would materialize. The Ray pipeline must reproduce this final
+state under token-array equality per row (BASELINE.json north rule).
+
+Apply convention (see fixtures/generator.py docstring): idempotent
+upsert — I and U set the image, D tombstones, D on missing is a no-op.
+DDL events evolve the schema (additive/widening only); rows written
+before a DDL are up-cast (missing columns → null, ints widened
+losslessly).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from clever_canal_ray.schema import lake_schema, upcast_table
+
+
+def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) -> pa.Table:
+    """Replay all events over the initial lake; return final table.
+
+    Output is sorted by doc_id and encoded in the final schema version.
+    ``max_position`` semantics: the whole log is applied (tests slice
+    segments themselves when simulating partial replay).
+    """
+    state: dict[str, dict] = {}
+    base_cols = lake_table.column_names
+    for row in lake_table.to_pylist():
+        state[row["doc_id"]] = row
+
+    ddls: list[dict] = []
+    events = pa.concat_tables(segment_tables, promote_options="permissive")
+    # strict global order
+    order = np.lexsort(
+        (events["offset"].to_numpy(zero_copy_only=False), events["segment_id"].to_numpy(zero_copy_only=False))
+    )
+    cols = events.to_pylist()
+    for i in order:
+        ev = cols[i]
+        op = ev["op"]
+        if op == "DDL":
+            ddls.append(json.loads(ev["ddl"]))
+            continue
+        key = ev["doc_id"]
+        if op == "D":
+            state.pop(key, None)
+        else:  # I or U -> upsert the after image
+            after = ev["after"]
+            state[key] = {k: after[k] for k in after}
+
+    final_schema = lake_schema(ddls)
+    rows = [state[k] for k in sorted(state)]
+    # rows written under older versions lack the added columns
+    norm = [{f.name: r.get(f.name) for f in final_schema} for r in rows]
+    t = pa.Table.from_pylist(norm, schema=final_schema)
+    return upcast_table(t, final_schema)

@@ -1,0 +1,187 @@
+"""Canonical schemas + schema-evolution (DDL) rules.
+
+The lake table is the ``input_hint`` payload (BASELINE.json:15):
+``(doc_id:string, tokens:list<int32>, n_tok:int32, source:string)``.
+
+Schema evolution mirrors Canal's TableMetaTSDB rules (reference:
+clever-canal-parse/.../tsdb/DatabaseTableMeta.java:530-637
+``compareTableMeta``/``synonymsType``; MemoryTableMeta.java:67-128):
+only *additive* (add nullable column) and *widening* (int32→int64,
+list<int32>→list<int64>) changes are legal; rows written before a DDL
+are up-cast on read (merge-on-read), never rewritten in place.
+
+A schema version is a list of DDL records applied in order to the v0
+base schema — the exact snapshot+replay shape of Canal's MetaHistory /
+MetaSnapshot tables (DatabaseTableMeta.java:177-216, 229-281).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import pyarrow as pa
+
+# --- type name <-> arrow type table (the "synonymsType" analog) -----------
+
+_TYPE_FROM_NAME = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "bool": pa.bool_(),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "list<int32>": pa.list_(pa.int32()),
+    "list<int64>": pa.list_(pa.int64()),
+    "list<float32>": pa.list_(pa.float32()),
+    "list<float64>": pa.list_(pa.float64()),
+}
+_NAME_FROM_TYPE = {v: k for k, v in _TYPE_FROM_NAME.items()}
+
+# Legal widenings (LogEventConvert.java:694-725 unsigned-promotion analog):
+# each key may widen to any type in its value set.
+_WIDEN_OK = {
+    "int8": {"int16", "int32", "int64"},
+    "int16": {"int32", "int64"},
+    "int32": {"int64"},
+    "float32": {"float64"},
+    "list<int32>": {"list<int64>"},
+    "list<float32>": {"list<float64>"},
+}
+
+
+def type_from_name(name: str) -> pa.DataType:
+    return _TYPE_FROM_NAME[name]
+
+
+def type_name(t: pa.DataType) -> str:
+    return _NAME_FROM_TYPE[t]
+
+
+# --- base (v0) lake schema ------------------------------------------------
+
+LAKE_SCHEMA_V0 = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+    ]
+)
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def apply_ddl(schema: pa.Schema, ddl: dict[str, Any]) -> pa.Schema:
+    """Apply one structured DDL record to a schema.
+
+    DDL records are the structured analog of Canal's DDL history rows
+    (FIXTURES.md §3): ``{"op": "add_column"|"widen_type", ...}``.
+    Enforces the additive/widening-only rule.
+    """
+    op = ddl["op"]
+    if op == "add_column":
+        name = ddl["name"]
+        if schema.get_field_index(name) != -1:
+            raise SchemaEvolutionError(f"column {name!r} already exists")
+        return schema.append(pa.field(name, type_from_name(ddl["type"]), nullable=True))
+    if op == "widen_type":
+        name = ddl["name"]
+        i = schema.get_field_index(name)
+        if i == -1:
+            raise SchemaEvolutionError(f"column {name!r} not found")
+        old = type_name(schema.field(i).type)
+        new = ddl["to"]
+        if new not in _WIDEN_OK.get(old, ()) :
+            raise SchemaEvolutionError(f"illegal widen {old} -> {new} for {name!r}")
+        return schema.set(i, pa.field(name, type_from_name(new), nullable=schema.field(i).nullable))
+    raise SchemaEvolutionError(f"unknown DDL op {op!r}")
+
+
+def lake_schema(ddls: list[dict[str, Any]]) -> pa.Schema:
+    """v0 schema + replay of the DDL journal (TableMetaTSDB replay)."""
+    s = LAKE_SCHEMA_V0
+    for d in ddls:
+        s = apply_ddl(s, d)
+    return s
+
+
+def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """Up-cast a table written under an older schema version to ``target``.
+
+    Missing columns are added as all-null; widened columns are cast.
+    This is the merge-on-read half of schema evolution: old Parquet
+    files are never rewritten (FIXTURES.md §3 rules).
+    """
+    cols = []
+    n = len(table)
+    for f in target:
+        i = table.schema.get_field_index(f.name)
+        if i == -1:
+            cols.append(pa.nulls(n, f.type))
+        else:
+            c = table.column(i)
+            cols.append(c if c.type == f.type else c.cast(f.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def schema_to_json(schema: pa.Schema) -> str:
+    """Serialize a schema snapshot (the MetaSnapshot analog)."""
+    return json.dumps([{"name": f.name, "type": type_name(f.type), "nullable": f.nullable} for f in schema])
+
+
+def schema_from_json(s: str) -> pa.Schema:
+    return pa.schema(
+        [pa.field(d["name"], type_from_name(d["type"]), nullable=d["nullable"]) for d in json.loads(s)]
+    )
+
+
+# --- change-event schema (the Entry/RowChange/RowData analog) -------------
+
+EVENT_META_FIELDS = [
+    ("segment_id", pa.int32()),  # journalName analog (EntryPosition.java:107-115)
+    ("offset", pa.int64()),  # logfileOffset analog; monotone per segment
+    ("txn_id", pa.int64()),  # TransactionBegin/End transactionId analog
+    ("seq_in_txn", pa.int32()),
+    ("txn_commit", pa.bool_()),  # True on the last event of a txn (TRANSACTION_END analog)
+    ("execute_ts", pa.timestamp("ms")),  # Header.executeTime; may regress inside a txn
+    ("op", pa.string()),  # "I" | "U" | "D" | "DDL" (EventType analog)
+    ("table", pa.string()),  # schemaName.tableName analog
+    ("doc_id", pa.string()),  # primary key of affected row (null for DDL)
+    ("schema_version", pa.int32()),
+    ("ddl", pa.string()),  # JSON DDL record for op=="DDL", else null
+]
+
+
+def event_schema(payload: pa.Schema) -> pa.Schema:
+    """Event-log schema for a given lake payload schema version.
+
+    ``before``/``after`` are struct columns over the payload fields
+    (RowData.beforeColumns/afterColumns analog, EntryProtocol.proto:154-161):
+    before is null for I, after is null for D, both null for DDL.
+    """
+    payload_struct = pa.struct(list(payload))
+    fields = [pa.field(n, t) for n, t in EVENT_META_FIELDS]
+    fields.append(pa.field("before", payload_struct))
+    fields.append(pa.field("after", payload_struct))
+    return pa.schema(fields)
+
+
+# position packing: (segment_id, offset) -> single orderable int64.
+# offsets are < 2^40 by construction (generator); segment_id < 2^23.
+POS_OFFSET_BITS = 40
+
+
+def pack_position(segment_id, offset):
+    """Vectorized or scalar (segment_id << 40) | offset."""
+    import numpy as np
+
+    seg = np.asarray(segment_id, dtype=np.int64)
+    off = np.asarray(offset, dtype=np.int64)
+    return (seg << POS_OFFSET_BITS) | off

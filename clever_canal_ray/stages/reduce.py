@@ -1,0 +1,144 @@
+"""Per-partition merge-on-read upsert reduce — the "apply" half of O9.
+
+Runs inside ``groupby("pid").map_groups``: each call owns exactly one
+lake partition for this micro-batch (single-writer-per-partition, the
+reference's single-writer-per-destination invariant, SURVEY.md §3).
+
+Steps (all vectorized):
+1. global last-writer-wins per doc_id across the combined rows of every
+   upstream block, ordered by packed ``(segment_id, offset)`` position —
+   the total order the binlog guarantees (EntryPosition.java:107-115);
+   timestamps deliberately play no role (TimelineBarrier regression
+   rule: position wins, TimelineBarrier.java:114-125).
+2. read the partition's current Parquet files (merge-on-read), up-cast
+   to the batch's target schema version (TableMetaTSDB replay, T3);
+3. drop lake rows whose key is touched, append final non-tombstone
+   images (idempotent upsert — replaying identical events converges);
+4. phase-1 write: a uniquely-named Parquet file under ``part=<pid>/``
+   (invisible until the manifest references it), return a one-row
+   metrics table (A1 counters) for the driver's phase-2 commit.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from clever_canal_ray.schema import upcast_table
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("rows_upserted", pa.int64()),
+        ("rows_deleted", pa.int64()),
+        ("events_in", pa.int64()),
+    ]
+)
+
+
+def lww_reduce(group: pa.Table, payload_names: list[str]) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Final LWW per doc_id; returns (winner rows, per-key event counts sum, positions)."""
+    doc = group["doc_id"].to_numpy(zero_copy_only=False)
+    pos = group["pos"].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(doc)
+    order = np.lexsort((pos, codes))
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = codes[order[:-1]] != codes[order[1:]]
+    winners = order[last]
+    ev_counts = np.bincount(codes, weights=group["n_events"].to_numpy(zero_copy_only=False))
+    return group.take(pa.array(winners)), ev_counts[codes[winners]].astype(np.int64), pos[winners]
+
+
+def make_desalt_fn(salt_factor: int):
+    """Stage between the salted shuffle and the final merge: collapse
+    salted sub-partitions back to the true pid with a partial LWW
+    (skew path, SURVEY.md §4)."""
+
+    def desalt(group: pa.Table) -> pa.Table:
+        win, counts, _ = lww_reduce(group, [])
+        pid = pc.cast(pc.divide(win["pid"], salt_factor), pa.int32())
+        win = win.set_column(win.schema.get_field_index("pid"), "pid", pid)
+        return win.set_column(
+            win.schema.get_field_index("n_events"), "n_events", pa.array(counts, pa.int64())
+        )
+
+    return desalt
+
+
+def make_partition_upsert_fn(
+    lake_dir: str,
+    part_files: dict[int, list[str]],
+    target_payload: pa.Schema,
+    batch_id: int,
+):
+    """Build the map_groups body. ``part_files`` maps pid -> relative
+    Parquet paths of the partition's current files (from the base
+    manifest snapshot); small (P entries), shipped in the closure."""
+    payload_names = [f.name for f in target_payload]
+
+    def upsert(group: pa.Table) -> pa.Table:
+        pid = int(group["pid"][0].as_py())
+        win, counts, _ = lww_reduce(group, payload_names)
+        events_in = int(np.asarray(group["n_events"]).sum())
+
+        op = win["op"].to_numpy(zero_copy_only=False)
+        is_del = np.asarray(op, dtype=object) == "D"
+        # final images for surviving keys, in lake layout
+        images = pa.Table.from_arrays(
+            [win[f"p_{n}"].combine_chunks() if isinstance(win[f"p_{n}"], pa.ChunkedArray) else win[f"p_{n}"] for n in payload_names],
+            schema=target_payload,
+        ).filter(pa.array(~is_del))
+
+        changed_keys = win["doc_id"]
+        # merge-on-read against the current partition state
+        old_parts = []
+        for rel in part_files.get(pid, []):
+            t = upcast_table(pq.read_table(os.path.join(lake_dir, rel)), target_payload)
+            old_parts.append(t)
+        if old_parts:
+            old = pa.concat_tables(old_parts)
+            keep = pc.invert(pc.is_in(old["doc_id"], value_set=changed_keys.combine_chunks() if isinstance(changed_keys, pa.ChunkedArray) else changed_keys))
+            old_kept = old.filter(keep)
+            n_deleted_existing = int(
+                pc.sum(
+                    pc.is_in(
+                        old["doc_id"],
+                        value_set=win.filter(pa.array(is_del))["doc_id"].combine_chunks()
+                        if isinstance(win["doc_id"], pa.ChunkedArray)
+                        else win.filter(pa.array(is_del))["doc_id"],
+                    )
+                ).as_py()
+                or 0
+            )
+            new_part = pa.concat_tables([old_kept, images]).combine_chunks()
+        else:
+            n_deleted_existing = 0
+            new_part = images
+
+        # phase-1 write (unique name: task retries leave only orphans)
+        d = os.path.join(lake_dir, f"part={pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(new_part, os.path.join(lake_dir, rel))
+
+        return pa.Table.from_pydict(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "file": pa.array([rel], pa.string()),
+                "rows": pa.array([new_part.num_rows], pa.int64()),
+                "rows_upserted": pa.array([images.num_rows], pa.int64()),
+                "rows_deleted": pa.array([n_deleted_existing], pa.int64()),
+                "events_in": pa.array([events_in], pa.int64()),
+            },
+            schema=METRICS_SCHEMA,
+        )
+
+    return upsert

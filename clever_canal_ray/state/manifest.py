@@ -1,0 +1,269 @@
+"""Lake manifest: two-phase commit, HWM, batch ledger, schema journal.
+
+This single small JSON structure replaces three reference subsystems:
+
+- **LogPositionManager** (parse/index/*.java) — the ingest high-water
+  mark ``hwm = (segment_id, offset)``, always a transaction boundary
+  (PositionRange.ack semantics, MemoryEventStoreWithBuffer.java:431-439).
+- **MetaManager** (MemoryMetaManager.java:19-318) — the batch ledger
+  with FIFO/duplicate-commit rejection (removePositionRange FIFO check
+  at MemoryMetaManager.java:236-247 → here: committing a batch_id ≤
+  the committed HWM batch is a detected no-op, D2).
+- **TableMetaTSDB** (DatabaseTableMeta.java:177-281) — the DDL journal
+  (history rows) plus the current-schema snapshot, replayed on load.
+
+Commit protocol (two-phase):
+  1. reduce tasks write uniquely-named Parquet data files under
+     ``lake_dir/part=<pid>/`` (phase 1 — invisible until referenced);
+  2. the driver writes ``_manifest/manifest-<v+1>.json`` listing the
+     exact files per partition, then atomically swaps the ``_CURRENT``
+     pointer via ``os.replace`` (phase 2).
+Orphan files from failed/retried Ray tasks are never referenced, so
+task retries are safe; a re-committed batch is rejected by the ledger.
+
+On a real cluster ``lake_dir`` must be shared storage (NFS/S3/HDFS);
+the manifest protocol is storage-agnostic (pointer swap = conditional
+PUT on object stores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clever_canal_ray.schema import lake_schema, upcast_table
+from clever_canal_ray.state.partitioning import partition_ids
+
+
+class DuplicateCommitError(Exception):
+    """Batch already committed — replay must treat this as a no-op."""
+
+
+class CommitConflictError(Exception):
+    """Manifest advanced underneath us (lost the single-writer race)."""
+
+
+@dataclass
+class Manifest:
+    version: int
+    num_partitions: int
+    hwm: tuple[int, int]  # (segment_id, offset), inclusive, txn boundary
+    last_batch_id: int
+    schema_version: int
+    ddl_journal: list[dict] = field(default_factory=list)  # [{"position":[s,o],"ddl":{...}}]
+    partitions: dict[str, dict] = field(default_factory=dict)  # pid -> {"files":[rel], "rows":n}
+    ledger: list[dict] = field(default_factory=list)  # committed batch records
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def payload_schema(self) -> pa.Schema:
+        return lake_schema([e["ddl"] for e in self.ddl_journal])
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "num_partitions": self.num_partitions,
+                "hwm": list(self.hwm),
+                "last_batch_id": self.last_batch_id,
+                "schema_version": self.schema_version,
+                "ddl_journal": self.ddl_journal,
+                "partitions": self.partitions,
+                "ledger": self.ledger,
+                "metrics": self.metrics,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            num_partitions=d["num_partitions"],
+            hwm=tuple(d["hwm"]),
+            last_batch_id=d["last_batch_id"],
+            schema_version=d["schema_version"],
+            ddl_journal=d["ddl_journal"],
+            partitions=d["partitions"],
+            ledger=d["ledger"],
+            metrics=d.get("metrics", {}),
+        )
+
+
+class Lake:
+    """A hash-partitioned Parquet lake with manifest-tracked state."""
+
+    def __init__(self, lake_dir: str):
+        self.dir = lake_dir
+        self.manifest_dir = os.path.join(lake_dir, "_manifest")
+
+    # -- creation ---------------------------------------------------------
+
+    @staticmethod
+    def create(lake_dir: str, table: pa.Table, num_partitions: int = 16) -> "Lake":
+        """Bootstrap a lake from an initial table (schema v0)."""
+        lake = Lake(lake_dir)
+        os.makedirs(lake.manifest_dir, exist_ok=True)
+        pids = partition_ids(table["doc_id"].to_numpy(zero_copy_only=False), num_partitions)
+        parts: dict[str, dict] = {}
+        import numpy as np
+
+        order = np.argsort(pids, kind="stable")
+        sorted_tbl = table.take(order)
+        sorted_pids = pids[order]
+        bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
+        for pid in range(num_partitions):
+            lo, hi = int(bounds[pid]), int(bounds[pid + 1])
+            if lo == hi:
+                continue
+            rel = lake._write_part_file(sorted_tbl.slice(lo, hi - lo), pid, batch_id=0)
+            parts[str(pid)] = {"files": [rel], "rows": hi - lo}
+        m = Manifest(
+            version=0,
+            num_partitions=num_partitions,
+            hwm=(-1, -1),
+            last_batch_id=-1,
+            schema_version=0,
+            partitions=parts,
+        )
+        lake._write_manifest(m)
+        lake._swap_current(m.version)
+        return lake
+
+    # -- manifest IO ------------------------------------------------------
+
+    def current(self) -> Manifest:
+        with open(os.path.join(self.manifest_dir, "_CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return Manifest.from_json(f.read())
+
+    def _write_manifest(self, m: Manifest) -> str:
+        name = f"manifest-{m.version:08d}.json"
+        path = os.path.join(self.manifest_dir, name)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.replace(tmp, path)
+        return name
+
+    def _swap_current(self, version: int) -> None:
+        cur = os.path.join(self.manifest_dir, "_CURRENT")
+        tmp = cur + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(f"manifest-{version:08d}.json")
+        os.replace(tmp, cur)  # atomic pointer swap (phase 2)
+
+    def _write_part_file(self, table: pa.Table, pid: int, batch_id: int) -> str:
+        d = os.path.join(self.dir, f"part={pid:05d}")
+        os.makedirs(d, exist_ok=True)
+        rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.dir, rel))
+        return rel
+
+    # -- commit (phase 2) -------------------------------------------------
+
+    def commit_batch(
+        self,
+        base: Manifest,
+        batch_id: int,
+        new_hwm: tuple[int, int],
+        touched: dict[int, dict],
+        new_ddls: list[dict] | None = None,
+        metrics: dict | None = None,
+    ) -> Manifest:
+        """Atomically publish a micro-batch.
+
+        ``touched``: pid -> {"file": rel_path, "rows": n, ...metrics} for
+        partitions rewritten by this batch; untouched partitions carry
+        their previous files forward. Duplicate batch (batch_id ≤
+        committed) raises DuplicateCommitError — callers treat it as a
+        no-op (idempotent replay, D2/D3). A concurrent commit (manifest
+        version advanced) raises CommitConflictError.
+        """
+        cur = self.current()
+        if batch_id <= cur.last_batch_id:
+            raise DuplicateCommitError(f"batch {batch_id} already committed (hwm batch {cur.last_batch_id})")
+        if cur.version != base.version:
+            raise CommitConflictError(f"manifest moved {base.version} -> {cur.version}")
+        parts = dict(cur.partitions)
+        rows_upserted = rows_deleted = events_in = 0
+        for pid, info in touched.items():
+            parts[str(pid)] = {"files": [info["file"]], "rows": int(info["rows"])}
+            rows_upserted += int(info.get("rows_upserted", 0))
+            rows_deleted += int(info.get("rows_deleted", 0))
+            events_in += int(info.get("events_in", 0))
+        journal = list(cur.ddl_journal)
+        if new_ddls:
+            journal.extend(new_ddls)
+        rec = {
+            "batch_id": batch_id,
+            "prev_hwm": list(cur.hwm),
+            "hwm": list(new_hwm),
+            "events_in": events_in,
+            "rows_upserted": rows_upserted,
+            "rows_deleted": rows_deleted,
+            "partitions_touched": len(touched),
+            "schema_version": len(journal),
+        }
+        if metrics:
+            rec.update(metrics)
+        m = Manifest(
+            version=cur.version + 1,
+            num_partitions=cur.num_partitions,
+            hwm=new_hwm,
+            last_batch_id=batch_id,
+            schema_version=len(journal),
+            ddl_journal=journal,
+            partitions=parts,
+            ledger=cur.ledger + [rec],
+            metrics=cur.metrics,
+        )
+        self._write_manifest(m)
+        self._swap_current(m.version)
+        return m
+
+    def rollback_to_version(self, version: int) -> Manifest:
+        """Time-travel the pointer back (EventStore.rollback analog:
+        un-acked work is simply re-delivered from the earlier HWM)."""
+        path = os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self._swap_current(version)
+        return self.current()
+
+    # -- reads ------------------------------------------------------------
+
+    def data_files(self, m: Manifest | None = None) -> list[str]:
+        m = m or self.current()
+        return [os.path.join(self.dir, f) for info in m.partitions.values() for f in info["files"]]
+
+    def read_table(self, m: Manifest | None = None) -> pa.Table:
+        """Full materialized read (tests / small lakes only)."""
+        m = m or self.current()
+        target = m.payload_schema
+        tables = []
+        for path in self.data_files(m):
+            tables.append(upcast_table(pq.read_table(path), target))
+        if not tables:
+            return target.empty_table()
+        return pa.concat_tables(tables)
+
+    def read_dataset(self, m: Manifest | None = None):
+        """Streaming read as a ray.data.Dataset with merge-on-read
+        up-cast to the current schema version."""
+        import ray.data as rd
+
+        m = m or self.current()
+        target = m.payload_schema
+        ds = rd.read_parquet(self.data_files(m))
+        return ds.map_batches(
+            lambda t, s=target: upcast_table(t, s), batch_format="pyarrow"
+        )

@@ -1,0 +1,74 @@
+"""Plain replay convergence: Ray pipeline final lake == serial oracle.
+
+The FIXTURES.md §5 "plain replay convergence" scenario plus variants
+with multiple micro-batches and partition counts.
+"""
+
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state.manifest import Lake
+from tests.util import assert_tables_equal
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return EventLogSpec(seed=42, n_initial_docs=300, n_events=2000, n_segments=6)
+
+
+@pytest.fixture(scope="module")
+def fixture(spec, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fx")
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    return spec, info, lake_tbl, root
+
+
+def _oracle(spec, lake_tbl):
+    import pyarrow.parquet as pq
+
+    from clever_canal_ray.fixtures.generator import generate_events
+
+    segs, _ = generate_events(spec)
+    return apply_events_serial(lake_tbl, segs)
+
+
+def test_replay_converges_single_batch(ray_session, fixture, tmp_path):
+    spec, info, lake_tbl, _ = fixture
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=8)
+    cfg = ReplayConfig(num_partitions=8, segments_per_batch=len(info["segment_paths"]))
+    m = replay(lake, info["segment_paths"], cfg)
+    assert m.last_batch_id >= 0
+    assert_tables_equal(lake.read_table(), _oracle(spec, lake_tbl))
+
+
+def test_replay_converges_micro_batches(ray_session, fixture, tmp_path):
+    spec, info, lake_tbl, _ = fixture
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2)
+    m = replay(lake, info["segment_paths"], cfg)
+    assert m.last_batch_id >= 1  # several commits
+    assert_tables_equal(lake.read_table(), _oracle(spec, lake_tbl))
+    # ledger is FIFO-monotone
+    ids = [r["batch_id"] for r in m.ledger]
+    assert ids == sorted(ids)
+    # metrics recorded per batch
+    assert all(r["events_in"] > 0 for r in m.ledger)
+
+
+def test_manifest_hwm_advances_to_txn_boundary(ray_session, fixture, tmp_path):
+    spec, info, lake_tbl, _ = fixture
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=3)
+    m = replay(lake, info["segment_paths"], cfg)
+    # hwm must sit on a txn_commit row
+    import pyarrow.dataset as pds
+
+    meta = pds.dataset(info["segment_paths"]).to_table(
+        columns=["segment_id", "offset", "txn_commit"]
+    )
+    rows = {(r["segment_id"], r["offset"]): r["txn_commit"] for r in meta.to_pylist()}
+    assert rows[m.hwm] is True

@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC pipeline (real engine: Lake +
+manifest + replay) over /root/testdata/sf0.001. ``queries()`` exposes
+one callable per implemented operator family (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` holds the exact DuckDB mirrors.
+Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +12,202 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from clever_canal_ray.pipelines import queries as q
+
+STOPLIST_SQL = "['the','a','and','of','to','in','is']"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from clever_canal_ray.pipelines.flagship import run_flagship
+
+    return run_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC / engine family (SURVEY.md §2: O9, O7, A1-A4, D3, F1-F7, FlatMessage)
+        "cdc_upsert_lake": q.cdc_upsert_lake,
+        "cdc_lww_state": q.cdc_lww_state,
+        "cdc_live_rows": q.cdc_live_rows,
+        "cdc_changelog_counts": q.cdc_changelog_counts,
+        "cdc_position_bounds": q.cdc_position_bounds,
+        "cdc_txn_summary": q.cdc_txn_summary,
+        "cdc_filter_regex": q.cdc_filter_regex,
+        "cdc_filter_list": q.cdc_filter_list,
+        "cdc_projection_flat": q.cdc_projection_flat,
+        "cdc_dedup_positions": q.cdc_dedup_positions,
+        "cdc_kway_merge": q.cdc_kway_merge,
+        "cdc_empty_txn_suppress": q.cdc_empty_txn_suppress,
+        # training-data ops (dedup / text / similarity)
+        "dedup_exact_docs": q.dedup_exact_docs,
+        "text_token_count": q.text_token_count,
+        "text_token_count_bpe": q.text_token_count_bpe,
+        "text_quality": q.text_quality,
+        "text_fingerprint": q.text_fingerprint,
+        "lang_id": q.lang_id,  # rows-only (heuristic)
+        "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
+        "simhash_docs": q.simhash_docs,  # rows-only (bit ops)
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "ann_topk": q.ann_topk,
+        "embedding_dups": q.embedding_dups,
+        # analytic parity (aggregate / sort-limit / joins)
+        "q1_pricing": q.q1_pricing,
+        "top_orders_by_revenue": q.top_orders_by_revenue,
+        "customer_nation_counts": q.customer_nation_counts,
+        "distinct_part_types": q.distinct_part_types,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    op_case = "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END"
+    return {
+        "cdc_upsert_lake": f"""
+            WITH ev AS (
+              SELECT event_id, {op_case} AS op,
+                     CASE WHEN event_type = 'signup'
+                          THEN printf('doc%012d', 1000000 + event_id)
+                          ELSE printf('doc%012d', (user_id*7919 + event_id*31) % (SELECT count(*) FROM documents))
+                     END AS doc_id,
+                     CAST(16 + event_id % 64 AS BIGINT) AS n_tok
+              FROM events),
+            w AS (SELECT doc_id, op, n_tok,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY event_id DESC) AS rn
+                  FROM ev),
+            winners AS (SELECT doc_id, op, n_tok FROM w WHERE rn = 1),
+            base AS (SELECT printf('doc%012d', doc_id) AS doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                            source
+                     FROM documents)
+            SELECT b.doc_id, b.n_tok, b.source
+            FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM winners)
+            UNION ALL
+            SELECT doc_id, n_tok, 'cdc' AS source FROM winners WHERE op <> 'D'
+        """,
+        "cdc_lww_state": f"""
+            SELECT user_id, event_id AS last_pos, {op_case} AS op, value, event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "cdc_live_rows": f"""
+            SELECT user_id, value
+            FROM (SELECT *, {op_case} AS op,
+                         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_changelog_counts": f"""
+            SELECT {op_case} AS op, count(*) AS n FROM events GROUP BY 1
+        """,
+        "cdc_position_bounds": """
+            SELECT user_id, min(event_id) AS min_pos, max(event_id) AS max_pos,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "cdc_txn_summary": """
+            SELECT event_id // 16 AS txn_id, count(*) AS n_events, max(event_id) AS last_pos
+            FROM events GROUP BY 1
+        """,
+        "cdc_filter_regex": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE regexp_full_match(event_type, '(click|view)')
+            GROUP BY event_type
+        """,
+        "cdc_filter_list": """
+            SELECT user_id, count(*) AS n FROM events
+            WHERE event_type IN ('purchase', 'signup')
+            GROUP BY user_id
+        """,
+        "cdc_projection_flat": f"""
+            SELECT 'testdata' AS database, 'events' AS "table", event_id AS pk,
+                   {op_case} AS type, ts AS es, value AS data_value, props AS data_props
+            FROM events
+        """,
+        "cdc_dedup_positions": """
+            SELECT event_type, count(DISTINCT event_id) AS n_distinct
+            FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+            GROUP BY event_type
+        """,
+        "cdc_kway_merge": """
+            SELECT event_id, user_id, ts FROM events ORDER BY ts, event_id LIMIT 100
+        """,
+        "cdc_empty_txn_suppress": """
+            SELECT event_id // 16 AS txn_id, count(*) AS n_rows
+            FROM events WHERE event_type NOT IN ('signup', 'error')
+            GROUP BY 1
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text
+        """,
+        "text_token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+        """,
+        "text_token_count_bpe": r"""
+            SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                                              x -> list_contains({STOPLIST_SQL}, x))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stop_ratio,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) >= 100 AND length(text) <= 2000
+                        AND round(CAST(len(list_filter(string_split(text, ' '),
+                                                       x -> list_contains({STOPLIST_SQL}, x))) AS DOUBLE)
+                                  / len(string_split(text, ' ')), 6) > 0.02 AS INTEGER) AS is_quality
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT a.doc_id AS a, b.doc_id AS b, round(jaccard(a.text, b.text), 4) AS jac
+            FROM documents a, documents b
+            WHERE a.doc_id < 60 AND b.doc_id < 60 AND a.doc_id < b.doc_id
+              AND round(jaccard(a.text, b.text), 4) >= 0.5
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qi, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3)
+            SELECT q.qi AS query_i, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos_sim
+            FROM embeddings e, q
+            QUALIFY row_number() OVER (
+                PARTITION BY q.qi
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id) <= 10
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_by_revenue": """
+            SELECT l_orderkey,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS rev_cents,
+                   o_custkey
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY l_orderkey, o_custkey
+            ORDER BY rev_cents DESC, l_orderkey LIMIT 10
+        """,
+        "customer_nation_counts": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "distinct_part_types": """
+            SELECT p_type, count(*) AS n FROM part GROUP BY p_type
+        """,
+    }

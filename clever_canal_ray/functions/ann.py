@@ -1,0 +1,97 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: baseline — broadcast the (small) query matrix
+  with ``ray.put`` once, one numpy matmul per batch, per-batch local
+  top-k, tiny global reduce. Scales linearly in corpus size with zero
+  shuffles of the corpus.
+- ``lsh_topk``: scale path — random-hyperplane signatures bucket the
+  corpus (one groupby on the bucket key); queries probe matching
+  buckets and rerank exactly. Recall < 1 by design; multi-table
+  probing trades compute for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k per query vector.
+
+    Returns a pandas DataFrame (query_i, vec_id, cos_sim) with k rows
+    per query, cos_sim rounded to 4 decimals for cross-engine
+    comparability.
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    ref = ray.put(q)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+        sims = qm @ m.T  # (n_query, n_batch)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_i": np.repeat(np.arange(qm.shape[0]), kk),
+            id_col: ids[idx.reshape(-1)],
+            "cos_sim": np.take_along_axis(sims, idx, axis=1).reshape(-1),
+        }
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = (
+        partials.sort_values(["query_i", "cos_sim", id_col], ascending=[True, False, True])
+        .groupby("query_i", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+class HyperplaneHasher:
+    """Actor-pool signature stage: hyperplanes drawn once per actor from
+    a fixed seed (identical across actors — deterministic)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bits, dim))
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        return (((m @ self.planes.T) > 0).astype(np.int64) * self.weights).sum(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        out = batch.copy()
+        out["bucket"] = self.bucket_of(m)
+        return out
+
+
+def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 8, seed: int = 99, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """LSH-bucketed ANN: exact rerank within the query's bucket(s).
+
+    The corpus is bucketed with one map_batches (signatures) and
+    filtered to the query buckets (broadcast set) — a semi-join, not a
+    shuffle; rerank is brute force over the tiny candidate set.
+    """
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    hasher = HyperplaneHasher(q.shape[1], n_bits=n_bits, seed=seed)
+    q_buckets = set(hasher.bucket_of(q).tolist())
+
+    def in_query_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        return batch[pd.Series(hasher.bucket_of(m), index=batch.index).isin(q_buckets)]
+
+    candidates = ds.map_batches(in_query_buckets, batch_format="pandas")
+    return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)

@@ -1,0 +1,388 @@
+"""Driver-facing query callables: one per operator family (SURVEY.md §2
+plus the training-data ops). Each takes ``sf_dir`` and returns a
+Dataset / DataFrame / Table whose column NAMES and value formulas match
+``__ray_entry__.oracle_sql`` exactly.
+
+CDC queries run over the generic ``events`` table with the shared
+mapping: position = event_id, key = user_id,
+op = signup→'I' | error→'D' | else 'U'.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clever_canal_ray.functions import cdc_ops
+from clever_canal_ray.functions.ann import brute_force_topk
+from clever_canal_ray.functions.dedup import embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, simhash64
+from clever_canal_ray.functions.text import (
+    LangId,
+    fingerprints,
+    quality_scores,
+    token_counts,
+    token_counts_regex,
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _with_op(batch: pd.DataFrame) -> pd.DataFrame:
+    et = batch["event_type"].to_numpy()
+    batch = batch.copy()
+    batch["op"] = np.select([et == "signup", et == "error"], ["I", "D"], default="U")
+    return batch
+
+
+# --- CDC family over `events` --------------------------------------------
+
+
+def cdc_upsert_lake(sf_dir: str):
+    """THE flagship: full engine replay (Lake + manifest + shuffle) of
+    events derived from testdata; projected to SQL-checkable columns."""
+    from clever_canal_ray.pipelines.flagship import run_flagship
+
+    ds = run_flagship(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["n_tok"].cast(pa.int64()), t["source"]],
+            names=["doc_id", "n_tok", "source"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def cdc_lww_state(sf_dir: str):
+    ds = _read(sf_dir, "events").map_batches(_with_op, batch_format="pandas")
+    out = cdc_ops.lww_latest(ds, key="user_id", pos="event_id")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "last_pos": df["event_id"].astype("int64"),
+                "op": df["op"],
+                "value": df["value"],
+                "event_type": df["event_type"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def cdc_live_rows(sf_dir: str):
+    ds = _read(sf_dir, "events").map_batches(_with_op, batch_format="pandas")
+    out = cdc_ops.lww_latest(ds, key="user_id", pos="event_id")
+    out = out.filter(expr="op != 'D'")
+    return out.map_batches(
+        lambda df: pd.DataFrame({"user_id": df["user_id"].astype("int64"), "value": df["value"]}),
+        batch_format="pandas",
+    )
+
+
+def cdc_changelog_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type"]).map_batches(_with_op, batch_format="pandas")
+    return ds.groupby("op").aggregate(Count(alias_name="n"))
+
+
+def cdc_position_bounds(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id"])
+    return cdc_ops.position_bounds(ds, key="user_id", pos="event_id")
+
+
+def cdc_txn_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def add_txn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["txn_id"] = (df["event_id"] // 16).astype("int64")
+        return df
+
+    return (
+        ds.map_batches(add_txn, batch_format="pandas")
+        .groupby("txn_id")
+        .aggregate(Count(alias_name="n_events"), Max("event_id", alias_name="last_pos"))
+    )
+
+
+def cdc_filter_regex(sf_dir: str):
+    """F1 regex whitelist on the event-class column."""
+    import re
+
+    from ray.data.aggregate import Count
+
+    pat = re.compile(r"^(click|view)$")
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    ds = ds.map_batches(
+        lambda df: df[df["event_type"].str.match(pat)], batch_format="pandas"
+    )
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def cdc_filter_list(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"]))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("user_id").aggregate(Count(alias_name="n"))
+
+
+def cdc_projection_flat(sf_dir: str):
+    ds = _read(sf_dir, "events").map_batches(_with_op, batch_format="pandas")
+    return cdc_ops.flat_message(
+        ds, database="testdata", table="events", pk_col="event_id", op_col="op", ts_col="ts", data_cols=["value", "props"]
+    )
+
+
+def cdc_dedup_positions(sf_dir: str):
+    """D3: the stream delivered twice; distinct positions survive once."""
+    a = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    b = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return cdc_ops.dedup_positions(a.union(b), pos_col="event_id", group_cols=["event_type"])
+
+
+def cdc_kway_merge(sf_dir: str):
+    """O7: 4 shard streams merged on (ts, position)."""
+    def shard_filter(i):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 3), i))
+
+    shards = [
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+            shard_filter(i), batch_format="pyarrow"
+        )
+        for i in range(4)
+    ]
+    return cdc_ops.kway_merge_head(shards, ts_col="ts", pos_col="event_id", head=100)
+
+
+def cdc_empty_txn_suppress(sf_dir: str):
+    """F7 analog: txns with no row-change ('U') events are suppressed."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"]).map_batches(
+        _with_op, batch_format="pandas"
+    )
+
+    def add_txn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["txn_id"] = (df["event_id"] // 16).astype("int64")
+        return df
+
+    per_txn = (
+        ds.map_batches(add_txn, batch_format="pandas")
+        .map_batches(lambda df: df[df["op"] == "U"], batch_format="pandas")
+        .groupby("txn_id")
+        .aggregate(Count(alias_name="n_rows"))
+    )
+    return per_txn
+
+
+# --- training-data ops over `documents` / `embeddings` -------------------
+
+
+def dedup_exact_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", id_col="doc_id")
+    return out.map_batches(
+        lambda df: pd.DataFrame({"keep_id": df["keep_id"].astype("int64"), "n_dups": df["n_dups"].astype("int64")}),
+        batch_format="pandas",
+    )
+
+
+def text_token_count(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_counts, batch_format="pandas"
+    )
+
+
+def text_token_count_bpe(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_counts_regex, batch_format="pandas"
+    )
+
+
+def text_quality(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_scores, batch_format="pandas"
+    )
+
+
+def text_fingerprint(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprints, batch_format="pandas"
+    )
+
+
+def lang_id(sf_dir: str):
+    """Rows-only check (heuristic, no SQL equivalent)."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+
+
+def minhash_pairs(sf_dir: str):
+    """Rows-only check (LSH banding not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def simhash_docs(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        simhash64, batch_format="pandas"
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard over small doc pairs — DuckDB jaccard() mirror."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(expr="doc_id < 60")
+    docs = ds.to_pandas()
+
+    import itertools
+
+    from clever_canal_ray.functions.dedup import char_jaccard
+
+    rows = []
+    for (ia, ta), (ib, tb) in itertools.combinations(zip(docs["doc_id"], docs["text"]), 2):
+        j = round(char_jaccard(ta, tb), 4)
+        if j >= 0.5:
+            rows.append((int(min(ia, ib)), int(max(ia, ib)), j))
+    return pd.DataFrame(rows, columns=["a", "b", "jac"])
+
+
+def ann_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy())
+    out = brute_force_topk(ds, q, k=10)
+    out["query_i"] = out["query_i"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+def embedding_dups(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_dup_pairs(ds, threshold=0.35, max_id=300)
+    return out.map_batches(
+        lambda df: df.astype({"a": "int64", "b": "int64"}), batch_format="pandas"
+    )
+
+
+# --- analytic parity (aggregate / sort / join coverage) ------------------
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100 + 0.5).astype(np.int64)
+
+
+def q1_pricing(sf_dir: str):
+    """Partial-aggregation pattern: per-batch combiner then a tiny
+    groupby — integer-cent sums for cross-engine exactness."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["qty_cents"] = _cents(df["l_quantity"].to_numpy())
+        df["base_cents"] = _cents(df["l_extendedprice"].to_numpy())
+        df["disc_cents"] = _cents(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty_cents=("qty_cents", "sum"),
+                sum_base_cents=("base_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+                count_order=("qty_cents", "size"),
+            )
+            .reset_index()
+        )
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+def top_orders_by_revenue(sf_dir: str):
+    """Pre-aggregate + sort/limit + broadcast join to orders."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rev_cents"] = _cents(df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()))
+        return df.groupby("l_orderkey", sort=False)["rev_cents"].sum().reset_index()
+
+    top = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .sort([("rev_cents"), ("l_orderkey")], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    # broadcast join: orders side is read once, dict-looked-up
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    out = top.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+        ["l_orderkey", "rev_cents", "o_custkey"]
+    ]
+    return out.astype({"l_orderkey": "int64", "rev_cents": "int64", "o_custkey": "int64"})
+
+
+def customer_nation_counts(sf_dir: str):
+    """Broadcast (map-side) join: nation is tiny -> ray.put + per-batch merge."""
+    import ray
+    from ray.data.aggregate import Count
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(nation)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        n = ray.get(ref)
+        return df.merge(n, left_on="c_nationkey", right_on="n_nationkey")[["n_name"]]
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
+    return cust.map_batches(join, batch_format="pandas").groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+
+def distinct_part_types(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", columns=["p_type"])
+    return ds.groupby("p_type").aggregate(Count(alias_name="n"))

@@ -1,0 +1,216 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Headline: sustained change-events/sec replaying a seeded synthetic
+binlog (shape-scaled to $GRAFT_SF_DIR) into the Parquet lake through
+the full engine (combine -> shuffle -> merge-on-read upsert -> manifest
+commits). Secondary queries cover the heavier operator families over
+the sf tables.
+
+- plain run: prints ONE JSON line
+  {"metric": "replay_sec", "value": s, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "events_per_sec": ...}
+- --scaling: runs the plain bench twice in fresh processes
+  (num_cpus=8 then 32) on the SAME cached input and reports both
+  throughputs + scaling efficiency (the sandbox substitute for the
+  N vs 4N node criterion, BASELINE.json:14).
+
+Fixture generation is cached under /tmp and excluded from the timed
+window; the timed window runs from first segment read to the final
+manifest pointer swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench workload shape (same event mix / skew profile as the 10^10
+# target, scaled down; FIXTURES.md §2 defaults)
+BENCH_SEED = 42
+N_INITIAL = 400_000
+N_EVENTS = 4_000_000
+N_SEGMENTS = 32
+NUM_PARTITIONS = 64
+SEGMENTS_PER_BATCH = 16
+
+
+def fixture_dir() -> str:
+    key = f"{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
+    return os.path.join("/tmp", f"ccr_bench_{key}")
+
+
+def ensure_fixture() -> dict:
+    from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
+    import pyarrow.parquet as pq
+
+    d = fixture_dir()
+    meta_path = os.path.join(d, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    spec = EventLogSpec(
+        seed=BENCH_SEED,
+        n_initial_docs=N_INITIAL,
+        n_events=N_EVENTS,
+        n_segments=N_SEGMENTS,
+        include_before=False,  # upsert path reads after-images only
+    )
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    info = write_fixture(spec, d)
+    lake_tbl = generate_lake(spec)
+    pq.write_table(lake_tbl, os.path.join(d, "initial_lake.parquet"))
+    meta = {
+        "segment_paths": info["segment_paths"],
+        "n_events": info["n_events"],
+        "initial_lake": os.path.join(d, "initial_lake.parquet"),
+        "gen_sec": round(time.time() - t0, 1),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float, float, int]:
+    import pyarrow.parquet as pq
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    lake_dir = os.path.join("/tmp", f"ccr_bench_lake_{os.getpid()}_{sink_mode}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake_tbl = pq.read_table(meta["initial_lake"])
+    lake = Lake.create(lake_dir, lake_tbl, num_partitions=NUM_PARTITIONS)
+    cfg = ReplayConfig(
+        num_partitions=NUM_PARTITIONS,
+        segments_per_batch=SEGMENTS_PER_BATCH,
+        batch_size=32_768,
+        sink_mode=sink_mode,
+    )
+    t0 = time.time()
+    m = replay(lake, meta["segment_paths"], cfg)
+    dt = time.time() - t0
+    t0 = time.time()
+    if compact_after:
+        lake.compact()
+    dt_compact = time.time() - t0
+    applied = sum(r["events_in"] for r in m.ledger)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    return dt, dt_compact, applied
+
+
+def bench_queries() -> dict[str, float]:
+    from clever_canal_ray.pipelines import queries as q
+
+    out = {}
+    for name, fn in [
+        ("q1_pricing", q.q1_pricing),
+        ("top_orders_by_revenue", q.top_orders_by_revenue),
+        ("cdc_lww_state", q.cdc_lww_state),
+        ("dedup_exact_docs", q.dedup_exact_docs),
+        ("minhash_pairs", q.minhash_pairs),
+        ("ann_topk", q.ann_topk),
+        ("text_quality", q.text_quality),
+    ]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume lazily-built results
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    meta = ensure_fixture()
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # warm OS page cache so we measure compute+shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    for p in meta["segment_paths"]:
+        pq.read_metadata(p)
+
+    # headline: delta sink (the write-optimal CDC path) + its one-time
+    # compaction cost reported separately; compact sink as reference
+    replay_sec, compact_sec, applied = bench_replay(meta, sink_mode="delta", compact_after=True)
+    compact_mode_sec, _, _ = bench_replay(meta, sink_mode="compact", compact_after=False)
+    queries = bench_queries()
+    queries["replay_compact_mode"] = round(compact_mode_sec, 3)
+    queries["compaction"] = round(compact_sec, 3)
+    result = {
+        "metric": "replay_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events_total": meta["n_events"],
+        "events_applied": applied,
+        "events_per_sec": round(applied / replay_sec),
+        "sink_mode": "delta",
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_fixture()  # generate once, outside both timed runs
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,105 @@
+"""CLI — the CanalLauncher / instance-assembly analog.
+
+    python -m clever_canal_ray create-lake  --lake DIR --from PARQUET [--partitions P]
+    python -m clever_canal_ray replay       --lake DIR --segments DIR [DIR ...]
+                                            [--mode delta|compact] [--batch-segments N]
+    python -m clever_canal_ray compact      --lake DIR
+    python -m clever_canal_ray status       --lake DIR
+    python -m clever_canal_ray metrics      --lake DIR
+    python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
+
+Owns its Ray session (scripts do; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="clever_canal_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-lake")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--from", dest="src", required=True)
+    c.add_argument("--partitions", type=int, default=16)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--lake", required=True)
+    r.add_argument("--segments", nargs="+", required=True)
+    r.add_argument("--mode", choices=["delta", "compact"], default="delta")
+    r.add_argument("--batch-segments", type=int, default=8)
+
+    for name in ("compact", "status", "metrics"):
+        s = sub.add_parser(name)
+        s.add_argument("--lake", required=True)
+
+    g = sub.add_parser("gen-fixture")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--segments", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    from clever_canal_ray.state.manifest import Lake
+
+    if args.cmd == "create-lake":
+        import pyarrow.parquet as pq
+
+        Lake.create(args.lake, pq.read_table(args.src), num_partitions=args.partitions)
+        print(json.dumps({"created": args.lake, "partitions": args.partitions}))
+    elif args.cmd == "replay":
+        _ray_session()
+        from clever_canal_ray.config import ReplayConfig
+        from clever_canal_ray.pipelines.replay import replay
+        from clever_canal_ray.sources.segments import discover_segments
+
+        lake = Lake(args.lake)
+        cfg = ReplayConfig(
+            num_partitions=lake.current().num_partitions,
+            segments_per_batch=args.batch_segments,
+            sink_mode=args.mode,
+        )
+        m = replay(lake, discover_segments(args.segments), cfg)
+        print(json.dumps({"hwm": list(m.hwm), "batches": m.last_batch_id + 1, "schema_version": m.schema_version}))
+    elif args.cmd == "compact":
+        _ray_session()
+        m = Lake(args.lake).compact()
+        print(json.dumps({"version": m.version, "files": sum(len(i["files"]) for i in m.partitions.values())}))
+    elif args.cmd == "status":
+        m = Lake(args.lake).current()
+        print(json.dumps(json.loads(m.to_json())))
+    elif args.cmd == "metrics":
+        t = Lake(args.lake).metrics_table()
+        print(t.to_pandas().to_string(index=False))
+    elif args.cmd == "gen-fixture":
+        from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
+        import pyarrow.parquet as pq
+        import os
+
+        spec = EventLogSpec(
+            seed=args.seed, n_initial_docs=args.docs, n_events=args.events, n_segments=args.segments
+        )
+        info = write_fixture(spec, args.out)
+        pq.write_table(generate_lake(spec), os.path.join(args.out, "initial_lake.parquet"))
+        print(json.dumps({"out": args.out, "n_events": info["n_events"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,3 +34,15 @@ class ReplayConfig:
     column_projection: Optional[tuple[str, ...]] = None  # payload columns to KEEP
     predicate: Optional[Callable] = None  # fn(pa.Table) -> BooleanArray mask
     combiner_concurrency: Optional[int] = None  # None = elastic tasks
+    # sink write strategy:
+    #   "compact" — rewrite the whole partition each batch (read-optimal)
+    #   "delta"   — append a change file (write-optimal, merge-on-read);
+    #               partitions auto-compact at compact_threshold files
+    sink_mode: str = "compact"
+    compact_threshold: int = 8
+    # extension surface (§2.10): the CanalEventDownStreamHandler analog —
+    # called around the phase-2 manifest commit of every micro-batch.
+    #   before_commit(batch_id, plan, touched) -> None (raise to abort)
+    #   after_commit(manifest) -> None
+    before_commit: Optional[Callable] = None
+    after_commit: Optional[Callable] = None

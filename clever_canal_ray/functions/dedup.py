@@ -30,31 +30,33 @@ def _stable_u64(strings) -> np.ndarray:
 # --- exact dedup ----------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
     """Keep the minimum-id document per exact text hash.
 
-    Returns a Dataset of (hash, keep_id, n_dups). The shuffle carries
-    only (uint64, id) pairs.
+    Returns a Dataset of (h, keep_id, n_dups). The shuffle carries only
+    (hash, id) pairs bucketed to ``num_buckets`` groups (per-group Ray
+    overhead bounded; the per-hash merge is vectorized pandas — see
+    stages/agg.py).
     """
+    from clever_canal_ray.stages.agg import bucketed_groupby
 
-    def hash_stage(batch: pa.Table) -> pa.Table:
-        h = _stable_u64(batch[text_col].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return pa.Table.from_pydict(
-            {"h": pa.array(h, pa.int64()), id_col: batch[id_col]}
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _stable_u64(df[text_col].to_numpy()).astype(np.int64)
+        p = pd.DataFrame({"h": h, id_col: df[id_col].to_numpy()})
+        return (
+            p.groupby("h", sort=False)
+            .agg(keep_id=(id_col, "min"), n_dups=(id_col, "size"))
+            .reset_index()
         )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "h": [group["h"].iloc[0]],
-                "keep_id": [group[id_col].min()],
-                "n_dups": [len(group)],
-            }
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("h", sort=False)
+            .agg(keep_id=("keep_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
         )
 
-    return ds.map_batches(hash_stage, batch_format="pyarrow").groupby("h").map_groups(
-        keep_first, batch_format="pandas"
-    )
+    return bucketed_groupby(ds, ["h"], partial, final, num_buckets=num_buckets)
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -139,17 +141,47 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, num_hashes: int = 64, bands: i
                 out_j.append(round(float(eq[h]), 6))
         return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
 
+    def bucket_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket = many (band, band_hash) LSH buckets; pair
+        generation loops only over multi-doc buckets (rare)."""
+        outs = []
+        for _, g in group.groupby(["band", "band_hash"], sort=False):
+            if len(g) >= 2:
+                outs.append(bucket_pairs(g))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        return pd.concat(outs, ignore_index=True)
+
+    banded = ds.map_batches(MinHasher(num_hashes, bands, k, seed), batch_format="pandas", concurrency=2)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["band_hash"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(np.int64)
+        return df
+
     pairs = (
-        ds.map_batches(MinHasher(num_hashes, bands, k, seed), batch_format="pandas", concurrency=2)
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        banded.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_pairs_vec(g.drop(columns="__bucket")), batch_format="pandas")
     )
 
-    # same pair may surface from several bands — final exact dedup
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    # same pair may surface from several bands — final vectorized dedup
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
 
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            _stable_u64(df["a"].astype(str).str.cat(df["b"].astype(str), sep="\x00").to_numpy())
+            % np.uint64(64)
+        ).astype(np.int64)
+        return df
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: dedup_pairs(g.drop(columns="__bucket")), batch_format="pandas")
+    )
 
 
 # --- SimHash --------------------------------------------------------------

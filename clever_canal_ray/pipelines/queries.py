@@ -333,9 +333,10 @@ def q1_pricing(sf_dir: str):
 
 
 def top_orders_by_revenue(sf_dir: str):
-    """Pre-aggregate + sort/limit + broadcast join to orders."""
-    import ray
-    from ray.data.aggregate import Sum
+    """High-cardinality aggregate via the bucket pattern (stages/agg.py)
+    + per-bucket local top-k + tiny driver-side final top-k + broadcast
+    join to orders."""
+    from clever_canal_ray.stages.agg import bucketed_groupby
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -344,13 +345,15 @@ def top_orders_by_revenue(sf_dir: str):
         df["rev_cents"] = _cents(df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()))
         return df.groupby("l_orderkey", sort=False)["rev_cents"].sum().reset_index()
 
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("l_orderkey", sort=False)["rev_cents"].sum().reset_index()
+        return sums.nlargest(10, ["rev_cents"], keep="all")
+
+    candidates = bucketed_groupby(li, ["l_orderkey"], partial, final, num_buckets=32).to_pandas()
     top = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
-        .sort([("rev_cents"), ("l_orderkey")], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+        candidates.sort_values(["rev_cents", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
     # broadcast join: orders side is read once, dict-looked-up
     import pyarrow.parquet as pq

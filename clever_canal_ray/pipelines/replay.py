@@ -33,7 +33,7 @@ import pyarrow.dataset as pds
 
 from clever_canal_ray.config import ReplayConfig
 from clever_canal_ray.schema import lake_schema, pack_position
-from clever_canal_ray.stages.combine import make_combine_fn
+from clever_canal_ray.stages.combine import combine_read_columns, make_combine_fn
 from clever_canal_ray.stages.reduce import make_desalt_fn, make_partition_upsert_fn
 from clever_canal_ray.state.manifest import DuplicateCommitError, Lake, Manifest
 
@@ -43,6 +43,7 @@ class BatchPlan:
     ack: tuple[int, int] | None  # None = nothing committable in window
     new_ddls: list[dict]  # journal entries [{"position": [s,o], "ddl": {...}}]
     n_candidate_events: int
+    max_execute_ts: int | None = None  # ms; source-side liveness (F8 analog)
 
 
 def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
@@ -56,7 +57,9 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     flt = (pds.field("segment_id") > hwm[0]) | (
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
     )
-    meta = dset.to_table(columns=["segment_id", "offset", "txn_commit", "op", "ddl"], filter=flt)
+    meta = dset.to_table(
+        columns=["segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts"], filter=flt
+    )
     if meta.num_rows == 0:
         return BatchPlan(ack=None, new_ddls=[], n_candidate_events=0)
     import numpy as np
@@ -82,7 +85,9 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         for s, o, d in zip(ddl_pos_s, ddl_pos_o, ddl_strs):
             ddls.append({"position": [int(s), int(o)], "ddl": json.loads(d)})
     n_cand = int((pos <= ack_pos).sum())
-    return BatchPlan(ack=ack, new_ddls=ddls, n_candidate_events=n_cand)
+    ts = meta["execute_ts"].to_numpy(zero_copy_only=False)
+    max_ts = int(ts[pos <= ack_pos].max().astype("datetime64[ms]").astype("int64")) if n_cand else None
+    return BatchPlan(ack=ack, new_ddls=ddls, n_candidate_events=n_cand, max_execute_ts=max_ts)
 
 
 def replay_batch(
@@ -113,13 +118,30 @@ def replay_batch(
     flt = (pds.field("segment_id") > base.hwm[0]) | (
         (pds.field("segment_id") == base.hwm[0]) & (pds.field("offset") > base.hwm[1])
     )
-    ds = rd.read_parquet(segment_paths, filter=flt)
+    # prune at the read: the (large) `before` struct and txn-framing
+    # columns never leave storage; the full schema is read only when a
+    # user predicate (F4) may reference arbitrary columns
+    if cfg.predicate is None:
+        need_table = bool(
+            cfg.table_whitelist_regex or cfg.table_blacklist_regex or cfg.table_list is not None
+        )
+        columns = combine_read_columns(need_table_col=need_table)
+        ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
+    else:
+        ds = rd.read_parquet(segment_paths, filter=flt)
     combine = make_combine_fn(cfg, target_payload, base.hwm, plan.ack)
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_factor > 1:
         ds = ds.groupby("pid").map_groups(make_desalt_fn(cfg.salt_factor), batch_format="pyarrow")
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
-    upsert = make_partition_upsert_fn(lake.dir, part_files, target_payload, batch_id)
+    upsert = make_partition_upsert_fn(
+        lake.dir,
+        part_files,
+        target_payload,
+        batch_id,
+        sink_mode=cfg.sink_mode,
+        compact_threshold=cfg.compact_threshold,
+    )
     metrics_rows = ds.groupby("pid").map_groups(upsert, batch_format="pyarrow").take_all()
 
     touched = {
@@ -129,30 +151,43 @@ def replay_batch(
             "rows_upserted": r["rows_upserted"],
             "rows_deleted": r["rows_deleted"],
             "events_in": r["events_in"],
+            "mode": r["mode"],
         }
         for r in metrics_rows
     }
+    if cfg.before_commit is not None:
+        cfg.before_commit(batch_id, plan, touched)
     try:
-        return lake.commit_batch(
+        m = lake.commit_batch(
             base,
             batch_id=batch_id,
             new_hwm=plan.ack,
             touched=touched,
             new_ddls=plan.new_ddls,
+            metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
         )
     except DuplicateCommitError:
         return lake.current()
+    if cfg.after_commit is not None:
+        cfg.after_commit(m)
+    return m
 
 
 def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None) -> Manifest:
     """Replay a whole segment log as consecutive micro-batches.
+
+    ``segment_paths`` MUST be in ascending (segment_id) order — use
+    ``sources.discover_segments`` for multi-directory group sources; a
+    lexicographic path sort would interleave shard directories out of
+    position order and events behind an already-advanced HWM would be
+    (correctly, but surprisingly) skipped as replayed.
 
     Each micro-batch re-reads the previous batch's final file too, so a
     transaction tail deferred past the previous ack is picked up (the
     position filter makes the overlap cheap — replay-from-cursor).
     """
     cfg = cfg or ReplayConfig()
-    paths = sorted(segment_paths)
+    paths = list(segment_paths)
     n = cfg.segments_per_batch
     m = lake.current()
     i = 0

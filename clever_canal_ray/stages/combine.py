@@ -46,7 +46,7 @@ def _anchor_regex(expr: str) -> re.Pattern:
 def filter_mask(batch: pa.Table, cfg: ReplayConfig) -> pa.ChunkedArray | pa.Array:
     """F1-F6 boolean mask over a batch (vectorized)."""
     mask = pc.invert(pc.is_in(batch["op"], value_set=pa.array(list(cfg.drop_ops) or ["__none__"])))
-    tbl = batch["table"]
+    tbl = batch["table"] if "table" in batch.column_names else None
     if cfg.table_whitelist_regex:
         pat = "|".join(
             f"(?:^{p.strip()}$)" for p in cfg.table_whitelist_regex.split(",") if p.strip()
@@ -75,72 +75,105 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
     payload_names = [f.name for f in target_payload]
     proj = set(cfg.column_projection) if cfg.column_projection is not None else None
 
+    has_filters = any(
+        [
+            cfg.drop_ops,
+            cfg.table_whitelist_regex,
+            cfg.table_blacklist_regex,
+            cfg.table_list is not None,
+            cfg.predicate is not None,
+        ]
+    )
+
     def combine(batch: pa.Table) -> pa.Table:
-        # 1. position window (hwm, ack]
+        # 1. position window (hwm, ack] + row events only (DDL is
+        # handled driver-side, F9 isolation). Computed on light
+        # columns; the payload is untouched unless rows actually drop.
         pos = pack_position(
             batch["segment_id"].to_numpy(zero_copy_only=False),
             batch["offset"].to_numpy(zero_copy_only=False),
         )
         keep = (pos > hwm_pos) & (pos <= ack_pos)
-        # row events only — DDL is handled driver-side (F9 isolation)
-        op_np = np.asarray(batch["op"].to_numpy(zero_copy_only=False), dtype=object)
-        keep &= (op_np == "I") | (op_np == "U") | (op_np == "D")
-        batch = batch.filter(pa.array(keep))
-        if batch.num_rows == 0:
-            return _empty_combined(target_payload)
-        pos = pos[keep]
-        # 2. F1-F6 filters
-        m = filter_mask(batch, cfg)
-        m_np = np.asarray(m.to_numpy(zero_copy_only=False) if hasattr(m, "to_numpy") else m, dtype=bool)
-        if not m_np.all():
-            batch = batch.filter(pa.array(m_np))
-            pos = pos[m_np]
+        op_col = batch["op"]
+        is_ddl = pc.equal(op_col, "DDL").to_numpy(zero_copy_only=False)
+        keep &= ~is_ddl
+        if has_filters:
+            m = filter_mask(batch, cfg)
+            keep &= np.asarray(
+                m.to_numpy(zero_copy_only=False) if hasattr(m, "to_numpy") else m, dtype=bool
+            )
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))  # the only payload copy
+            pos = pos[keep]
         if batch.num_rows == 0:
             return _empty_combined(target_payload)
 
-        # 3. within-batch LWW partial reduce (vectorized index math)
+        # 2. within-batch LWW partial reduce (vectorized index math).
+        # When the batch has few repeated keys the reduce would copy
+        # ~all the payload for nothing — pass through instead and let
+        # the partition reducer do the single final LWW (it must
+        # anyway). Hot-key-heavy batches still collapse here.
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         codes, _ = pd.factorize(doc)
-        order = np.lexsort((pos, codes))  # by key, then position
-        last_of_key = np.ones(len(order), dtype=bool)
-        last_of_key[:-1] = codes[order[:-1]] != codes[order[1:]]
-        winners = order[last_of_key]
-        counts = np.bincount(codes)[codes[winners]]
+        n_unique = codes.max() + 1 if len(codes) else 0
+        if n_unique < 0.7 * len(codes):
+            order = np.lexsort((pos, codes))  # by key, then position
+            last_of_key = np.ones(len(order), dtype=bool)
+            last_of_key[:-1] = codes[order[:-1]] != codes[order[1:]]
+            winners = order[last_of_key]
+            counts = np.bincount(codes)[codes[winners]]
+            batch = batch.take(pa.array(winners))
+            pos = pos[winners]
+            doc = doc[winners]
+        else:
+            counts = np.ones(batch.num_rows, dtype=np.int64)
 
-        sel = batch.take(pa.array(winners))
-        wpos = pos[winners]
-
-        # 4. flatten after-image -> payload columns, cast to target
-        after = sel["after"].combine_chunks() if isinstance(sel["after"], pa.ChunkedArray) else sel["after"]
+        # 3. flatten after-image -> payload columns (zero-copy
+        # struct_field views), cast to the batch's target schema
+        after = batch["after"].combine_chunks() if isinstance(batch["after"], pa.ChunkedArray) else batch["after"]
+        doc_arr = batch["doc_id"]
+        if isinstance(doc_arr, pa.ChunkedArray):
+            doc_arr = doc_arr.combine_chunks()
         cols: list[pa.Array] = []
         for f in target_payload:
             if f.name == "doc_id":
-                cols.append(sel["doc_id"].cast(pa.string()).combine_chunks() if isinstance(sel["doc_id"], pa.ChunkedArray) else sel["doc_id"])
+                cols.append(doc_arr)
                 continue
             try:
                 child = pc.struct_field(after, f.name)
             except (KeyError, pa.ArrowInvalid):
-                child = pa.nulls(len(sel), f.type)
-            if proj is not None and f.name not in proj and f.name != "doc_id":
-                child = pa.nulls(len(sel), f.type)  # F5: dropped cell
+                child = pa.nulls(batch.num_rows, f.type)
+            if proj is not None and f.name not in proj:
+                child = pa.nulls(batch.num_rows, f.type)  # F5: dropped cell
             if child.type != f.type:
                 child = child.cast(f.type)
             cols.append(child)
 
-        pids = partition_ids(sel["doc_id"].to_numpy(zero_copy_only=False), cfg.num_partitions)
+        pids = partition_ids(doc, cfg.num_partitions)
         if cfg.salt_factor > 1:
-            pids = (pids.astype(np.int64) * cfg.salt_factor + (wpos % cfg.salt_factor)).astype(np.int32)
+            pids = (pids.astype(np.int64) * cfg.salt_factor + (pos % cfg.salt_factor)).astype(np.int32)
         meta = [
             pa.array(pids, pa.int32()),
-            cols[payload_names.index("doc_id")],
-            pa.array(wpos, pa.int64()),
-            sel["op"],
+            doc_arr,
+            pa.array(pos, pa.int64()),
+            batch["op"].combine_chunks() if isinstance(batch["op"], pa.ChunkedArray) else batch["op"],
             pa.array(counts, pa.int64()),
         ]
         names = COMBINE_META + [f"p_{n}" for n in payload_names]
         return pa.Table.from_arrays(meta + cols, names=names)
 
     return combine
+
+
+# columns the combine stage actually needs — passed to read_parquet so
+# the (large, unused) `before` struct never leaves storage
+def combine_read_columns(need_table_col: bool = True, need_ts: bool = False) -> list[str]:
+    cols = ["segment_id", "offset", "op", "doc_id", "after"]
+    if need_table_col:
+        cols.insert(3, "table")
+    if need_ts:
+        cols.append("execute_ts")
+    return cols
 
 
 def _empty_combined(target_payload: pa.Schema) -> pa.Table:

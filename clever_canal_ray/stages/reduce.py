@@ -40,6 +40,7 @@ METRICS_SCHEMA = pa.schema(
         ("rows_upserted", pa.int64()),
         ("rows_deleted", pa.int64()),
         ("events_in", pa.int64()),
+        ("mode", pa.string()),  # "replace" (compact) | "append" (delta)
     ]
 )
 
@@ -73,61 +74,89 @@ def make_desalt_fn(salt_factor: int):
     return desalt
 
 
+def _write_file(lake_dir: str, table: pa.Table, pid: int, batch_id: int) -> str:
+    """Phase-1 write: unique name — task retries leave only orphans."""
+    d = os.path.join(lake_dir, f"part={pid:05d}")
+    os.makedirs(d, exist_ok=True)
+    rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
+    pq.write_table(table, os.path.join(lake_dir, rel))
+    return rel
+
+
 def make_partition_upsert_fn(
     lake_dir: str,
     part_files: dict[int, list[str]],
     target_payload: pa.Schema,
     batch_id: int,
+    sink_mode: str = "compact",
+    compact_threshold: int = 8,
 ):
     """Build the map_groups body. ``part_files`` maps pid -> relative
     Parquet paths of the partition's current files (from the base
-    manifest snapshot); small (P entries), shipped in the closure."""
+    manifest snapshot); small (P entries), shipped in the closure.
+
+    sink_mode="delta": write ONLY the change file (winner images +
+    tombstone rows, ``__deleted`` flag) — no read of the old partition
+    at all; read-side merge-on-read resolves (see
+    state/manifest.merge_partition_files). The partition auto-compacts
+    (full merge+rewrite) once its file count reaches
+    ``compact_threshold``, bounding read amplification.
+    """
+    from clever_canal_ray.state.manifest import ensure_helper_columns, merge_partition_files
+
     payload_names = [f.name for f in target_payload]
 
     def upsert(group: pa.Table) -> pa.Table:
-        pid = int(group["pid"][0].as_py())
+        pid_signed = int(group["pid"][0].as_py())
+        pid = pid_signed
         win, counts, _ = lww_reduce(group, payload_names)
         events_in = int(np.asarray(group["n_events"]).sum())
 
         op = win["op"].to_numpy(zero_copy_only=False)
         is_del = np.asarray(op, dtype=object) == "D"
-        # final images for surviving keys, in lake layout
-        images = pa.Table.from_arrays(
-            [win[f"p_{n}"].combine_chunks() if isinstance(win[f"p_{n}"], pa.ChunkedArray) else win[f"p_{n}"] for n in payload_names],
-            schema=target_payload,
-        ).filter(pa.array(~is_del))
+        payload_cols = [
+            win[f"p_{n}"].combine_chunks() if isinstance(win[f"p_{n}"], pa.ChunkedArray) else win[f"p_{n}"]
+            for n in payload_names
+        ]
+        existing = part_files.get(pid, [])
 
-        changed_keys = win["doc_id"]
-        # merge-on-read against the current partition state
-        old_parts = []
-        for rel in part_files.get(pid, []):
-            t = upcast_table(pq.read_table(os.path.join(lake_dir, rel)), target_payload)
-            old_parts.append(t)
-        if old_parts:
-            old = pa.concat_tables(old_parts)
-            keep = pc.invert(pc.is_in(old["doc_id"], value_set=changed_keys.combine_chunks() if isinstance(changed_keys, pa.ChunkedArray) else changed_keys))
-            old_kept = old.filter(keep)
-            n_deleted_existing = int(
-                pc.sum(
-                    pc.is_in(
-                        old["doc_id"],
-                        value_set=win.filter(pa.array(is_del))["doc_id"].combine_chunks()
-                        if isinstance(win["doc_id"], pa.ChunkedArray)
-                        else win.filter(pa.array(is_del))["doc_id"],
-                    )
-                ).as_py()
-                or 0
+        if sink_mode == "delta" and len(existing) + 1 < compact_threshold:
+            # write-optimal path: winners + tombstones, old files untouched
+            delta = pa.Table.from_arrays(payload_cols, schema=target_payload)
+            delta = ensure_helper_columns(delta, seq=batch_id, deleted=pa.array(is_del))
+            rel = _write_file(lake_dir, delta, pid, batch_id)
+            return pa.Table.from_pydict(
+                {
+                    "pid": pa.array([pid], pa.int32()),
+                    "file": pa.array([rel], pa.string()),
+                    "rows": pa.array([delta.num_rows], pa.int64()),
+                    "rows_upserted": pa.array([int((~is_del).sum())], pa.int64()),
+                    "rows_deleted": pa.array([int(is_del.sum())], pa.int64()),
+                    "events_in": pa.array([events_in], pa.int64()),
+                    "mode": pa.array(["append"], pa.string()),
+                },
+                schema=METRICS_SCHEMA,
             )
+
+        # compact path: merge-on-read the current partition state, drop
+        # changed keys, append final images, rewrite one file
+        images = pa.Table.from_arrays(payload_cols, schema=target_payload).filter(pa.array(~is_del))
+        changed_keys = win["doc_id"].combine_chunks() if isinstance(win["doc_id"], pa.ChunkedArray) else win["doc_id"]
+        if existing:
+            old = merge_partition_files(
+                [pq.read_table(os.path.join(lake_dir, rel)) for rel in existing], target_payload
+            )
+            keep = pc.invert(pc.is_in(old["doc_id"], value_set=changed_keys))
+            old_kept = old.filter(keep)
+            del_keys = win.filter(pa.array(is_del))["doc_id"]
+            del_keys = del_keys.combine_chunks() if isinstance(del_keys, pa.ChunkedArray) else del_keys
+            n_deleted_existing = int(pc.sum(pc.is_in(old["doc_id"], value_set=del_keys)).as_py() or 0)
             new_part = pa.concat_tables([old_kept, images]).combine_chunks()
         else:
             n_deleted_existing = 0
             new_part = images
-
-        # phase-1 write (unique name: task retries leave only orphans)
-        d = os.path.join(lake_dir, f"part={pid:05d}")
-        os.makedirs(d, exist_ok=True)
-        rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
-        pq.write_table(new_part, os.path.join(lake_dir, rel))
+        new_part = ensure_helper_columns(new_part, seq=batch_id)
+        rel = _write_file(lake_dir, new_part, pid, batch_id)
 
         return pa.Table.from_pydict(
             {
@@ -137,6 +166,7 @@ def make_partition_upsert_fn(
                 "rows_upserted": pa.array([images.num_rows], pa.int64()),
                 "rows_deleted": pa.array([n_deleted_existing], pa.int64()),
                 "events_in": pa.array([events_in], pa.int64()),
+                "mode": pa.array(["replace"], pa.string()),
             },
             schema=METRICS_SCHEMA,
         )

@@ -35,10 +35,90 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from clever_canal_ray.schema import lake_schema, upcast_table
 from clever_canal_ray.state.partitioning import partition_ids
+
+
+# engine-internal columns carried in every lake data file:
+#   __seq     — the batch_id that wrote the file (-1 = initial load);
+#               per-partition last-writer-wins merge key across files
+#   __deleted — tombstone flag (delta sink mode writes tombstone rows)
+HELPER_COLS = ("__seq", "__deleted")
+
+
+def _strip_helpers(table: pa.Table) -> pa.Table:
+    drop = [c for c in HELPER_COLS if c in table.column_names]
+    return table.drop_columns(drop) if drop else table
+
+
+def ensure_helper_columns(table: pa.Table, seq: int, deleted=None) -> pa.Table:
+    if "__seq" not in table.column_names:
+        import numpy as np
+
+        table = table.append_column("__seq", pa.array(np.full(len(table), seq, np.int64), pa.int64()))
+    if "__deleted" not in table.column_names:
+        if deleted is None:
+            import numpy as np
+
+            deleted = pa.array(np.zeros(len(table), bool), pa.bool_())
+        table = table.append_column("__deleted", deleted)
+    return table
+
+
+def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table:
+    """Merge-on-read of one partition's files (manifest list order):
+    last-writer-wins per doc_id by (__seq, file order), tombstones
+    dropped, result up-cast to ``target`` without helper columns."""
+    import numpy as np
+
+    target_h = pa.schema(
+        list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+    )
+    parts = []
+    for i, t in enumerate(tables):
+        t = ensure_helper_columns(t, seq=-1)
+        t = upcast_table(t, target_h)
+        # file order within the manifest breaks __seq ties (same-batch
+        # rewrite); encode as a fractional rank
+        t = t.set_column(
+            t.schema.get_field_index("__seq"),
+            "__seq",
+            pa.array(t["__seq"].to_numpy(zero_copy_only=False) * 1024 + i, pa.int64()),
+        )
+        parts.append(t)
+    merged = pa.concat_tables(parts)
+    if merged.num_rows == 0:
+        return target.empty_table()
+    import pandas as pd
+
+    doc = merged["doc_id"].to_numpy(zero_copy_only=False)
+    seq = merged["__seq"].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(doc)
+    order = np.lexsort((seq, codes))
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = codes[order[:-1]] != codes[order[1:]]
+    winners = order[last]
+    out = merged.take(pa.array(winners))
+    alive = pc.invert(out["__deleted"].combine_chunks() if isinstance(out["__deleted"], pa.ChunkedArray) else out["__deleted"])
+    return upcast_table(_strip_helpers(out.filter(alive)), target)
+
+
+# per-(batch, partition) metrics sidecar schema (FIXTURES.md §4)
+METRICS_PARTITION_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("batch_id", pa.int64()),
+        ("hwm_segment_id", pa.int32()),
+        ("hwm_offset", pa.int64()),
+        ("schema_version", pa.int32()),
+        ("rows_upserted", pa.int64()),
+        ("rows_deleted", pa.int64()),
+        ("events_in", pa.int64()),
+    ]
+)
 
 
 class DuplicateCommitError(Exception):
@@ -123,7 +203,7 @@ class Lake:
             lo, hi = int(bounds[pid]), int(bounds[pid + 1])
             if lo == hi:
                 continue
-            rel = lake._write_part_file(sorted_tbl.slice(lo, hi - lo), pid, batch_id=0)
+            rel = lake._write_part_file(sorted_tbl.slice(lo, hi - lo), pid, batch_id=0, seq=-1)
             parts[str(pid)] = {"files": [rel], "rows": hi - lo}
         m = Manifest(
             version=0,
@@ -161,7 +241,8 @@ class Lake:
             f.write(f"manifest-{version:08d}.json")
         os.replace(tmp, cur)  # atomic pointer swap (phase 2)
 
-    def _write_part_file(self, table: pa.Table, pid: int, batch_id: int) -> str:
+    def _write_part_file(self, table: pa.Table, pid: int, batch_id: int, seq: int | None = None) -> str:
+        table = ensure_helper_columns(table, seq=batch_id if seq is None else seq)
         d = os.path.join(self.dir, f"part={pid:05d}")
         os.makedirs(d, exist_ok=True)
         rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
@@ -196,7 +277,14 @@ class Lake:
         parts = dict(cur.partitions)
         rows_upserted = rows_deleted = events_in = 0
         for pid, info in touched.items():
-            parts[str(pid)] = {"files": [info["file"]], "rows": int(info["rows"])}
+            if info.get("mode") == "append":  # delta sink: add a change file
+                prev = parts.get(str(pid), {"files": [], "rows": 0})
+                parts[str(pid)] = {
+                    "files": prev["files"] + [info["file"]],
+                    "rows": int(prev["rows"]) + int(info["rows"]),
+                }
+            else:  # compact sink: the file IS the partition now
+                parts[str(pid)] = {"files": [info["file"]], "rows": int(info["rows"])}
             rows_upserted += int(info.get("rows_upserted", 0))
             rows_deleted += int(info.get("rows_deleted", 0))
             events_in += int(info.get("events_in", 0))
@@ -215,6 +303,28 @@ class Lake:
         }
         if metrics:
             rec.update(metrics)
+        # per-partition metrics sidecar (FIXTURES.md §4 shape) — kept out
+        # of the manifest JSON so it stays small at P=4096
+        if touched:
+            mt = pa.Table.from_pylist(
+                [
+                    {
+                        "partition_id": int(pid),
+                        "batch_id": batch_id,
+                        "hwm_segment_id": int(new_hwm[0]),
+                        "hwm_offset": int(new_hwm[1]),
+                        "schema_version": len(journal),
+                        "rows_upserted": int(info.get("rows_upserted", 0)),
+                        "rows_deleted": int(info.get("rows_deleted", 0)),
+                        "events_in": int(info.get("events_in", 0)),
+                    }
+                    for pid, info in touched.items()
+                ],
+                schema=METRICS_PARTITION_SCHEMA,
+            )
+            mdir = os.path.join(self.manifest_dir, "metrics")
+            os.makedirs(mdir, exist_ok=True)
+            pq.write_table(mt, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
         m = Manifest(
             version=cur.version + 1,
             num_partitions=cur.num_partitions,
@@ -246,24 +356,120 @@ class Lake:
         return [os.path.join(self.dir, f) for info in m.partitions.values() for f in info["files"]]
 
     def read_table(self, m: Manifest | None = None) -> pa.Table:
-        """Full materialized read (tests / small lakes only)."""
+        """Full materialized read (tests / small lakes only):
+        per-partition merge-on-read (delta files, tombstones, up-cast)."""
         m = m or self.current()
         target = m.payload_schema
         tables = []
-        for path in self.data_files(m):
-            tables.append(upcast_table(pq.read_table(path), target))
+        for info in m.partitions.values():
+            files = [pq.read_table(os.path.join(self.dir, f)) for f in info["files"]]
+            if files:
+                tables.append(merge_partition_files(files, target))
         if not tables:
             return target.empty_table()
         return pa.concat_tables(tables)
 
     def read_dataset(self, m: Manifest | None = None):
-        """Streaming read as a ray.data.Dataset with merge-on-read
-        up-cast to the current schema version."""
+        """Streaming read as a ray.data.Dataset with merge-on-read.
+
+        Fast path (fully compacted lake: ≤1 file per partition): plain
+        parallel read, tombstone filter + up-cast per batch, no
+        shuffle. Delta path: one ``groupby(__pid)`` shuffle so each
+        partition's files merge together (delta-mode read cost — run
+        ``compact()`` to return to the fast path)."""
         import ray.data as rd
 
         m = m or self.current()
         target = m.payload_schema
+        if all(len(i["files"]) <= 1 for i in m.partitions.values()):
+            ds = rd.read_parquet(self.data_files(m))
+
+            def clean(t: pa.Table, s=target) -> pa.Table:
+                if "__deleted" in t.column_names:
+                    t = t.filter(pc.invert(t["__deleted"].combine_chunks() if isinstance(t["__deleted"], pa.ChunkedArray) else t["__deleted"]))
+                return upcast_table(_strip_helpers(t), s)
+
+            return ds.map_batches(clean, batch_format="pyarrow")
+
+        # delta path: recover the partition id per row, merge per pid.
+        # __seq (written per file) totally orders the versions per key,
+        # so no file-order information is needed after the read.
         ds = rd.read_parquet(self.data_files(m))
-        return ds.map_batches(
-            lambda t, s=target: upcast_table(t, s), batch_format="pyarrow"
+
+        def tag(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from clever_canal_ray.state.partitioning import partition_ids
+
+            pids = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), m.num_partitions)
+            return t.append_column("__pid", pa.array(pids, pa.int32()))
+
+        def merge(group: pa.Table, s=target) -> pa.Table:
+            return merge_partition_files([group.drop_columns(["__pid"])], s)
+
+        return ds.map_batches(tag, batch_format="pyarrow").groupby("__pid").map_groups(
+            merge, batch_format="pyarrow"
         )
+
+    def metrics_table(self) -> pa.Table:
+        """All per-(batch, partition) metrics rows (A1 counters, lineage)."""
+        mdir = os.path.join(self.manifest_dir, "metrics")
+        if not os.path.isdir(mdir):
+            return METRICS_PARTITION_SCHEMA.empty_table()
+        files = sorted(os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet"))
+        if not files:
+            return METRICS_PARTITION_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+    def compact(self, pids: list[int] | None = None) -> Manifest:
+        """Rewrite multi-file partitions to single files (no batch
+        consumed; manifest version bump only). The delta-mode
+        maintenance operation."""
+        cur = self.current()
+        target = cur.payload_schema
+        parts = dict(cur.partitions)
+        todo = [
+            (pid_s, info["files"])
+            for pid_s, info in parts.items()
+            if len(info["files"]) > 1 and (pids is None or int(pid_s) in pids)
+        ]
+
+        def compact_one(pid_s: str, files: list[str]) -> tuple[str, str, int]:
+            tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
+            merged = merge_partition_files(tables, target)
+            # seq = last committed batch: the compacted file holds
+            # exactly the state up to that batch
+            rel = self._write_part_file(
+                merged, int(pid_s), batch_id=cur.last_batch_id + 1, seq=cur.last_batch_id
+            )
+            return pid_s, rel, merged.num_rows
+
+        try:
+            import ray
+
+            ray_ok = ray.is_initialized()
+        except ImportError:  # pragma: no cover
+            ray_ok = False
+        if ray_ok and len(todo) > 1:  # parallel partition rewrites
+            import ray
+
+            remote = ray.remote(num_cpus=1)(compact_one)
+            results = ray.get([remote.remote(p, fs) for p, fs in todo])
+        else:
+            results = [compact_one(p, fs) for p, fs in todo]
+        for pid_s, rel, rows in results:
+            parts[pid_s] = {"files": [rel], "rows": rows}
+        m = Manifest(
+            version=cur.version + 1,
+            num_partitions=cur.num_partitions,
+            hwm=cur.hwm,
+            last_batch_id=cur.last_batch_id,
+            schema_version=cur.schema_version,
+            ddl_journal=cur.ddl_journal,
+            partitions=parts,
+            ledger=cur.ledger,
+            metrics=cur.metrics,
+        )
+        self._write_manifest(m)
+        self._swap_current(m.version)
+        return m

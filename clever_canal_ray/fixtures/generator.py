@@ -358,6 +358,35 @@ def generate_events(spec: EventLogSpec):
     return segments, final_payload
 
 
+def segment_plan_metadata(t: pa.Table) -> str:
+    """Footer plan metadata — the binlog *index file* analog: lets the
+    driver plan a micro-batch (ack position, DDL list, liveness ts)
+    from parquet footers alone instead of scanning the position columns
+    of every event (pipelines/replay.plan_batch fast path)."""
+    import numpy as np
+
+    seg = t["segment_id"].to_numpy(zero_copy_only=False)
+    off = t["offset"].to_numpy(zero_copy_only=False)
+    pos = pack_position(seg, off)
+    commit = t["txn_commit"].to_numpy(zero_copy_only=False).astype(bool)
+    op = np.asarray(t["op"].to_numpy(zero_copy_only=False), dtype=object)
+    ddls = []
+    for i in np.where(op == "DDL")[0]:
+        ddls.append({"position": [int(seg[i]), int(off[i])], "ddl": json.loads(t["ddl"][int(i)].as_py())})
+    ack_i = int(np.argmax(np.where(commit, pos, -1))) if commit.any() else None
+    ts = t["execute_ts"].to_numpy(zero_copy_only=False)
+    return json.dumps(
+        {
+            "n_events": len(t),
+            "min_pos": [int(seg[0]), int(off[0])] if len(t) else None,
+            "max_pos": [int(seg[-1]), int(off[-1])] if len(t) else None,
+            "ack": [int(seg[ack_i]), int(off[ack_i])] if ack_i is not None else None,
+            "ddls": ddls,
+            "max_ts": int(ts.max().astype("datetime64[ms]").astype("int64")) if len(t) else None,
+        }
+    )
+
+
 def write_fixture(spec: EventLogSpec, root: str) -> dict:
     """Write ``root/segments/segment-%05d.parquet`` + return metadata.
 
@@ -371,6 +400,14 @@ def write_fixture(spec: EventLogSpec, root: str) -> dict:
     paths = []
     for s, t in enumerate(segments):
         p = os.path.join(seg_dir, f"segment-{s:05d}.parquet")
-        pq.write_table(t, p)
+        # dict-encode only the low-cardinality string columns; dict on
+        # the random token lists costs 2-5x en/decode CPU for nothing
+        pq.write_table(
+            t.replace_schema_metadata(
+                {**(t.schema.metadata or {}), b"ccr_plan": segment_plan_metadata(t).encode()}
+            ),
+            p,
+            use_dictionary=["op", "table", "segment_id"],
+        )
         paths.append(p)
     return {"segment_paths": paths, "payload_schema": payload, "n_events": sum(len(t) for t in segments)}

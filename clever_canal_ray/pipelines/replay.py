@@ -44,15 +44,22 @@ class BatchPlan:
     new_ddls: list[dict]  # journal entries [{"position": [s,o], "ddl": {...}}]
     n_candidate_events: int
     max_execute_ts: int | None = None  # ms; source-side liveness (F8 analog)
+    n_seen_events: int = 0  # all events above HWM in the window (incl. past ack)
 
 
 def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
-    """Driver-side light scan: ack position + DDL extraction.
+    """Driver-side planning: ack position + DDL extraction.
 
-    Reads only (segment_id, offset, txn_commit, op, ddl) — a few bytes
-    per event vs the KB-scale token payloads — with the position filter
-    pushed into Parquet row-group pruning.
+    Fast path: segment writers embed plan metadata (ack, DDLs, max
+    position — the binlog index-file analog) in the parquet footer
+    (fixtures/generator.segment_plan_metadata); planning then reads
+    only footers — O(files), not O(events). Fallback: a light column
+    scan of (segment_id, offset, txn_commit, op, ddl) with the position
+    filter pushed into row-group pruning.
     """
+    fast = _plan_from_footers(segment_paths, hwm)
+    if fast is not None:
+        return fast
     dset = pds.dataset(segment_paths)
     flt = (pds.field("segment_id") > hwm[0]) | (
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
@@ -87,7 +94,65 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     n_cand = int((pos <= ack_pos).sum())
     ts = meta["execute_ts"].to_numpy(zero_copy_only=False)
     max_ts = int(ts[pos <= ack_pos].max().astype("datetime64[ms]").astype("int64")) if n_cand else None
-    return BatchPlan(ack=ack, new_ddls=ddls, n_candidate_events=n_cand, max_execute_ts=max_ts)
+    return BatchPlan(
+        ack=ack,
+        new_ddls=ddls,
+        n_candidate_events=n_cand,
+        max_execute_ts=max_ts,
+        n_seen_events=int(meta.num_rows),
+    )
+
+
+def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan | None:
+    """Plan from footer metadata; None if any file lacks it."""
+    import pyarrow.parquet as pq
+
+    hwm_pos = int(pack_position(hwm[0], hwm[1])) if hwm[0] >= 0 else -1
+    acks, metas = [], []
+    for p in segment_paths:
+        md = pq.read_metadata(p).metadata
+        if not md or b"ccr_plan" not in md:
+            return None
+        m = json.loads(md[b"ccr_plan"])
+        metas.append(m)
+        if m["ack"] is not None:
+            acks.append(tuple(m["ack"]))
+    acks = [a for a in acks if int(pack_position(a[0], a[1])) > hwm_pos]
+    n_seen = 0
+    max_seen = -1
+    for m in metas:
+        if m["max_pos"] is not None:
+            mp = int(pack_position(m["max_pos"][0], m["max_pos"][1]))
+            max_seen = max(max_seen, mp)
+            if mp > hwm_pos:
+                # approximate: counts whole files (partial files only
+                # affect metrics, never correctness)
+                n_seen += m["n_events"]
+    if not acks:
+        return BatchPlan(ack=None, new_ddls=[], n_candidate_events=n_seen, n_seen_events=n_seen)
+    ack = max(acks, key=lambda a: int(pack_position(a[0], a[1])))
+    ack_pos = int(pack_position(ack[0], ack[1]))
+    ddls = []
+    for m in metas:
+        for d in m["ddls"]:
+            dp = int(pack_position(d["position"][0], d["position"][1]))
+            if hwm_pos < dp <= ack_pos:
+                ddls.append(d)
+    ddls.sort(key=lambda d: int(pack_position(d["position"][0], d["position"][1])))
+    max_ts = max((m["max_ts"] for m in metas if m["max_ts"] is not None), default=None)
+    n_cand = sum(
+        m["n_events"]
+        for m in metas
+        if m["max_pos"] is not None
+        and hwm_pos < int(pack_position(m["max_pos"][0], m["max_pos"][1])) <= ack_pos
+    )
+    return BatchPlan(
+        ack=ack,
+        new_ddls=ddls,
+        n_candidate_events=max(n_cand, 1),
+        max_execute_ts=max_ts,
+        n_seen_events=n_seen if max_seen > ack_pos else n_cand,
+    )
 
 
 def replay_batch(
@@ -95,9 +160,13 @@ def replay_batch(
     segment_paths: list[str],
     cfg: ReplayConfig | None = None,
     batch_id: int | None = None,
+    _info: dict | None = None,
 ) -> Manifest:
     """Process one micro-batch of segment files; returns the committed
-    (or unchanged, if nothing to do / duplicate) manifest."""
+    (or unchanged, if nothing to do / duplicate) manifest.
+
+    ``_info`` (out-param): {"deferred": bool} — whether events past the
+    ack (incomplete trailing txn) were left for the next batch."""
     import ray.data as rd
 
     cfg = cfg or ReplayConfig()
@@ -109,6 +178,8 @@ def replay_batch(
         return base
 
     plan = plan_batch(segment_paths, base.hwm)
+    if _info is not None:
+        _info["deferred"] = plan.ack is None or plan.n_candidate_events < plan.n_seen_events
     if plan.ack is None:
         return base
 
@@ -193,10 +264,12 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
     i = 0
     while i < len(paths):
         group = paths[max(0, i - 1) : i + n]  # overlap one file for deferred txn tails
-        m = replay_batch(lake, group, cfg)
+        info: dict = {}
+        m = replay_batch(lake, group, cfg, _info=info)
         i += n
-    # one final pass over the trailing files in case an ack was deferred
-    if len(paths) > 1:
+    # final pass over the trailing files only if the last batch left a
+    # deferred (incomplete-txn) tail behind its ack
+    if len(paths) > 1 and info.get("deferred", False):
         m2 = replay_batch(lake, paths[-min(len(paths), n) :], cfg)
         if m2.version != m.version:
             m = m2

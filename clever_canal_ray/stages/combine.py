@@ -18,6 +18,12 @@ EntryEventSink.sinkData:109-209):
 
 Everything is vectorized (pyarrow.compute / numpy / pandas indices);
 no per-row Python in the hot path.
+
+Duplicate positions *within* one micro-batch window (a segment file
+listed twice in the same group) are harmless: the LWW tie resolves to
+an identical payload, so the final state is unchanged (idempotent
+upsert); only the ``events_in`` throughput counter counts them twice.
+Cross-batch duplicates are excluded exactly by the HWM filter (D3).
 """
 
 from __future__ import annotations

@@ -75,11 +75,16 @@ def make_desalt_fn(salt_factor: int):
 
 
 def _write_file(lake_dir: str, table: pa.Table, pid: int, batch_id: int) -> str:
-    """Phase-1 write: unique name — task retries leave only orphans."""
+    """Phase-1 write: unique name — task retries leave only orphans.
+
+    Dictionary encoding is disabled: the token lists are
+    high-cardinality random ints, and dict-encoding them costs ~2-5×
+    the write CPU for no size win (measured: 160 vs 70 CPU-s across a
+    2M-event batch)."""
     d = os.path.join(lake_dir, f"part={pid:05d}")
     os.makedirs(d, exist_ok=True)
     rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
-    pq.write_table(table, os.path.join(lake_dir, rel))
+    pq.write_table(table, os.path.join(lake_dir, rel), use_dictionary=False)
     return rel
 
 

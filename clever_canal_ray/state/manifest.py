@@ -246,7 +246,9 @@ class Lake:
         d = os.path.join(self.dir, f"part={pid:05d}")
         os.makedirs(d, exist_ok=True)
         rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
-        pq.write_table(table, os.path.join(self.dir, rel))
+        # no dict encoding: token payloads are high-cardinality (see
+        # stages/reduce._write_file)
+        pq.write_table(table, os.path.join(self.dir, rel), use_dictionary=False)
         return rel
 
     # -- commit (phase 2) -------------------------------------------------

@@ -1,0 +1,140 @@
+"""Operator-library tests: near-dup detection on constructed
+near-duplicates, LSH ANN recall vs brute force, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clever_canal_ray.functions.ann import brute_force_topk, lsh_topk
+from clever_canal_ray.functions.dedup import (
+    char_jaccard,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from clever_canal_ray.functions.multimodal import extract_features, synthesize_media_table
+from clever_canal_ray.functions.text import rolling_fingerprints
+
+
+def _near_dup_docs(n=40, seed=3):
+    """Docs in near-dup pairs: (2k, 2k+1) differ by one word."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for k in range(n // 2):
+        words = list(rng.choice(vocab, size=60))
+        rows.append({"doc_id": 2 * k, "text": " ".join(words)})
+        mutated = list(words)
+        mutated[int(rng.integers(0, 60))] = "XX"
+        rows.append({"doc_id": 2 * k + 1, "text": " ".join(mutated)})
+    return pd.DataFrame(rows)
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    docs = _near_dup_docs()
+    ds = rd.from_pandas(docs)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(pairs["a"], pairs["b"])}
+    planted = {(2 * k, 2 * k + 1) for k in range(len(docs) // 2)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # unrelated docs shouldn't pair up en masse
+    assert len(found - planted) < len(planted) * 0.5
+
+
+def test_exact_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {"doc_id": [5, 3, 9, 7, 1], "text": ["aa", "bb", "aa", "bb", "cc"]}
+    )
+    out = exact_dedup(rd.from_pandas(docs)).to_pandas().sort_values("keep_id")
+    assert out["keep_id"].tolist() == [1, 3, 5]
+    assert out.set_index("keep_id")["n_dups"].to_dict() == {1: 1, 3: 2, 5: 2}
+
+
+def test_simhash_near_dups_close(ray_session):
+    import ray.data as rd
+
+    docs = _near_dup_docs(n=10)
+    out = simhash64(docs).set_index("doc_id")["simhash"]
+    M = (1 << 64) - 1  # int64 two's-complement -> uint64 bit pattern
+    for k in range(5):
+        d = bin((int(out[2 * k]) & M) ^ (int(out[2 * k + 1]) & M)).count("1")
+        assert d <= 12, f"hamming {d} too large for near-dups"
+
+
+def test_char_jaccard_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    # DuckDB's jaccard() rejects empty strings; non-empty cases only
+    cases = [("abcd", "abce"), ("hello world", "help"), ("xyz", "abc"), ("a", "a")]
+    for a, b in cases:
+        sql = con.execute("select jaccard(?, ?)", [a, b]).fetchone()[0]
+        assert abs(char_jaccard(a, b) - sql) < 1e-12, (a, b)
+
+
+def test_lsh_ann_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(500), "embedding": list(rng.standard_normal((500, 32)))}
+    )
+    q = np.stack(emb["embedding"].iloc[:2].to_numpy())
+    ds = rd.from_pandas(emb)
+    exact = brute_force_topk(ds, q, k=5)
+    approx = lsh_topk(rd.from_pandas(emb), q, k=5, n_bits=4)
+    # the query vector itself must always be found (same bucket)
+    for qi in (0, 1):
+        ids = set(approx[approx["query_i"] == qi]["vec_id"])
+        assert qi in ids
+        exact_ids = set(exact[exact["query_i"] == qi]["vec_id"])
+        recall = len(ids & exact_ids) / 5
+        assert recall >= 0.2  # 4-bit single-table LSH: weak but nonzero
+
+def test_embedding_dup_pairs_symmetric_threshold(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((20, 16))
+    # plant exact duplicates 0<->10
+    base[10] = base[0]
+    emb = pd.DataFrame({"vec_id": np.arange(20), "embedding": list(base)})
+    pairs = embedding_dup_pairs(rd.from_pandas(emb), threshold=0.99).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 10)).any()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    tbl = synthesize_media_table(100, seed=4)
+    ds = rd.from_arrow(tbl)
+    out = extract_features(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 100
+    assert set(out.columns) == {"media_id", "media_type", "width", "height", "features", "n_bytes"}
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic across runs
+    out2 = extract_features(rd.from_arrow(tbl), concurrency=2, batch_size=32).to_pandas()
+    m1 = out.sort_values("media_id")["features"].map(tuple).tolist()
+    m2 = out2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert m1 == m2
+
+
+def test_real_decoder_gated():
+    with pytest.raises(NotImplementedError):
+        from clever_canal_ray.functions.multimodal import ImageFeatureExtractor
+
+        ImageFeatureExtractor(fake=False)
+
+
+def test_rolling_fingerprints_deterministic():
+    docs = _near_dup_docs(n=6)
+    a = rolling_fingerprints(docs)["rolling_fp"].tolist()
+    b = rolling_fingerprints(docs)["rolling_fp"].tolist()
+    assert a == b
+    assert len(set(a)) > 1

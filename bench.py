@@ -36,15 +36,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench workload shape (same event mix / skew profile as the 10^10
 # target, scaled down; FIXTURES.md §2 defaults)
 BENCH_SEED = 42
-N_INITIAL = 400_000
-N_EVENTS = 4_000_000
+N_INITIAL = 1_600_000
+N_EVENTS = 16_000_000
 N_SEGMENTS = 32
 NUM_PARTITIONS = 64
-SEGMENTS_PER_BATCH = 16
+SEGMENTS_PER_BATCH = 8  # 4 micro-batches; pipelined in delta mode
+PIPELINE_DEPTH = 4
+HEADLINE_ONLY = os.environ.get("CCR_BENCH_HEADLINE_ONLY", "0") == "1"
 
 
 def fixture_dir() -> str:
-    key = f"v3_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
+    key = f"v4_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
     return os.path.join("/tmp", f"ccr_bench_{key}")
 
 
@@ -96,6 +98,7 @@ def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float
         segments_per_batch=SEGMENTS_PER_BATCH,
         batch_size=32_768,
         sink_mode=sink_mode,
+        pipeline_depth=PIPELINE_DEPTH if sink_mode == "delta" else 1,
     )
     t0 = time.time()
     m = replay(lake, meta["segment_paths"], cfg)
@@ -163,10 +166,13 @@ def run_once() -> dict:
     replay_sec_1, compact_sec, applied = bench_replay(meta, sink_mode="delta", compact_after=True)
     replay_sec_2, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
     replay_sec = min(replay_sec_1, replay_sec_2)
-    compact_mode_sec, _, _ = bench_replay(meta, sink_mode="compact", compact_after=False)
-    queries = bench_queries()
-    queries["replay_compact_mode"] = round(compact_mode_sec, 3)
-    queries["compaction"] = round(compact_sec, 3)
+    if HEADLINE_ONLY:  # scaling subruns measure only the headline
+        queries = {"compaction": round(compact_sec, 3)}
+    else:
+        compact_mode_sec, _, _ = bench_replay(meta, sink_mode="compact", compact_after=False)
+        queries = bench_queries()
+        queries["replay_compact_mode"] = round(compact_mode_sec, 3)
+        queries["compaction"] = round(compact_sec, 3)
     result = {
         "metric": "replay_sec",
         "value": round(replay_sec, 3),
@@ -185,7 +191,7 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), CCR_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

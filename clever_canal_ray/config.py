@@ -40,6 +40,12 @@ class ReplayConfig:
     #               partitions auto-compact at compact_threshold files
     sink_mode: str = "compact"
     compact_threshold: int = 8
+    # pipelined micro-batches: execute up to this many batch pipelines
+    # concurrently (phase-1 writes are invisible until the strictly
+    # in-order phase-2 commits). >1 requires sink_mode="delta" (compact
+    # mode merges the previous batch's output and must be serial);
+    # auto-compaction moves to the driver after the commits.
+    pipeline_depth: int = 1
     # extension surface (§2.10): the CanalEventDownStreamHandler analog —
     # called around the phase-2 manifest commit of every micro-batch.
     #   before_commit(batch_id, plan, touched) -> None (raise to abort)

@@ -37,6 +37,10 @@ from clever_canal_ray.stages.combine import combine_read_columns, make_combine_f
 from clever_canal_ray.stages.reduce import make_desalt_fn, make_partition_upsert_fn
 from clever_canal_ray.state.manifest import DuplicateCommitError, Lake, Manifest
 
+import threading
+
+_DATASET_BUILD_LOCK = threading.Lock()
+
 
 @dataclass
 class BatchPlan:
@@ -155,6 +159,70 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
     )
 
 
+def _execute_batch(
+    lake: Lake,
+    segment_paths: list[str],
+    plan: BatchPlan,
+    hwm: tuple[int, int],
+    journal: list[dict],
+    cfg: ReplayConfig,
+    batch_id: int,
+    part_files: dict[int, list[str]],
+    force_pure_delta: bool = False,
+) -> dict[int, dict]:
+    """Phase-1 of one micro-batch: run the Dataset pipeline, write the
+    (invisible) partition files, return the ``touched`` map for the
+    phase-2 commit. Thread-safe: builds and consumes its own Dataset."""
+    import ray.data as rd
+
+    target_payload = lake_schema([e["ddl"] for e in journal])
+    flt = (pds.field("segment_id") > hwm[0]) | (
+        (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
+    )
+    # prune at the read: the (large) `before` struct and txn-framing
+    # columns never leave storage; the full schema is read only when a
+    # user predicate (F4) may reference arbitrary columns.
+    # _DATASET_BUILD_LOCK: read_parquet's path resolution lazily imports
+    # fsspec implementations, which is not thread-safe under pipelined
+    # replay — construction is serialized, execution overlaps.
+    with _DATASET_BUILD_LOCK:
+        if cfg.predicate is None:
+            need_table = bool(
+                cfg.table_whitelist_regex or cfg.table_blacklist_regex or cfg.table_list is not None
+            )
+            columns = combine_read_columns(need_table_col=need_table)
+            ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
+        else:
+            ds = rd.read_parquet(segment_paths, filter=flt)
+    combine = make_combine_fn(cfg, target_payload, hwm, plan.ack)
+    ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
+    if cfg.salt_factor > 1:
+        ds = ds.groupby("pid").map_groups(make_desalt_fn(cfg.salt_factor), batch_format="pyarrow")
+    upsert = make_partition_upsert_fn(
+        lake.dir,
+        part_files,
+        target_payload,
+        batch_id,
+        sink_mode=cfg.sink_mode,
+        # pipelined batches see a stale part_files snapshot, so the
+        # reducer-side auto-compact (which merges that snapshot) must
+        # not fire; the driver compacts after the commits instead
+        compact_threshold=10**9 if force_pure_delta else cfg.compact_threshold,
+    )
+    metrics_rows = ds.groupby("pid").map_groups(upsert, batch_format="pyarrow").take_all()
+    return {
+        int(r["pid"]): {
+            "file": r["file"],
+            "rows": r["rows"],
+            "rows_upserted": r["rows_upserted"],
+            "rows_deleted": r["rows_deleted"],
+            "events_in": r["events_in"],
+            "mode": r["mode"],
+        }
+        for r in metrics_rows
+    }
+
+
 def replay_batch(
     lake: Lake,
     segment_paths: list[str],
@@ -184,48 +252,10 @@ def replay_batch(
         return base
 
     journal = base.ddl_journal + plan.new_ddls
-    target_payload = lake_schema([e["ddl"] for e in journal])
-
-    flt = (pds.field("segment_id") > base.hwm[0]) | (
-        (pds.field("segment_id") == base.hwm[0]) & (pds.field("offset") > base.hwm[1])
-    )
-    # prune at the read: the (large) `before` struct and txn-framing
-    # columns never leave storage; the full schema is read only when a
-    # user predicate (F4) may reference arbitrary columns
-    if cfg.predicate is None:
-        need_table = bool(
-            cfg.table_whitelist_regex or cfg.table_blacklist_regex or cfg.table_list is not None
-        )
-        columns = combine_read_columns(need_table_col=need_table)
-        ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
-    else:
-        ds = rd.read_parquet(segment_paths, filter=flt)
-    combine = make_combine_fn(cfg, target_payload, base.hwm, plan.ack)
-    ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
-    if cfg.salt_factor > 1:
-        ds = ds.groupby("pid").map_groups(make_desalt_fn(cfg.salt_factor), batch_format="pyarrow")
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
-    upsert = make_partition_upsert_fn(
-        lake.dir,
-        part_files,
-        target_payload,
-        batch_id,
-        sink_mode=cfg.sink_mode,
-        compact_threshold=cfg.compact_threshold,
+    touched = _execute_batch(
+        lake, segment_paths, plan, base.hwm, journal, cfg, batch_id, part_files
     )
-    metrics_rows = ds.groupby("pid").map_groups(upsert, batch_format="pyarrow").take_all()
-
-    touched = {
-        int(r["pid"]): {
-            "file": r["file"],
-            "rows": r["rows"],
-            "rows_upserted": r["rows_upserted"],
-            "rows_deleted": r["rows_deleted"],
-            "events_in": r["events_in"],
-            "mode": r["mode"],
-        }
-        for r in metrics_rows
-    }
     if cfg.before_commit is not None:
         cfg.before_commit(batch_id, plan, touched)
     try:
@@ -259,6 +289,8 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
     """
     cfg = cfg or ReplayConfig()
     paths = list(segment_paths)
+    if cfg.pipeline_depth > 1 and cfg.sink_mode == "delta":
+        return _replay_pipelined(lake, paths, cfg)
     n = cfg.segments_per_batch
     m = lake.current()
     i = 0
@@ -273,4 +305,91 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
         m2 = replay_batch(lake, paths[-min(len(paths), n) :], cfg)
         if m2.version != m.version:
             m = m2
+    return m
+
+
+def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
+    """Pipelined micro-batches (delta sink only).
+
+    The full plan chain (hwm_k -> ack_k, DDL epochs) is computed
+    upfront — footer-metadata fast when available — so up to
+    ``pipeline_depth`` batch pipelines execute CONCURRENTLY while
+    phase-2 commits stay strictly in batch order (the FIFO-ack rule,
+    MemoryMetaManager.java:236-247, is about commit order, not compute
+    order; phase-1 files are invisible until their commit). Groups
+    whose window holds no transaction boundary are merged into the
+    next group so no events are orphaned. Driver-side compaction after
+    the commits replaces the reducer-side auto-compact (which would
+    act on a stale file-list snapshot under concurrency).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = lake.current()
+    n = cfg.segments_per_batch
+
+    # --- upfront plan chain -------------------------------------------
+    batches: list[tuple[list[str], BatchPlan, tuple[int, int], list[dict]]] = []
+    hwm = base.hwm
+    journal = list(base.ddl_journal)
+    i = 0
+    pending: list[str] = []
+    while i < len(paths):
+        group = pending + paths[max(0, i - 1) if not pending else i : i + n]
+        i += n
+        plan = plan_batch(group, hwm)
+        if plan.ack is None:
+            pending = group  # no txn boundary yet: widen the window
+            continue
+        batches.append((group, plan, hwm, list(journal)))
+        journal.extend(plan.new_ddls)
+        hwm = plan.ack
+        pending = [group[-1]]  # overlap one file for deferred txn tails
+    # events past the final ack belong to an incomplete trailing
+    # transaction: they are deliberately NOT committable (ack-at-txn-
+    # boundary rule) and will be picked up when their commit arrives.
+
+    if not batches:
+        return base
+
+    part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
+    first_id = base.last_batch_id + 1
+
+    # --- concurrent phase-1, in-order phase-2 -------------------------
+    m = base
+    with ThreadPoolExecutor(max_workers=cfg.pipeline_depth) as ex:
+        futures = [
+            ex.submit(
+                _execute_batch,
+                lake,
+                group,
+                plan,
+                h,
+                j + plan.new_ddls,
+                cfg,
+                first_id + k,
+                part_files,
+                True,  # force_pure_delta
+            )
+            for k, (group, plan, h, j) in enumerate(batches)
+        ]
+        for k, fut in enumerate(futures):
+            touched = fut.result()
+            group, plan, h, j = batches[k]
+            if cfg.before_commit is not None:
+                cfg.before_commit(first_id + k, plan, touched)
+            m = lake.commit_batch(
+                m,
+                batch_id=first_id + k,
+                new_hwm=plan.ack,
+                touched=touched,
+                new_ddls=plan.new_ddls,
+                metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
+            )
+            if cfg.after_commit is not None:
+                cfg.after_commit(m)
+
+    # driver-side compaction for partitions past the threshold
+    over = [int(p) for p, info in m.partitions.items() if len(info["files"]) > cfg.compact_threshold]
+    if over:
+        m = lake.compact(pids=over)
     return m

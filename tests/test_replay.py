@@ -72,3 +72,17 @@ def test_manifest_hwm_advances_to_txn_boundary(ray_session, fixture, tmp_path):
     )
     rows = {(r["segment_id"], r["offset"]): r["txn_commit"] for r in meta.to_pylist()}
     assert rows[m.hwm] is True
+
+
+def test_fast_generator_path_converges(ray_session, tmp_path):
+    """The vectorized no-before-image generator (bench path) also
+    converges: engine final state == serial oracle."""
+    from clever_canal_ray.fixtures.generator import generate_events, write_fixture
+
+    spec = EventLogSpec(seed=9, n_initial_docs=150, n_events=1200, n_segments=4, include_before=False)
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta", pipeline_depth=2))
+    assert_tables_equal(lake.read_table(), apply_events_serial(lake_tbl, segs))

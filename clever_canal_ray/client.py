@@ -1,0 +1,205 @@
+"""ChangeConsumer — the CanalServer/CanalConnector consumer protocol.
+
+Mirrors the reference's client-facing surface (SURVEY.md §3.1 consumer
+loop, CanalServerWithEmbedded.java:202-400; client/CanalConnector.java):
+
+- ``subscribe()``      — register; cursor starts at the stream head or
+                         the persisted position (MetaManager.subscribe,
+                         CanalServerWithEmbedded.java:136-158)
+- ``get_without_ack(batch_size)`` — cut a batch of change events after
+  the cursor; an un-acked batch is re-delivered from its start
+  (replay! CanalServerWithEmbedded.java:279-292); returns
+  ``(batch_id, pyarrow.Table)``
+- ``ack(batch_id)``    — FIFO-enforced (must be the oldest in-flight
+  batch, MemoryMetaManager.removePositionRange:236-247); advances the
+  durable cursor to the batch's last *transaction boundary*
+  (PositionRange.ack semantics)
+- ``rollback()``       — drop all in-flight batches; re-deliver from
+  the cursor (MemoryEventStoreWithBuffer.rollback:572-582)
+
+The cursor + in-flight ledger persist to ``<state>/meta.json`` on
+every mutation — the FileMixedMetaManager ``meta.dat.json`` analog
+(FileMixedMetaManager.java:35-299), so a restarted consumer resumes
+exactly where it acked. Batches are cut at transaction boundaries:
+events of an incomplete trailing txn stay in the stream (F9/T1 rules).
+
+Filters (F1-F6) apply server-side via a ReplayConfig, matching the
+subscribe-filter-replace semantics (a new subscribe(filter) swaps the
+active filter, AbstractCanalInstance.subscribeChange:69-95).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pds
+import pyarrow.parquet as pq
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.schema import pack_position
+from clever_canal_ray.sources.segments import discover_segments
+from clever_canal_ray.stages.combine import filter_mask
+
+
+class FifoAckError(Exception):
+    """Acked batch is not the oldest in-flight one (FIFO rule, D2)."""
+
+
+class ChangeConsumer:
+    def __init__(
+        self,
+        journal_dirs: list[str] | str,
+        state_dir: str,
+        client_id: str = "1001",
+        cfg: Optional[ReplayConfig] = None,
+    ):
+        self.dirs = [journal_dirs] if isinstance(journal_dirs, str) else list(journal_dirs)
+        self.state_dir = state_dir
+        self.client_id = client_id
+        self.cfg = cfg or ReplayConfig()
+        os.makedirs(state_dir, exist_ok=True)
+        self._meta_path = os.path.join(state_dir, f"meta-{client_id}.json")
+        self._cursor: tuple[int, int] = (-1, -1)
+        self._inflight: list[dict] = []  # [{"batch_id", "start", "ack"}]
+        self._next_batch_id = 0
+        self._subscribed = False
+        self._load()
+
+    # -- persistence (meta.dat.json analog) -------------------------------
+
+    def _load(self) -> None:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                d = json.load(f)
+            self._cursor = tuple(d["cursor"])
+            self._inflight = d["inflight"]
+            self._next_batch_id = d["next_batch_id"]
+            self._subscribed = d["subscribed"]
+
+    def _persist(self) -> None:
+        tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "cursor": list(self._cursor),
+                    "inflight": self._inflight,
+                    "next_batch_id": self._next_batch_id,
+                    "subscribed": self._subscribed,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path)
+
+    # -- protocol ---------------------------------------------------------
+
+    def subscribe(self, cfg: Optional[ReplayConfig] = None) -> None:
+        """Register; a new cfg REPLACES the active filter set."""
+        if cfg is not None:
+            self.cfg = cfg
+        self._subscribed = True
+        self._persist()
+
+    def get_without_ack(self, batch_size: int) -> tuple[int, pa.Table] | None:
+        """Cut up to ``batch_size`` events after the cursor (or re-deliver
+        the oldest un-acked batch). Returns None when the stream is
+        drained past the cursor. The batch always ends on a transaction
+        boundary; fewer rows than batch_size may be returned."""
+        if not self._subscribed:
+            raise RuntimeError("subscribe() first")
+        start = tuple(self._inflight[0]["start"]) if self._inflight else self._cursor
+        events = self._read_after(start, batch_size)
+        if events is None or events.num_rows == 0:
+            return None
+        ack = self._last_commit(events)
+        if ack is None:
+            return None  # only an incomplete txn remains
+        events = self._truncate_to(events, ack)
+        # F1-F6 delivery filters AFTER the ack cut: a filtered-out row
+        # still advances the position (the F7 position-advance rule)
+        m = filter_mask(events, self.cfg)
+        m_np = np.asarray(
+            m.to_numpy(zero_copy_only=False) if hasattr(m, "to_numpy") else m, dtype=bool
+        )
+        if not m_np.all():
+            events = events.filter(pa.array(m_np))
+        if self._inflight and tuple(self._inflight[0]["start"]) == start:
+            # re-delivery of the oldest un-acked batch keeps its id
+            batch_id = self._inflight[0]["batch_id"]
+            self._inflight[0]["ack"] = list(ack)
+        else:
+            batch_id = self._next_batch_id
+            self._next_batch_id += 1
+            self._inflight.append({"batch_id": batch_id, "start": list(start), "ack": list(ack)})
+        self._persist()
+        return batch_id, events
+
+    def ack(self, batch_id: int) -> None:
+        if not self._inflight or self._inflight[0]["batch_id"] != batch_id:
+            raise FifoAckError(
+                f"batch {batch_id} is not the oldest in-flight "
+                f"({self._inflight[0]['batch_id'] if self._inflight else 'none'})"
+            )
+        rec = self._inflight.pop(0)
+        self._cursor = tuple(rec["ack"])
+        self._persist()
+
+    def rollback(self) -> None:
+        """Clear the in-flight ledger; everything after the cursor is
+        re-delivered by subsequent gets."""
+        self._inflight = []
+        self._persist()
+
+    # -- internals --------------------------------------------------------
+
+    def _read_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
+        paths = discover_segments(self.dirs)
+        if not paths:
+            return None
+        flt = (pds.field("segment_id") > start[0]) | (
+            (pds.field("segment_id") == start[0]) & (pds.field("offset") > start[1])
+        )
+        dset = pds.dataset(paths)
+        batches = []
+        got = 0
+        for b in dset.to_batches(filter=flt, batch_size=max(1024, limit)):
+            if b.num_rows == 0:
+                continue
+            batches.append(b)
+            got += b.num_rows
+            if got >= limit * 2:  # headroom so a txn boundary exists
+                break
+        if not batches:
+            return None
+        t = pa.Table.from_batches(batches)
+        # global position order
+        pos = pack_position(
+            t["segment_id"].to_numpy(zero_copy_only=False),
+            t["offset"].to_numpy(zero_copy_only=False),
+        )
+        t = t.take(pa.array(np.argsort(pos, kind="stable")))
+        return t.slice(0, max(limit, 1))
+
+    @staticmethod
+    def _last_commit(t: pa.Table) -> tuple[int, int] | None:
+        commit = t["txn_commit"].to_numpy(zero_copy_only=False).astype(bool)
+        if not commit.any():
+            return None
+        seg = t["segment_id"].to_numpy(zero_copy_only=False)
+        off = t["offset"].to_numpy(zero_copy_only=False)
+        pos = pack_position(seg, off)
+        i = int(np.argmax(np.where(commit, pos, -1)))
+        return int(seg[i]), int(off[i])
+
+    @staticmethod
+    def _truncate_to(t: pa.Table, ack: tuple[int, int]) -> pa.Table:
+        pos = pack_position(
+            t["segment_id"].to_numpy(zero_copy_only=False),
+            t["offset"].to_numpy(zero_copy_only=False),
+        )
+        keep = pos <= int(pack_position(ack[0], ack[1]))
+        return t.filter(pa.array(keep))

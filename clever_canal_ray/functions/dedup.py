@@ -184,6 +184,62 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, num_hashes: int = 64, bands: i
     )
 
 
+def shingle_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word k-gram Jaccard (the MinHash estimator's target)."""
+
+    def sh(t):
+        w = t.split()
+        if len(w) < k:
+            return {t}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+
+
+def minhash_lsh_pairs_verified(ds, threshold: float = 0.7, num_hashes: int = 64, bands: int = 16, k: int = 3, seed: int = 1234, id_col: str = "doc_id", text_col: str = "text"):
+    """Candidate pairs (MinHash banding) + EXACT verification.
+
+    The candidate id set is small after LSH, so their texts are fetched
+    with one filtered scan, broadcast via ray.put, and each pair gets
+    its true word-shingle Jaccard computed per batch — the standard
+    candidate-then-verify near-dup pipeline. Returns
+    (a, b, est_jaccard, jaccard) with jaccard >= threshold.
+    """
+    import ray
+
+    cand = minhash_lsh_pairs(ds, threshold=threshold * 0.8, num_hashes=num_hashes, bands=bands, k=k, seed=seed)
+    cand_df = cand.to_pandas()
+    if len(cand_df) == 0:
+        cand_df["jaccard"] = []
+        return cand_df
+    ids = sorted(set(cand_df["a"]) | set(cand_df["b"]))
+    id_arr = pa.array(ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=id_arr)).select([id_col, text_col])
+
+    texts_tbl = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(texts_tbl[id_col], texts_tbl[text_col]))
+    ref = ray.put(lookup)
+
+    import ray.data as rd
+
+    cand_ds = rd.from_pandas(cand_df)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(ref)
+        df = df.copy()
+        df["jaccard"] = [
+            round(shingle_jaccard(texts[a], texts[b], k), 6) for a, b in zip(df["a"], df["b"])
+        ]
+        return df[df["jaccard"] >= threshold]
+
+    return cand_ds.map_batches(verify, batch_format="pandas").to_pandas()
+
+
 # --- SimHash --------------------------------------------------------------
 
 

@@ -1,0 +1,122 @@
+"""ChangeConsumer: the Canal get/ack/rollback consumer protocol
+(SURVEY.md §3.1 consumer loop; MemoryMetaManager FIFO rules)."""
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from clever_canal_ray.client import ChangeConsumer, FifoAckError
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import EventLogSpec, generate_events, write_fixture
+from clever_canal_ray.schema import pack_position
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    spec = EventLogSpec(seed=41, n_initial_docs=100, n_events=800, n_segments=4)
+    root = tmp_path_factory.mktemp("fx_cons")
+    info = write_fixture(spec, str(root))
+    segs, _ = generate_events(spec)
+    total = sum(len(s) for s in segs)
+    return spec, info, total, str(root)
+
+
+def _drain(consumer, batch_size=100):
+    """subscribe → get/ack loop until drained; returns delivered tables."""
+    out = []
+    while True:
+        got = consumer.get_without_ack(batch_size)
+        if got is None:
+            break
+        bid, tbl = got
+        out.append((bid, tbl))
+        consumer.ack(bid)
+    return out
+
+def test_get_ack_loop_delivers_everything_once(fx, tmp_path):
+    spec, info, total, root = fx
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "state"))
+    c.subscribe()
+    batches = _drain(c)
+    delivered = sum(t.num_rows for _, t in batches)
+    assert delivered == total
+    # batch ids are consecutive, positions strictly increasing, no dup rows
+    ids = [b for b, _ in batches]
+    assert ids == list(range(len(ids)))
+    all_pos = np.concatenate(
+        [
+            pack_position(
+                t["segment_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False),
+            )
+            for _, t in batches
+        ]
+    )
+    assert (np.diff(all_pos) > 0).all()
+    # every batch ends on a txn boundary
+    for _, t in batches:
+        assert bool(t["txn_commit"][-1].as_py())
+
+
+def test_unacked_batch_redelivered(fx, tmp_path):
+    spec, info, total, root = fx
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s2"))
+    c.subscribe()
+    bid1, t1 = c.get_without_ack(50)
+    # not acked: next get re-delivers the same batch (same id, same start)
+    bid2, t2 = c.get_without_ack(50)
+    assert bid2 == bid1
+    assert t2["offset"][0].as_py() == t1["offset"][0].as_py()
+    c.ack(bid1)
+    bid3, t3 = c.get_without_ack(50)
+    assert bid3 == bid1 + 1
+    assert t3["offset"][0].as_py() != t1["offset"][0].as_py()
+
+
+def test_fifo_ack_enforced_and_rollback(fx, tmp_path):
+    spec, info, total, root = fx
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s3"))
+    c.subscribe()
+    b1, _ = c.get_without_ack(50)
+    with pytest.raises(FifoAckError):
+        c.ack(b1 + 5)
+    c.ack(b1)
+    b2, t2 = c.get_without_ack(50)
+    c.rollback()  # un-acked b2 dropped; re-delivered with a fresh id
+    b3, t3 = c.get_without_ack(50)
+    assert t3["offset"][0].as_py() == t2["offset"][0].as_py()
+    c.ack(b3)
+
+
+def test_restart_resumes_from_cursor_file(fx, tmp_path):
+    spec, info, total, root = fx
+    state = str(tmp_path / "s4")
+    c = ChangeConsumer(os.path.join(root, "segments"), state)
+    c.subscribe()
+    b1, t1 = c.get_without_ack(200)
+    c.ack(b1)
+    last_pos = int(pack_position(t1["segment_id"][-1].as_py(), t1["offset"][-1].as_py()))
+    # fresh process analog: new object, same meta.json
+    c2 = ChangeConsumer(os.path.join(root, "segments"), state)
+    b2, t2 = c2.get_without_ack(200)
+    first_pos = int(pack_position(t2["segment_id"][0].as_py(), t2["offset"][0].as_py()))
+    assert first_pos > last_pos
+    assert b2 == b1 + 1
+
+
+def test_subscribe_filter_replace(fx, tmp_path):
+    """A new subscribe(cfg) REPLACES the filter set
+    (AbstractCanalInstance.subscribeChange analog); position still
+    advances past filtered rows (F7)."""
+    spec, info, total, root = fx
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s5"))
+    c.subscribe(ReplayConfig(drop_ops=("D", "U", "DDL")))
+    batches = _drain(c)
+    ops = {o for _, t in batches for o in t["op"].to_pylist()}
+    assert ops == {"I"}
+    # filter swap: new consumer state, deliver everything
+    c2 = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s6"))
+    c2.subscribe(ReplayConfig())
+    assert sum(t.num_rows for _, t in _drain(c2)) == total

@@ -138,3 +138,21 @@ def test_rolling_fingerprints_deterministic():
     b = rolling_fingerprints(docs)["rolling_fp"].tolist()
     assert a == b
     assert len(set(a)) > 1
+
+
+def test_minhash_verified_pairs(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import minhash_lsh_pairs_verified, shingle_jaccard
+
+    docs = _near_dup_docs(n=30)
+    out = minhash_lsh_pairs_verified(rd.from_pandas(docs), threshold=0.6)
+    assert len(out) > 0
+    # every surviving pair really has jaccard >= threshold (exact)
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    for a, b, j in zip(out["a"], out["b"], out["jaccard"]):
+        assert abs(shingle_jaccard(by_id[a], by_id[b]) - j) < 1e-6  # fn rounds to 6dp
+        assert j >= 0.6
+    planted = {(2 * k, 2 * k + 1) for k in range(15)}
+    found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
+    assert len(found & planted) / len(planted) >= 0.9

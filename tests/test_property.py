@@ -1,0 +1,65 @@
+"""Property-based replay convergence: random generator knobs (seed,
+event mix, skew, segmentation, sink mode) -> engine == serial oracle.
+Bounded example count: each example runs a full Ray pipeline."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import EventLogSpec, generate_events, generate_lake, write_fixture
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state.manifest import Lake
+from tests.util import assert_tables_equal
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    p_insert=st.floats(0.1, 0.8),
+    p_delete=st.floats(0.0, 0.3),
+    hot_mass=st.floats(0.0, 0.9),
+    n_segments=st.integers(1, 7),
+    segments_per_batch=st.integers(1, 4),
+    sink_mode=st.sampled_from(["delta", "compact"]),
+    include_before=st.booleans(),
+)
+def test_random_replay_converges(
+    ray_session, tmp_path_factory, seed, p_insert, p_delete, hot_mass, n_segments,
+    segments_per_batch, sink_mode, include_before,
+):
+    p_update = max(0.0, 1.0 - p_insert - p_delete)
+    total = p_insert + p_update + p_delete
+    spec = EventLogSpec(
+        seed=seed,
+        n_initial_docs=80,
+        n_events=500,
+        n_segments=n_segments,
+        p_insert=p_insert / total,
+        p_update=p_update / total,
+        p_delete=p_delete / total,
+        hot_mass=hot_mass,
+        include_before=include_before,
+    )
+    root = tmp_path_factory.mktemp("fx_prop")
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    lake = Lake.create(str(root / "lake"), lake_tbl, num_partitions=4)
+    replay(
+        lake,
+        info["segment_paths"],
+        ReplayConfig(
+            num_partitions=4,
+            segments_per_batch=segments_per_batch,
+            sink_mode=sink_mode,
+            pipeline_depth=2 if sink_mode == "delta" else 1,
+        ),
+    )
+    assert_tables_equal(lake.read_table(), oracle)

@@ -47,7 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q.text_fingerprint,
         "lang_id": q.lang_id,  # rows-only (heuristic)
         "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
+        "minhash_verified": q.minhash_verified,  # rows-only (LSH + exact verify)
         "simhash_docs": q.simhash_docs,  # rows-only (bit ops)
+        "ann_lsh_topk": q.ann_lsh_topk,  # rows-only (approximate by design)
+        "embedding_lsh_dups": q.embedding_lsh_dups,  # rows-only (bucketed scale path)
+        "multimodal_features": q.multimodal_features,  # rows-only (binary payload plumbing)
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "ann_topk": q.ann_topk,
         "embedding_dups": q.embedding_dups,

@@ -78,6 +78,48 @@ class HyperplaneHasher:
         return out
 
 
+def lsh_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 10, seed: int = 7, id_col: str = "vec_id", emb_col: str = "embedding", num_buckets: int = 64):
+    """Embedding near-dup at scale: random-hyperplane signatures bucket
+    the corpus (ONE groupby on the bucket hash — the same shuffle
+    pattern as MinHash banding), exact cosine only within buckets.
+    Near-identical vectors share all sign bits with high probability,
+    so recall at threshold→1 is high without any broadcast matrix.
+    """
+    import pandas as pd
+
+    hasher: dict = {}
+
+    def sign_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in hasher:
+            dim = len(batch[emb_col].iloc[0])
+            hasher["h"] = HyperplaneHasher(dim, n_bits=n_bits, seed=seed)
+        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        out = batch[[id_col, emb_col]].copy()
+        out["bucket"] = hasher["h"].bucket_of(m)
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ai], ids[bi]),
+                "b": np.maximum(ids[ai], ids[bi]),
+                "cos_sim": np.round(sims[ai, bi], 4),
+            }
+        )
+
+    return (
+        ds.map_batches(sign_stage, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns="bucket")), batch_format="pandas")
+    )
+
+
 def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 8, seed: int = 99, id_col: str = "vec_id", emb_col: str = "embedding"):
     """LSH-bucketed ANN: exact rerank within the query's bucket(s).
 

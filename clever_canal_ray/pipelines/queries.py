@@ -283,6 +283,59 @@ def embedding_dups(sf_dir: str):
     )
 
 
+def minhash_verified(sf_dir: str):
+    """Rows-only: LSH candidates + exact shingle-Jaccard verification."""
+    from clever_canal_ray.functions.dedup import minhash_lsh_pairs_verified
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs_verified(ds, threshold=0.4)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """Rows-only: LSH-bucketed ANN (scale path; recall < 1 by design)."""
+    from clever_canal_ray.functions.ann import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 2").to_pandas().sort_values("vec_id")
+    out = lsh_topk(ds, np.stack(qdf["embedding"].to_numpy()), k=10, n_bits=6)
+    return out.astype({"query_i": "int64", "vec_id": "int64"})
+
+
+def embedding_lsh_dups(sf_dir: str):
+    """Rows-only: bucketed embedding near-dup (no broadcast matrix)."""
+    from clever_canal_ray.functions.ann import lsh_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_dup_pairs(ds, threshold=0.35, n_bits=4).to_pandas()
+    return out.astype({"a": "int64", "b": "int64"})
+
+
+def multimodal_features(sf_dir: str):
+    """Rows-only: multimodal actor-pool plumbing over REAL testdata
+    bytes — each document's utf-8 text is treated as an opaque binary
+    payload and pushed through the feature-extraction stage."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clever_canal_ray.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    payloads = [t.encode() for t in docs["text"].to_pylist()]
+    media = pa.Table.from_pydict(
+        {
+            "media_id": pa.array([f"m{int(i):08d}" for i in docs["doc_id"].to_pylist()], pa.string()),
+            "media_type": pa.array(["image"] * len(payloads), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * len(payloads), pa.int32()),
+            "height": pa.array([0] * len(payloads), pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = extract_features(rd.from_arrow(media), concurrency=2, batch_size=64).to_pandas()
+    out["f0"] = [round(float(f[0]), 6) for f in out["features"]]
+    return out[["media_id", "n_bytes", "f0"]]
+
+
 # --- analytic parity (aggregate / sort / join coverage) ------------------
 
 

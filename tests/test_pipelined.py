@@ -80,3 +80,15 @@ def test_pipelined_resume_and_duplicate_replay(ray_session, fx, tmp_path):
     m2 = replay(lake2, info["segment_paths"], cfg)
     assert m2.hwm == m.hwm
     assert_tables_equal(lake2.read_table(), oracle)
+
+
+def test_pipelined_salted_skew(ray_session, fx, tmp_path):
+    """salt_factor and pipeline_depth compose (skew + overlap)."""
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(
+        num_partitions=4, segments_per_batch=2, sink_mode="delta",
+        pipeline_depth=3, salt_factor=4,
+    )
+    replay(lake, info["segment_paths"], cfg)
+    assert_tables_equal(lake.read_table(), oracle)

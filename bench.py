@@ -202,20 +202,33 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ensure_fixture()  # generate once, outside both timed runs
+    ensure_fixture()  # generate once, outside all timed runs
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # this sandbox VM shows transient multi-minute noise episodes
+    # (±3x); interleave lo/hi repetitions and take the min per level so
+    # one episode cannot poison a whole level
+    reps = int(os.environ.get("CCR_SCALING_REPS", "2"))
+    lo_secs, hi_secs, lo_eps, hi_eps = [], [], [], []
+    for _ in range(reps):
+        r_lo, r_hi = run(lo), run(hi)
+        lo_secs.append(r_lo["value"])
+        hi_secs.append(r_hi["value"])
+        lo_eps.append(r_lo["events_per_sec"])
+        hi_eps.append(r_hi["events_per_sec"])
+    sec_lo, sec_hi = min(lo_secs), min(hi_secs)
+    eff = (sec_lo / sec_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "events_per_sec_lo": r_lo["events_per_sec"],
-        "events_per_sec_hi": r_hi["events_per_sec"],
+        "sec_lo": sec_lo,
+        "sec_hi": sec_hi,
+        "events_per_sec_lo": max(lo_eps),
+        "events_per_sec_hi": max(hi_eps),
+        "all_sec_lo": lo_secs,
+        "all_sec_hi": hi_secs,
         "sf": SF_DIR,
     }
 

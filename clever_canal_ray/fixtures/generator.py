@@ -58,6 +58,9 @@ class EventLogSpec:
     include_before: bool = True  # before-images double payload; bench may disable
     # DDL scenario: [(position_fraction, ddl_record_dict), ...] in order
     ddls: tuple = ()
+    # first segment_id of this journal (chained journals / soak runs use
+    # disjoint ascending ranges so positions keep increasing)
+    segment_base: int = 0
 
     def doc_id(self, i: int) -> str:
         return f"doc{i:012d}"
@@ -213,7 +216,7 @@ def _generate_events_fast(spec: EventLogSpec):
         )
         t = pa.Table.from_arrays(
             [
-                pa.array(np.full(m, s, np.int32), pa.int32()),
+                pa.array(np.full(m, s + spec.segment_base, np.int32), pa.int32()),
                 pa.array(4 + np.cumsum(steps[lo:hi]), pa.int64()),
                 pa.array(txn_local + next_txn, pa.int64()),
                 pa.array(seq, pa.int32()),
@@ -315,7 +318,7 @@ def generate_events(spec: EventLogSpec):
     next_txn = 0
     for s in range(spec.n_segments):
         lo, hi = int(seg_bounds[s]), int(seg_bounds[s + 1])
-        segment_id[lo:hi] = s
+        segment_id[lo:hi] = s + spec.segment_base
         offset[lo:hi] = 4 + np.cumsum(steps[lo:hi])
         # transaction framing: consecutive runs; DDL rows are isolated
         # transactions of their own (DDL-isolation analog,
@@ -471,7 +474,10 @@ def generate_events(spec: EventLogSpec):
         ],
         schema=ev_schema,
     )
-    segments = [full.filter(pa.compute.equal(full["segment_id"], s)) for s in range(spec.n_segments)]
+    segments = [
+        full.filter(pa.compute.equal(full["segment_id"], s + spec.segment_base))
+        for s in range(spec.n_segments)
+    ]
     return segments, final_payload
 
 
@@ -516,7 +522,7 @@ def write_fixture(spec: EventLogSpec, root: str) -> dict:
     segments, payload = generate_events(spec)
     paths = []
     for s, t in enumerate(segments):
-        p = os.path.join(seg_dir, f"segment-{s:05d}.parquet")
+        p = os.path.join(seg_dir, f"segment-{s + spec.segment_base:05d}.parquet")
         # dict-encode only the low-cardinality string columns; dict on
         # the random token lists costs 2-5x en/decode CPU for nothing
         pq.write_table(

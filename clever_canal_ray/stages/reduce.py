@@ -112,8 +112,7 @@ def make_partition_upsert_fn(
     payload_names = [f.name for f in target_payload]
 
     def upsert(group: pa.Table) -> pa.Table:
-        pid_signed = int(group["pid"][0].as_py())
-        pid = pid_signed
+        pid = int(group["pid"][0].as_py())
         win, counts, _ = lww_reduce(group, payload_names)
         events_in = int(np.asarray(group["n_events"]).sum())
 

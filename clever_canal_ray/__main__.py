@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", choices=["delta", "compact"], default="delta")
     r.add_argument("--batch-segments", type=int, default=8)
 
-    for name in ("compact", "status", "metrics"):
+    for name in ("compact", "status", "metrics", "gc"):
         s = sub.add_parser(name)
         s.add_argument("--lake", required=True)
 
@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "metrics":
         t = Lake(args.lake).metrics_table()
         print(t.to_pandas().to_string(index=False))
+    elif args.cmd == "gc":
+        print(json.dumps(Lake(args.lake).gc()))
     elif args.cmd == "gen-fixture":
         from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
         import pyarrow.parquet as pq

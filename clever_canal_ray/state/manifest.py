@@ -413,6 +413,41 @@ class Lake:
             merge, batch_format="pyarrow"
         )
 
+    def gc(self, keep_manifests: int = 2) -> dict:
+        """Garbage-collect data files no manifest in the retained window
+        references (compacted-away deltas, orphans from failed tasks).
+
+        Keeps files referenced by the current manifest and the last
+        ``keep_manifests`` manifest versions (so a recent
+        ``rollback_to_version`` still works); older manifests are
+        retained as JSON but their exclusive files are gone — the
+        snapshot-expiry analog (DatabaseTableMeta 360h expiry).
+        Run after compaction at the operator's cadence.
+        """
+        cur = self.current()
+        live: set[str] = set()
+        for v in range(max(0, cur.version - keep_manifests + 1), cur.version + 1):
+            path = os.path.join(self.manifest_dir, f"manifest-{v:08d}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                m = Manifest.from_json(f.read())
+            for info in m.partitions.values():
+                live.update(info["files"])
+        removed = 0
+        freed = 0
+        for d in os.listdir(self.dir):
+            if not d.startswith("part="):
+                continue
+            for name in os.listdir(os.path.join(self.dir, d)):
+                rel = f"{d}/{name}"
+                if rel not in live:
+                    p = os.path.join(self.dir, rel)
+                    freed += os.path.getsize(p)
+                    os.remove(p)
+                    removed += 1
+        return {"files_removed": removed, "bytes_freed": freed, "files_live": len(live)}
+
     def metrics_table(self) -> pa.Table:
         """All per-(batch, partition) metrics rows (A1 counters, lineage)."""
         mdir = os.path.join(self.manifest_dir, "metrics")

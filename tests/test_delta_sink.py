@@ -70,3 +70,31 @@ def test_delta_matches_compact(ray_session, fx, tmp_path):
     replay(a, info["segment_paths"], ReplayConfig(num_partitions=4, sink_mode="compact"))
     replay(b, info["segment_paths"], ReplayConfig(num_partitions=4, sink_mode="delta"))
     assert_tables_equal(a.read_table(), b.read_table())
+
+
+def test_gc_removes_compacted_deltas(ray_session, fx, tmp_path):
+    """gc() deletes files no retained manifest references; recent
+    rollback still works; older rollback loses its files (documented)."""
+    import os
+
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    replay(lake, info["segment_paths"], cfg)
+    lake.compact()
+
+    def count_files():
+        return sum(
+            len(os.listdir(os.path.join(str(tmp_path / "lake"), d)))
+            for d in os.listdir(str(tmp_path / "lake"))
+            if d.startswith("part=")
+        )
+
+    before = count_files()
+    stats = lake.gc(keep_manifests=1)
+    assert stats["files_removed"] > 0
+    assert count_files() == before - stats["files_removed"]
+    # state intact after gc
+    assert_tables_equal(lake.read_table(), oracle)
+    ds_rows = lake.read_dataset().count()
+    assert ds_rows == oracle.num_rows

@@ -58,6 +58,10 @@ class EventLogSpec:
     include_before: bool = True  # before-images double payload; bench may disable
     # DDL scenario: [(position_fraction, ddl_record_dict), ...] in order
     ddls: tuple = ()
+    # TRUNCATE events (EventType.TRUNCATE=8 analog): position fractions;
+    # each wipes the whole table at its position (its own txn, F9-style
+    # isolation). Encoded as op="T" rows.
+    truncates: tuple = ()
     # first segment_id of this journal (chained journals / soak runs use
     # disjoint ascending ranges so positions keep increasing)
     segment_base: int = 0
@@ -252,7 +256,7 @@ def generate_events(spec: EventLogSpec):
     (bench-scale logs; different rng stream than the general path —
     each spec is self-consistent with its oracle either way).
     """
-    if not spec.include_before and not spec.ddls:
+    if not spec.include_before and not spec.ddls and not spec.truncates:
         return _generate_events_fast(spec)
     rng = np.random.default_rng(spec.seed + 1)
     n = spec.n_events
@@ -275,36 +279,37 @@ def generate_events(spec: EventLogSpec):
     )
     key_idx[~is_ins] = ud_targets
 
-    # ---- inject DDL rows at fixed fractional positions ------------------
-    ddl_positions = [min(n - 1, int(frac * n)) for frac, _ in spec.ddls]
-    ddl_records = [json.dumps(d) for _, d in spec.ddls]
-    # build full arrays including DDL rows
-    total = n + len(ddl_positions)
+    # ---- inject DDL / TRUNCATE rows at fixed fractional positions -------
+    injections = sorted(
+        [(min(n - 1, int(frac * n)), "DDL", json.dumps(d)) for frac, d in spec.ddls]
+        + [(min(n - 1, int(frac * n)), "T", None) for frac in spec.truncates],
+        key=lambda x: x[0],
+    )
+    total = n + len(injections)
     op_all = np.empty(total, dtype=object)
     key_all = np.full(total, -1, dtype=np.int64)
     ddl_all = np.full(total, None, dtype=object)
     sv_all = np.zeros(total, dtype=np.int32)  # schema_version per event
     src_pos = 0
     version = 0
-    order = np.argsort(ddl_positions, kind="stable")
-    ddl_iter = [(ddl_positions[i], ddl_records[i]) for i in order]
-    ddl_i = 0
-    # merge skeleton with DDL insertion points (DDL emitted just before
-    # the skeleton event at its fractional position)
+    inj_i = 0
+    # merge skeleton with injection points (control row emitted just
+    # before the skeleton event at its fractional position)
     for out_pos in range(total):
-        emit_ddl = ddl_i < len(ddl_iter) and (src_pos >= n or src_pos == ddl_iter[ddl_i][0])
-        if emit_ddl:
-            op_all[out_pos] = "DDL"
-            ddl_all[out_pos] = ddl_iter[ddl_i][1]
-            version += 1
+        emit = inj_i < len(injections) and (src_pos >= n or src_pos == injections[inj_i][0])
+        if emit:
+            _, kind, payload = injections[inj_i]
+            op_all[out_pos] = kind
+            if kind == "DDL":
+                ddl_all[out_pos] = payload
+                version += 1
             sv_all[out_pos] = version
-            ddl_i += 1
+            inj_i += 1
         else:
             op_all[out_pos] = ops[src_pos]
             key_all[out_pos] = key_idx[src_pos]
             sv_all[out_pos] = version
             src_pos += 1
-    n_versions = version + 1
     final_payload = lake_schema([d for _, d in spec.ddls])
 
     # ---- positions: segments / offsets / txns ---------------------------
@@ -325,14 +330,14 @@ def generate_events(spec: EventLogSpec):
         # MemoryEventStoreWithBuffer.java:389-417).
         i = lo
         while i < hi:
-            if op_all[i] == "DDL":
+            if op_all[i] in ("DDL", "T"):
                 size = 1
             else:
                 size = int(rng.geometric(1.0 / spec.mean_txn_size))
                 size = max(1, min(size, hi - i))
                 # cut at the next DDL if one falls inside the run
                 for j in range(i, i + size):
-                    if op_all[j] == "DDL":
+                    if op_all[j] in ("DDL", "T"):
                         size = max(1, j - i)
                         break
             txn_id[i : i + size] = next_txn
@@ -496,6 +501,7 @@ def segment_plan_metadata(t: pa.Table) -> str:
     ddls = []
     for i in np.where(op == "DDL")[0]:
         ddls.append({"position": [int(seg[i]), int(off[i])], "ddl": json.loads(t["ddl"][int(i)].as_py())})
+    truncates = [[int(seg[i]), int(off[i])] for i in np.where(op == "T")[0]]
     ack_i = int(np.argmax(np.where(commit, pos, -1))) if commit.any() else None
     ts = t["execute_ts"].to_numpy(zero_copy_only=False)
     return json.dumps(
@@ -505,6 +511,7 @@ def segment_plan_metadata(t: pa.Table) -> str:
             "max_pos": [int(seg[-1]), int(off[-1])] if len(t) else None,
             "ack": [int(seg[ack_i]), int(off[ack_i])] if ack_i is not None else None,
             "ddls": ddls,
+            "truncates": truncates,
             "max_ts": int(ts.max().astype("datetime64[ms]").astype("int64")) if len(t) else None,
         }
     )

@@ -49,6 +49,9 @@ def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) ->
         if op == "DDL":
             ddls.append(json.loads(ev["ddl"]))
             continue
+        if op == "T":  # TRUNCATE: wipe the table (EventType.TRUNCATE=8)
+            state.clear()
+            continue
         key = ev["doc_id"]
         if op == "D":
             state.pop(key, None)

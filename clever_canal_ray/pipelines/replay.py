@@ -26,7 +26,7 @@ because only additive/widening DDL is legal (FIXTURES.md §3).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pyarrow as pa
 import pyarrow.dataset as pds
@@ -49,6 +49,9 @@ class BatchPlan:
     n_candidate_events: int
     max_execute_ts: int | None = None  # ms; source-side liveness (F8 analog)
     n_seen_events: int = 0  # all events above HWM in the window (incl. past ack)
+    # TRUNCATE positions in (hwm, ack] (EventType.TRUNCATE=8 analog),
+    # ascending; handled by replay_batch as whole-table resets
+    truncates: list = field(default_factory=list)
 
 
 def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
@@ -98,12 +101,16 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     n_cand = int((pos <= ack_pos).sum())
     ts = meta["execute_ts"].to_numpy(zero_copy_only=False)
     max_ts = int(ts[pos <= ack_pos].max().astype("datetime64[ms]").astype("int64")) if n_cand else None
+    t_idx = np.where((op == "T") & (pos <= ack_pos))[0]
+    t_idx = t_idx[np.argsort(pos[t_idx])]
+    truncates = [(int(seg[i]), int(off[i])) for i in t_idx]
     return BatchPlan(
         ack=ack,
         new_ddls=ddls,
         n_candidate_events=n_cand,
         max_execute_ts=max_ts,
         n_seen_events=int(meta.num_rows),
+        truncates=truncates,
     )
 
 
@@ -143,6 +150,13 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
             if hwm_pos < dp <= ack_pos:
                 ddls.append(d)
     ddls.sort(key=lambda d: int(pack_position(d["position"][0], d["position"][1])))
+    truncates = []
+    for m in metas:
+        for tp in m.get("truncates", []):
+            tpp = int(pack_position(tp[0], tp[1]))
+            if hwm_pos < tpp <= ack_pos:
+                truncates.append((tp[0], tp[1]))
+    truncates.sort(key=lambda t: int(pack_position(t[0], t[1])))
     max_ts = max((m["max_ts"] for m in metas if m["max_ts"] is not None), default=None)
     n_cand = sum(
         m["n_events"]
@@ -156,6 +170,7 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         n_candidate_events=max(n_cand, 1),
         max_execute_ts=max_ts,
         n_seen_events=n_seen if max_seen > ack_pos else n_cand,
+        truncates=truncates,
     )
 
 
@@ -251,6 +266,31 @@ def replay_batch(
     if plan.ack is None:
         return base
 
+    if plan.truncates:
+        # TRUNCATE at position t: every row ≤ t dies, so the window
+        # (hwm, t] commits directly as an empty lake (schema/journal
+        # survives — DDLs up to t are applied); replay then continues
+        # past t (the F9-style isolation cut for table-wide resets).
+        t = plan.truncates[0]
+        t_pos = int(pack_position(t[0], t[1]))
+        ddls_before = [
+            d
+            for d in plan.new_ddls
+            if int(pack_position(d["position"][0], d["position"][1])) <= t_pos
+        ]
+        lake.commit_batch(
+            base,
+            batch_id=batch_id,
+            new_hwm=t,
+            touched={},
+            new_ddls=ddls_before,
+            metrics={"truncate": True},
+            truncate=True,
+        )
+        if cfg.after_commit is not None:
+            cfg.after_commit(lake.current())
+        return replay_batch(lake, segment_paths, cfg, _info=_info)
+
     journal = base.ddl_journal + plan.new_ddls
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
     touched = _execute_batch(
@@ -291,12 +331,17 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
     paths = list(segment_paths)
     if cfg.pipeline_depth > 1 and cfg.sink_mode == "delta":
         return _replay_pipelined(lake, paths, cfg)
+    return _replay_serial(lake, paths, cfg)
+
+
+def _replay_serial(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
     n = cfg.segments_per_batch
     m = lake.current()
     i = 0
+    info: dict = {}
     while i < len(paths):
         group = paths[max(0, i - 1) : i + n]  # overlap one file for deferred txn tails
-        info: dict = {}
+        info = {}
         m = replay_batch(lake, group, cfg, _info=info)
         i += n
     # final pass over the trailing files only if the last batch left a
@@ -340,6 +385,10 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
         if plan.ack is None:
             pending = group  # no txn boundary yet: widen the window
             continue
+        if plan.truncates:
+            # a table-wide reset breaks the concurrent plan chain —
+            # rare control event; the serial path handles the cut
+            return _replay_serial(lake, paths, cfg)
         batches.append((group, plan, hwm, list(journal)))
         journal.extend(plan.new_ddls)
         hwm = plan.ack

@@ -101,8 +101,10 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
         )
         keep = (pos > hwm_pos) & (pos <= ack_pos)
         op_col = batch["op"]
-        is_ddl = pc.equal(op_col, "DDL").to_numpy(zero_copy_only=False)
-        keep &= ~is_ddl
+        # control rows (DDL / TRUNCATE) never enter the data path —
+        # the driver consumes them from the plan (F9 isolation)
+        is_ctl = pc.is_in(op_col, value_set=pa.array(["DDL", "T"])).to_numpy(zero_copy_only=False)
+        keep &= ~is_ctl
         if has_filters:
             m = filter_mask(batch, cfg)
             keep &= np.asarray(

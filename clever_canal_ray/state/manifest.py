@@ -261,6 +261,7 @@ class Lake:
         touched: dict[int, dict],
         new_ddls: list[dict] | None = None,
         metrics: dict | None = None,
+        truncate: bool = False,
     ) -> Manifest:
         """Atomically publish a micro-batch.
 
@@ -276,7 +277,9 @@ class Lake:
             raise DuplicateCommitError(f"batch {batch_id} already committed (hwm batch {cur.last_batch_id})")
         if cur.version != base.version:
             raise CommitConflictError(f"manifest moved {base.version} -> {cur.version}")
-        parts = dict(cur.partitions)
+        # TRUNCATE: the committed state starts from an empty table
+        # (EventType.TRUNCATE=8; rows die, schema survives)
+        parts = {} if truncate else dict(cur.partitions)
         rows_upserted = rows_deleted = events_in = 0
         for pid, info in touched.items():
             if info.get("mode") == "append":  # delta sink: add a change file

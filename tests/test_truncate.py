@@ -1,0 +1,68 @@
+"""TRUNCATE events (EventType.TRUNCATE=8 analog): whole-table reset at
+a stream position; schema survives; replay converges; exactly-once."""
+
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import EventLogSpec, generate_events, generate_lake, write_fixture
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state.manifest import Lake
+from tests.util import assert_tables_equal
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    spec = EventLogSpec(
+        seed=83, n_initial_docs=150, n_events=1200, n_segments=4,
+        truncates=(0.5,),
+        ddls=((0.3, {"op": "add_column", "table": "lake.sequences", "name": "lang", "type": "string", "nullable": True, "default": None}),),
+    )
+    root = tmp_path_factory.mktemp("fx_trunc")
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    return spec, info, lake_tbl, oracle
+
+
+def test_truncate_replay_converges(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    m = replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=2))
+    final = lake.read_table()
+    # the truncate wiped pre-truncate rows: initial keys only survive if
+    # re-touched after the truncate
+    assert final.num_rows < lake_tbl.num_rows + 1200
+    assert_tables_equal(final, oracle)
+    # schema survived the truncate (DDL applied before it)
+    assert m.schema_version == 1
+    assert any(r.get("truncate") for r in m.ledger)
+
+
+def test_truncate_exactly_once_and_pipelined_fallback(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    # pipelined config: must fall back to serial on the truncate and
+    # still converge
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta", pipeline_depth=3)
+    m1 = replay(lake, info["segment_paths"], cfg)
+    assert_tables_equal(lake.read_table(), oracle)
+    # duplicate replay is a no-op (HWM covers the truncate position)
+    m2 = replay(lake, info["segment_paths"], cfg)
+    assert m2.hwm == m1.hwm
+    assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_truncate_everything_at_end(ray_session, tmp_path):
+    """Truncate as the final event: lake ends empty."""
+    spec = EventLogSpec(seed=17, n_initial_docs=80, n_events=300, n_segments=2, truncates=(0.999,))
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=2)
+    replay(lake, info["segment_paths"], ReplayConfig(num_partitions=2))
+    final = lake.read_table()
+    assert_tables_equal(final, oracle)
+    assert final.num_rows <= 2  # at most the tail events after truncate

@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--mode", choices=["delta", "compact"], default="delta")
     r.add_argument("--batch-segments", type=int, default=8)
 
+    f = sub.add_parser("follow")
+    f.add_argument("--lake", required=True)
+    f.add_argument("--segments", nargs="+", required=True)
+    f.add_argument("--mode", choices=["delta", "compact"], default="delta")
+    f.add_argument("--poll", type=float, default=1.0)
+    f.add_argument("--idle-stop", type=int, default=None)
+
     for name in ("compact", "status", "metrics", "gc"):
         s = sub.add_parser(name)
         s.add_argument("--lake", required=True)
@@ -77,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         m = replay(lake, discover_segments(args.segments), cfg)
         print(json.dumps({"hwm": list(m.hwm), "batches": m.last_batch_id + 1, "schema_version": m.schema_version}))
+    elif args.cmd == "follow":
+        _ray_session()
+        from clever_canal_ray.config import ReplayConfig
+        from clever_canal_ray.pipelines.replay import follow
+
+        lake = Lake(args.lake)
+        cfg = ReplayConfig(
+            num_partitions=lake.current().num_partitions, sink_mode=args.mode
+        )
+        m = follow(lake, args.segments, cfg, poll_interval=args.poll, idle_rounds_to_stop=args.idle_stop)
+        print(json.dumps({"hwm": list(m.hwm), "batches": m.last_batch_id + 1}))
     elif args.cmd == "compact":
         _ray_session()
         m = Lake(args.lake).compact()

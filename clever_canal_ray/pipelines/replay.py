@@ -334,6 +334,49 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
     return _replay_serial(lake, paths, cfg)
 
 
+def follow(
+    lake: Lake,
+    journal_dirs: list[str] | str,
+    cfg: ReplayConfig | None = None,
+    poll_interval: float = 1.0,
+    max_rounds: int | None = None,
+    idle_rounds_to_stop: int | None = None,
+) -> Manifest:
+    """Tail-follow mode — the LocalBinLogConnection tail-wait analog
+    (LocalBinLogConnection.java:75-120 file-rotation follow): poll the
+    journal dirs, replay any segments that may hold events above the
+    HWM, sleep, repeat. Stops after ``max_rounds`` polls or after
+    ``idle_rounds_to_stop`` consecutive polls with no progress (both
+    None = run forever, the daemon mode).
+    """
+    import time as _time
+
+    from clever_canal_ray.sources.segments import SegmentQueue
+
+    cfg = cfg or ReplayConfig()
+    q = SegmentQueue([journal_dirs] if isinstance(journal_dirs, str) else list(journal_dirs))
+    m = lake.current()
+    rounds = 0
+    idle = 0
+    while True:
+        pending = q.pending(hwm_segment_id=m.hwm[0])
+        if pending:
+            m2 = replay(lake, pending, cfg)
+            if m2.version != m.version:
+                idle = 0
+            else:
+                idle += 1
+            m = m2
+        else:
+            idle += 1
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            return m
+        if idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop:
+            return m
+        _time.sleep(poll_interval)
+
+
 def _replay_serial(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
     n = cfg.segments_per_batch
     m = lake.current()

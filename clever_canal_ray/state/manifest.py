@@ -225,6 +225,13 @@ class Lake:
         with open(os.path.join(self.manifest_dir, name)) as f:
             return Manifest.from_json(f.read())
 
+    def manifest_at(self, version: int) -> Manifest:
+        """Time-travel: load a historical manifest snapshot (files must
+        not have been gc'd past it — see gc(keep_manifests))."""
+        path = os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
+        with open(path) as f:
+            return Manifest.from_json(f.read())
+
     def _write_manifest(self, m: Manifest) -> str:
         name = f"manifest-{m.version:08d}.json"
         path = os.path.join(self.manifest_dir, name)

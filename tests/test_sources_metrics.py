@@ -142,3 +142,55 @@ def test_before_commit_abort_blocks_batch(ray_session, fx, tmp_path):
     m = lake.current()
     assert m.last_batch_id == -1 and m.hwm == (-1, -1)
     assert_tables_equal(lake.read_table(), lake_tbl)
+
+
+def test_follow_tail_mode(ray_session, fx, tmp_path):
+    """Tail-follow: segments appearing between polls are picked up;
+    stops when idle (LocalBinLogConnection tail-wait analog)."""
+    import threading
+    import time
+
+    from clever_canal_ray.pipelines.replay import follow
+
+    spec, segs, lake_tbl, oracle = fx
+    d = str(tmp_path / "journal")
+    os.makedirs(d)
+    # first half available immediately
+    for i, s in enumerate(segs[:3]):
+        pq.write_table(s, os.path.join(d, f"segment-{i:05d}.parquet"))
+
+    def publish_rest():
+        time.sleep(1.2)
+        for i, s in enumerate(segs[3:], start=3):
+            pq.write_table(s, os.path.join(d, f"segment-{i:05d}.parquet"))
+
+    t = threading.Thread(target=publish_rest)
+    t.start()
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    m = follow(
+        lake, d, ReplayConfig(num_partitions=4, segments_per_batch=3),
+        poll_interval=0.5, idle_rounds_to_stop=4,
+    )
+    t.join()
+    assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_time_travel_read(ray_session, fx, tmp_path):
+    """manifest_at(version): read the lake as of an earlier commit."""
+    spec, segs, lake_tbl, oracle = fx
+    d = str(tmp_path / "segs")
+    os.makedirs(d)
+    paths = []
+    for i, s in enumerate(segs):
+        p = os.path.join(d, f"segment-{i:05d}.parquet")
+        pq.write_table(s, p)
+        paths.append(p)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    m = replay(lake, paths, ReplayConfig(num_partitions=4, segments_per_batch=2))
+    assert m.version >= 2
+    # version 0 = the initial load
+    t0 = lake.read_table(lake.manifest_at(0))
+    assert_tables_equal(t0, lake_tbl)
+    # an intermediate version has the partial state (row count between)
+    t1 = lake.read_table(lake.manifest_at(1))
+    assert t0.num_rows <= t1.num_rows <= lake.read_table().num_rows + 1000

@@ -40,7 +40,7 @@ from clever_canal_ray.schema import pack_position
 from clever_canal_ray.state.partitioning import partition_ids
 
 # output meta columns of the combine stage (payload columns follow)
-COMBINE_META = ["pid", "doc_id", "pos", "op", "n_events"]
+COMBINE_META = ["pid", "doc_id", "pos", "is_del", "n_events"]
 
 
 def _anchor_regex(expr: str) -> re.Pattern:
@@ -137,7 +137,9 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
             counts = np.ones(batch.num_rows, dtype=np.int64)
 
         # 3. flatten after-image -> payload columns (zero-copy
-        # struct_field views), cast to the batch's target schema
+        # struct_field views), cast to the batch's target schema.
+        # doc_id ships once (meta column); op shrinks to a bool mask —
+        # both trim shuffle bytes.
         after = batch["after"].combine_chunks() if isinstance(batch["after"], pa.ChunkedArray) else batch["after"]
         doc_arr = batch["doc_id"]
         if isinstance(doc_arr, pa.ChunkedArray):
@@ -145,7 +147,6 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
         cols: list[pa.Array] = []
         for f in target_payload:
             if f.name == "doc_id":
-                cols.append(doc_arr)
                 continue
             try:
                 child = pc.struct_field(after, f.name)
@@ -160,14 +161,17 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
         pids = partition_ids(doc, cfg.num_partitions)
         if cfg.salt_factor > 1:
             pids = (pids.astype(np.int64) * cfg.salt_factor + (pos % cfg.salt_factor)).astype(np.int32)
+        is_del = pc.equal(batch["op"], "D")
+        if isinstance(is_del, pa.ChunkedArray):
+            is_del = is_del.combine_chunks()
         meta = [
             pa.array(pids, pa.int32()),
             doc_arr,
             pa.array(pos, pa.int64()),
-            batch["op"].combine_chunks() if isinstance(batch["op"], pa.ChunkedArray) else batch["op"],
+            is_del,
             pa.array(counts, pa.int64()),
         ]
-        names = COMBINE_META + [f"p_{n}" for n in payload_names]
+        names = COMBINE_META + [f"p_{n}" for n in payload_names if n != "doc_id"]
         return pa.Table.from_arrays(meta + cols, names=names)
 
     return combine
@@ -185,12 +189,12 @@ def combine_read_columns(need_table_col: bool = True, need_ts: bool = False) -> 
 
 
 def _empty_combined(target_payload: pa.Schema) -> pa.Table:
-    names = COMBINE_META + [f"p_{f.name}" for f in target_payload]
+    names = COMBINE_META + [f"p_{f.name}" for f in target_payload if f.name != "doc_id"]
     arrays = [
         pa.array([], pa.int32()),
         pa.array([], pa.string()),
         pa.array([], pa.int64()),
-        pa.array([], pa.string()),
+        pa.array([], pa.bool_()),
         pa.array([], pa.int64()),
-    ] + [pa.array([], f.type) for f in target_payload]
+    ] + [pa.array([], f.type) for f in target_payload if f.name != "doc_id"]
     return pa.Table.from_arrays(arrays, names=names)

@@ -116,12 +116,13 @@ def make_partition_upsert_fn(
         win, counts, _ = lww_reduce(group, payload_names)
         events_in = int(np.asarray(group["n_events"]).sum())
 
-        op = win["op"].to_numpy(zero_copy_only=False)
-        is_del = np.asarray(op, dtype=object) == "D"
-        payload_cols = [
-            win[f"p_{n}"].combine_chunks() if isinstance(win[f"p_{n}"], pa.ChunkedArray) else win[f"p_{n}"]
-            for n in payload_names
-        ]
+        is_del = win["is_del"].to_numpy(zero_copy_only=False).astype(bool)
+
+        def col(name: str):
+            c = win["doc_id"] if name == "doc_id" else win[f"p_{name}"]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        payload_cols = [col(n) for n in payload_names]
         existing = part_files.get(pid, [])
 
         if sink_mode == "delta" and len(existing) + 1 < compact_threshold:

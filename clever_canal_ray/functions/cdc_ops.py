@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from clever_canal_ray.state.partitioning import stable_hash
 
@@ -91,6 +93,34 @@ def dedup_positions(ds, pos_col: str, group_cols: list[str]):
         .groupby(group_cols[0] if len(group_cols) == 1 else group_cols)
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def write_flat_messages(events_ds, out_dir: str, database: str = "lake", table: str = "sequences"):
+    """Serialize canonical change events to FlatMessage-shaped JSON
+    files (protocol/FlatMessage.java:10-35: one object per row change
+    with database/table/pkNames/type/es/data/old) — the client-facing
+    wire format, written distributed via ``Dataset.write_json``.
+    """
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        after = t["after"].combine_chunks() if isinstance(t["after"], pa.ChunkedArray) else t["after"]
+        return pa.Table.from_pydict(
+            {
+                "database": pa.array([database] * n, pa.string()),
+                "table": pa.array([table] * n, pa.string()),
+                "pkNames": pa.array([["doc_id"]] * n, pa.list_(pa.string())),
+                "isDdl": pc.equal(t["op"], "DDL"),
+                "type": t["op"],
+                "es": t["execute_ts"].cast(pa.int64()),
+                "data": after,
+                "old": t["before"].combine_chunks()
+                if "before" in t.column_names and isinstance(t["before"], pa.ChunkedArray)
+                else (t["before"] if "before" in t.column_names else pa.nulls(n, after.type)),
+            }
+        )
+
+    events_ds.map_batches(project, batch_format="pyarrow").write_json(out_dir)
+    return out_dir
 
 
 def flat_message(ds, database: str, table: str, pk_col: str, op_col: str, ts_col: str, data_cols: list[str]):

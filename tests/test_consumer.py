@@ -120,3 +120,30 @@ def test_subscribe_filter_replace(fx, tmp_path):
     c2 = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s6"))
     c2.subscribe(ReplayConfig())
     assert sum(t.num_rows for _, t in _drain(c2)) == total
+
+
+def test_write_flat_messages(ray_session, fx, tmp_path):
+    """FlatMessage JSON export: one object per change with the Canal
+    client wire shape (database/table/pkNames/type/es/data/old)."""
+    import glob
+    import json as _json
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.cdc_ops import write_flat_messages
+
+    spec, info, total, root = fx
+    ds = rd.read_parquet(info["segment_paths"])
+    out = str(tmp_path / "flat")
+    write_flat_messages(ds, out)
+    files = glob.glob(os.path.join(out, "*.json"))
+    assert files
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows.extend(_json.loads(line) for line in fh if line.strip())
+    assert len(rows) == total
+    sample = rows[0]
+    assert set(sample) == {"database", "table", "pkNames", "isDdl", "type", "es", "data", "old"}
+    assert sample["pkNames"] == ["doc_id"]
+    assert any(r["type"] == "D" and r["data"] is None for r in rows)

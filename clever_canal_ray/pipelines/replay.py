@@ -317,11 +317,15 @@ def replay_batch(
 def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None) -> Manifest:
     """Replay a whole segment log as consecutive micro-batches.
 
-    ``segment_paths`` MUST be in ascending (segment_id) order — use
+    ``segment_paths`` MUST be in ascending (segment_id) order and
+    CONTIGUOUS (no gaps) — the binlog-stream contract. Use
     ``sources.discover_segments`` for multi-directory group sources; a
     lexicographic path sort would interleave shard directories out of
     position order and events behind an already-advanced HWM would be
-    (correctly, but surprisingly) skipped as replayed.
+    (correctly, but surprisingly) skipped as replayed. A gap in the
+    offered range could place a later transaction boundary above an
+    earlier segment's incomplete tail and admit a partial transaction —
+    contiguous streams (what a binlog is) cannot produce that shape.
 
     Each micro-batch re-reads the previous batch's final file too, so a
     transaction tail deferred past the previous ack is picked up (the

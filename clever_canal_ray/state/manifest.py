@@ -188,8 +188,17 @@ class Lake:
 
     @staticmethod
     def create(lake_dir: str, table: pa.Table, num_partitions: int = 16) -> "Lake":
-        """Bootstrap a lake from an initial table (schema v0)."""
+        """Bootstrap a lake from an initial table (schema v0).
+
+        Refuses to clobber an existing lake (a pointed _CURRENT means
+        committed state lives here — resume with ``Lake(dir)`` instead).
+        """
         lake = Lake(lake_dir)
+        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
+            raise FileExistsError(
+                f"{lake_dir} already holds a committed lake; open it with Lake(dir) "
+                "or choose a fresh directory"
+            )
         os.makedirs(lake.manifest_dir, exist_ok=True)
         pids = partition_ids(table["doc_id"].to_numpy(zero_copy_only=False), num_partitions)
         parts: dict[str, dict] = {}

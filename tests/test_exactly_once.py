@@ -86,3 +86,27 @@ def test_rollback_redelivers(ray_session, fx, tmp_path):
     lake.rollback_to_version(m.version - 1)
     m2 = replay(lake, info["segment_paths"], cfg)
     assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_create_refuses_existing_lake(ray_session, fx, tmp_path):
+    """Lake.create never clobbers committed state (single-writer safety)."""
+    spec, info, lake_tbl, _ = fx
+    d = str(tmp_path / "lake")
+    Lake.create(d, lake_tbl, num_partitions=2)
+    with pytest.raises(FileExistsError):
+        Lake.create(d, lake_tbl, num_partitions=2)
+
+
+def test_commit_conflict_detected(ray_session, fx, tmp_path):
+    """A second writer racing the manifest loses with CommitConflictError
+    (single-writer-per-lake invariant surfaced, not silent corruption)."""
+    from clever_canal_ray.state.manifest import CommitConflictError
+
+    spec, info, lake_tbl, _ = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=2)
+    base = lake.current()
+    # writer A commits
+    lake.commit_batch(base, batch_id=0, new_hwm=(0, 1), touched={})
+    # writer B still holds the old base -> conflict (not duplicate: new id)
+    with pytest.raises(CommitConflictError):
+        lake.commit_batch(base, batch_id=1, new_hwm=(0, 2), touched={})

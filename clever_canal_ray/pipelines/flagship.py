@@ -130,5 +130,12 @@ def run_flagship(sf_dir: str, work_dir: str | None = None, num_partitions: int =
     lake = Lake.create(os.path.join(work_dir, "lake"), lake_tbl, num_partitions=num_partitions)
     from clever_canal_ray.pipelines.replay import replay
 
-    replay(lake, [seg_path], ReplayConfig(num_partitions=num_partitions))
+    # production configuration: delta sink + pipelined micro-batches —
+    # the same path the SQL oracle then validates end-to-end
+    replay(
+        lake,
+        [seg_path],
+        ReplayConfig(num_partitions=num_partitions, sink_mode="delta", pipeline_depth=2),
+    )
+    lake.compact()
     return lake.read_dataset()

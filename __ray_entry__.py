@@ -192,15 +192,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+                   CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "top_orders_by_revenue": """
             SELECT l_orderkey,
-                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS rev_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
                    o_custkey
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY l_orderkey, o_custkey

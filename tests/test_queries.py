@@ -49,6 +49,13 @@ def compare(name, ray_df, sql_df):
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     for c in a.columns:
+        # The driver's value hash is dtype-sensitive (int64 vs float64 of the
+        # same value hash differently) — mirror that here at kind granularity.
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        assert (ak == bk) or {ak, bk} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {a[c].dtype} != {b[c].dtype}"
+        )
+    for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) and isinstance(y, float):

@@ -107,7 +107,7 @@ def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float
     if compact_after:
         lake.compact()
     dt_compact = time.time() - t0
-    applied = sum(r["events_in"] for r in m.ledger)
+    applied = sum(r["events_in"] for r in lake.full_ledger())
     shutil.rmtree(lake_dir, ignore_errors=True)
     return dt, dt_compact, applied
 

@@ -6,16 +6,20 @@ loop, CanalServerWithEmbedded.java:202-400; client/CanalConnector.java):
 - ``subscribe()``      — register; cursor starts at the stream head or
                          the persisted position (MetaManager.subscribe,
                          CanalServerWithEmbedded.java:136-158)
-- ``get_without_ack(batch_size)`` — cut a batch of change events after
-  the cursor; an un-acked batch is re-delivered from its start
-  (replay! CanalServerWithEmbedded.java:279-292); returns
-  ``(batch_id, pyarrow.Table)``
+- ``get_without_ack(batch_size)`` — cut the NEXT batch of change
+  events after the delivered cursor; successive gets stream successive
+  batches while earlier ones stay un-acked in the FIFO ledger
+  (CanalServerWithEmbedded.java:279-292 get/ack pipelining); returns
+  ``(batch_id, pyarrow.Table)``. A transaction longer than
+  ``batch_size`` grows the cut window to the next txn boundary, so a
+  batch may exceed batch_size by at most one transaction.
 - ``ack(batch_id)``    — FIFO-enforced (must be the oldest in-flight
   batch, MemoryMetaManager.removePositionRange:236-247); advances the
   durable cursor to the batch's last *transaction boundary*
   (PositionRange.ack semantics)
-- ``rollback()``       — drop all in-flight batches; re-deliver from
-  the cursor (MemoryEventStoreWithBuffer.rollback:572-582)
+- ``rollback()``       — drop all in-flight batches and reset the
+  delivered cursor to the acked cursor; everything un-acked is
+  re-delivered (MemoryEventStoreWithBuffer.rollback:572-582)
 
 The cursor + in-flight ledger persist to ``<state>/meta.json`` on
 every mutation — the FileMixedMetaManager ``meta.dat.json`` analog
@@ -64,7 +68,8 @@ class ChangeConsumer:
         self.cfg = cfg or ReplayConfig()
         os.makedirs(state_dir, exist_ok=True)
         self._meta_path = os.path.join(state_dir, f"meta-{client_id}.json")
-        self._cursor: tuple[int, int] = (-1, -1)
+        self._cursor: tuple[int, int] = (-1, -1)  # durable acked position
+        self._delivered: tuple[int, int] = (-1, -1)  # position after last get
         self._inflight: list[dict] = []  # [{"batch_id", "start", "ack"}]
         self._next_batch_id = 0
         self._subscribed = False
@@ -77,6 +82,7 @@ class ChangeConsumer:
             with open(self._meta_path) as f:
                 d = json.load(f)
             self._cursor = tuple(d["cursor"])
+            self._delivered = tuple(d.get("delivered", d["cursor"]))
             self._inflight = d["inflight"]
             self._next_batch_id = d["next_batch_id"]
             self._subscribed = d["subscribed"]
@@ -87,6 +93,7 @@ class ChangeConsumer:
             json.dump(
                 {
                     "cursor": list(self._cursor),
+                    "delivered": list(self._delivered),
                     "inflight": self._inflight,
                     "next_batch_id": self._next_batch_id,
                     "subscribed": self._subscribed,
@@ -105,19 +112,27 @@ class ChangeConsumer:
         self._persist()
 
     def get_without_ack(self, batch_size: int) -> tuple[int, pa.Table] | None:
-        """Cut up to ``batch_size`` events after the cursor (or re-deliver
-        the oldest un-acked batch). Returns None when the stream is
-        drained past the cursor. The batch always ends on a transaction
-        boundary; fewer rows than batch_size may be returned."""
+        """Cut the next ~``batch_size`` events after the delivered
+        cursor. Returns None when the stream is drained. The batch
+        always ends on a transaction boundary; a transaction longer
+        than batch_size grows the window, so the batch may exceed
+        batch_size by at most one transaction. Successive gets return
+        successive batches (multi-entry in-flight FIFO ledger)."""
         if not self._subscribed:
             raise RuntimeError("subscribe() first")
-        start = tuple(self._inflight[0]["start"]) if self._inflight else self._cursor
-        events = self._read_after(start, batch_size)
-        if events is None or events.num_rows == 0:
-            return None
-        ack = self._last_commit(events)
-        if ack is None:
-            return None  # only an incomplete txn remains
+        start = self._delivered
+        limit = max(int(batch_size), 1)
+        while True:
+            events = self._read_after(start, limit)
+            if events is None or events.num_rows == 0:
+                return None
+            ack = self._last_commit(events)
+            if ack is not None:
+                break
+            if events.num_rows < limit:
+                return None  # stream exhausted mid-txn: incomplete tail stays
+            # txn longer than the window: grow until its commit row appears
+            limit *= 2
         events = self._truncate_to(events, ack)
         # F1-F6 delivery filters AFTER the ack cut: a filtered-out row
         # still advances the position (the F7 position-advance rule)
@@ -127,14 +142,10 @@ class ChangeConsumer:
         )
         if not m_np.all():
             events = events.filter(pa.array(m_np))
-        if self._inflight and tuple(self._inflight[0]["start"]) == start:
-            # re-delivery of the oldest un-acked batch keeps its id
-            batch_id = self._inflight[0]["batch_id"]
-            self._inflight[0]["ack"] = list(ack)
-        else:
-            batch_id = self._next_batch_id
-            self._next_batch_id += 1
-            self._inflight.append({"batch_id": batch_id, "start": list(start), "ack": list(ack)})
+        batch_id = self._next_batch_id
+        self._next_batch_id += 1
+        self._inflight.append({"batch_id": batch_id, "start": list(start), "ack": list(ack)})
+        self._delivered = ack
         self._persist()
         return batch_id, events
 
@@ -149,9 +160,11 @@ class ChangeConsumer:
         self._persist()
 
     def rollback(self) -> None:
-        """Clear the in-flight ledger; everything after the cursor is
-        re-delivered by subsequent gets."""
+        """Clear the in-flight ledger and reset the delivered cursor to
+        the acked cursor; everything un-acked is re-delivered by
+        subsequent gets (with fresh batch ids)."""
         self._inflight = []
+        self._delivered = self._cursor
         self._persist()
 
     # -- internals --------------------------------------------------------

@@ -48,6 +48,14 @@ from clever_canal_ray.state.partitioning import partition_ids
 #   __deleted — tombstone flag (delta sink mode writes tombstone rows)
 HELPER_COLS = ("__seq", "__deleted")
 
+# ledger records kept inline in the manifest JSON; full history lives in
+# the append-only _manifest/ledger.jsonl sidecar (Lake.full_ledger()).
+# Bounds per-commit manifest size/IO to O(P + K) instead of O(batches).
+LEDGER_KEEP = 64
+
+# file-order tie-break headroom per __seq in merge_partition_files
+_SEQ_RANK_STRIDE = 1 << 20
+
 
 def _strip_helpers(table: pa.Table) -> pa.Table:
     drop = [c for c in HELPER_COLS if c in table.column_names]
@@ -77,16 +85,24 @@ def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table
     target_h = pa.schema(
         list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
     )
+    # file order within the manifest breaks __seq ties (same-batch
+    # rewrite); encoded as a stride rank — the stride bounds how many
+    # files one partition may accumulate between compactions
+    if len(tables) >= _SEQ_RANK_STRIDE:
+        raise ValueError(
+            f"partition has {len(tables)} files; merge rank supports < {_SEQ_RANK_STRIDE} "
+            "— compact() the lake more often"
+        )
     parts = []
     for i, t in enumerate(tables):
         t = ensure_helper_columns(t, seq=-1)
         t = upcast_table(t, target_h)
-        # file order within the manifest breaks __seq ties (same-batch
-        # rewrite); encode as a fractional rank
         t = t.set_column(
             t.schema.get_field_index("__seq"),
             "__seq",
-            pa.array(t["__seq"].to_numpy(zero_copy_only=False) * 1024 + i, pa.int64()),
+            pa.array(
+                t["__seq"].to_numpy(zero_copy_only=False) * _SEQ_RANK_STRIDE + i, pa.int64()
+            ),
         )
         parts.append(t)
     merged = pa.concat_tables(parts)
@@ -138,7 +154,9 @@ class Manifest:
     schema_version: int
     ddl_journal: list[dict] = field(default_factory=list)  # [{"position":[s,o],"ddl":{...}}]
     partitions: dict[str, dict] = field(default_factory=dict)  # pid -> {"files":[rel], "rows":n}
-    ledger: list[dict] = field(default_factory=list)  # committed batch records
+    # last LEDGER_KEEP committed batch records; full history is the
+    # append-only ledger.jsonl sidecar (Lake.full_ledger())
+    ledger: list[dict] = field(default_factory=list)
     metrics: dict[str, Any] = field(default_factory=dict)
 
     @property
@@ -158,7 +176,7 @@ class Manifest:
                 "ledger": self.ledger,
                 "metrics": self.metrics,
             },
-            indent=1,
+            separators=(",", ":"),
         )
 
     @staticmethod
@@ -324,6 +342,10 @@ class Lake:
         }
         if metrics:
             rec.update(metrics)
+        # full-history ledger: append-only jsonl sidecar (flat commit
+        # cost; the manifest itself keeps only the last LEDGER_KEEP)
+        with open(os.path.join(self.manifest_dir, "ledger.jsonl"), "a") as lf:
+            lf.write(json.dumps(rec, separators=(",", ":")) + "\n")
         # per-partition metrics sidecar (FIXTURES.md §4 shape) — kept out
         # of the manifest JSON so it stays small at P=4096
         if touched:
@@ -354,12 +376,29 @@ class Lake:
             schema_version=len(journal),
             ddl_journal=journal,
             partitions=parts,
-            ledger=cur.ledger + [rec],
+            ledger=(cur.ledger + [rec])[-LEDGER_KEEP:],
             metrics=cur.metrics,
         )
         self._write_manifest(m)
         self._swap_current(m.version)
         return m
+
+    def full_ledger(self) -> list[dict]:
+        """Complete committed-batch history: the ledger.jsonl sidecar
+        filtered to batches the current manifest actually committed
+        (a crash between the sidecar append and the pointer swap may
+        leave one uncommitted tail line — dropped here)."""
+        cur = self.current()
+        path = os.path.join(self.manifest_dir, "ledger.jsonl")
+        if not os.path.exists(path):
+            return list(cur.ledger)
+        by_id: dict[int, dict] = {}
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    by_id[rec["batch_id"]] = rec
+        return [by_id[b] for b in sorted(by_id) if b <= cur.last_batch_id]
 
     def rollback_to_version(self, version: int) -> Manifest:
         """Time-travel the pointer back (EventStore.rollback analog:

@@ -82,15 +82,16 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
         paths = info["segment_paths"]
 
         before = lake.current()
+        applied_before = sum(r["events_in"] for r in lake.full_ledger())
         t0 = time.time()
         m = replay(lake, paths, cfg)
         replay_sec = time.time() - t0
         shutil.rmtree(chunk_dir, ignore_errors=True)
 
-        applied = sum(r["events_in"] for r in m.ledger) - sum(r["events_in"] for r in before.ledger)
+        applied = sum(r["events_in"] for r in lake.full_ledger()) - applied_before
         assert applied == info["n_events"], f"chunk {chunk}: applied {applied} != {info['n_events']}"
         assert m.hwm > before.hwm
-        ids = [r["batch_id"] for r in m.ledger]
+        ids = [r["batch_id"] for r in lake.full_ledger()]
         assert ids == sorted(ids)
         total_events += applied
         total_sec += replay_sec

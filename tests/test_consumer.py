@@ -60,19 +60,51 @@ def test_get_ack_loop_delivers_everything_once(fx, tmp_path):
         assert bool(t["txn_commit"][-1].as_py())
 
 
-def test_unacked_batch_redelivered(fx, tmp_path):
+def test_streaming_gets_with_multi_inflight(fx, tmp_path):
+    """Successive gets stream successive batches while earlier ones
+    stay un-acked (CanalServerWithEmbedded get/ack pipelining); acks
+    must still drain FIFO; rollback re-delivers every un-acked row."""
     spec, info, total, root = fx
     c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s2"))
     c.subscribe()
     bid1, t1 = c.get_without_ack(50)
-    # not acked: next get re-delivers the same batch (same id, same start)
     bid2, t2 = c.get_without_ack(50)
-    assert bid2 == bid1
-    assert t2["offset"][0].as_py() == t1["offset"][0].as_py()
+    assert bid2 == bid1 + 1
+    assert t2["offset"][0].as_py() != t1["offset"][0].as_py()
+    # FIFO: acking the newer batch first is rejected
+    with pytest.raises(FifoAckError):
+        c.ack(bid2)
     c.ack(bid1)
+    c.ack(bid2)
     bid3, t3 = c.get_without_ack(50)
-    assert bid3 == bid1 + 1
-    assert t3["offset"][0].as_py() != t1["offset"][0].as_py()
+    assert t3["offset"][0].as_py() not in (t1["offset"][0].as_py(), t2["offset"][0].as_py())
+    # rollback: un-acked b3 re-delivered from its start with a fresh id
+    c.rollback()
+    bid4, t4 = c.get_without_ack(50)
+    assert bid4 == bid3 + 1
+    assert t4["offset"][0].as_py() == t3["offset"][0].as_py()
+
+
+def test_txn_longer_than_batch_size_does_not_livelock(fx, tmp_path):
+    """A committed transaction longer than batch_size must still be
+    delivered (window grows to the next txn boundary) — regression for
+    the get_without_ack livelock."""
+    spec, info, total, root = fx
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "s_live"))
+    c.subscribe()
+    delivered = 0
+    saw_oversize = False
+    while True:
+        got = c.get_without_ack(1)  # every multi-row txn exceeds this
+        if got is None:
+            break
+        bid, t = got
+        saw_oversize = saw_oversize or t.num_rows > 1
+        delivered += t.num_rows
+        assert bool(t["txn_commit"][-1].as_py())
+        c.ack(bid)
+    assert delivered == total
+    assert saw_oversize
 
 
 def test_fifo_ack_enforced_and_rollback(fx, tmp_path):

@@ -87,3 +87,31 @@ def test_partitioning_stable_and_salt_roundtrip():
     assert ((salted // 4) == a.astype(np.int64)).all()
     # stable across processes: spot-check a frozen value
     assert int(stable_hash(["doc000000000000"])[0]) == int(stable_hash(["doc000000000000"])[0])
+
+
+def test_ledger_ring_and_full_ledger_sidecar(tmp_path):
+    """Manifest keeps only the last LEDGER_KEEP ledger records (flat
+    commit cost over a long stream); full history lives in the
+    ledger.jsonl sidecar via Lake.full_ledger()."""
+    from clever_canal_ray.state.manifest import LEDGER_KEEP, Lake
+
+    base = pa.table({"doc_id": ["d0"], "n_tok": pa.array([1], pa.int64()), "source": ["web"]})
+    lake = Lake.create(str(tmp_path / "lake"), base, num_partitions=2)
+    n = LEDGER_KEEP + 20
+    m = lake.current()
+    for b in range(n):
+        m = lake.commit_batch(m, batch_id=b, new_hwm=(0, b), touched={})
+    assert len(m.ledger) == LEDGER_KEEP
+    full = lake.full_ledger()
+    assert [r["batch_id"] for r in full] == list(range(n))
+    # the inline ring is the tail of the full history
+    assert m.ledger == full[-LEDGER_KEEP:]
+    # manifest JSON size is bounded: latest is no bigger than ~the ring
+    import os
+
+    sizes = sorted(
+        os.path.getsize(os.path.join(lake.manifest_dir, f))
+        for f in os.listdir(lake.manifest_dir)
+        if f.startswith("manifest-")
+    )
+    assert sizes[-1] < 40_000

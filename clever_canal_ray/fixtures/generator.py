@@ -517,6 +517,72 @@ def segment_plan_metadata(t: pa.Table) -> str:
     )
 
 
+def retable_by_key(t: pa.Table, n_tables: int, prefix: str = "lake.t") -> pa.Table:
+    """Reassign the ``table`` column of one segment so every doc routes
+    deterministically to ``f"{prefix}{key % n_tables}"`` (key = the
+    numeric part of doc_id) — a doc-functional multi-table stream whose
+    per-table final state equals the single-table oracle partitioned by
+    the same rule. DDL rows route to the table their ddl record names
+    (``{"table": ...}`` required — Header.schemaName/tableName analog)."""
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    op = np.asarray(t["op"].to_numpy(zero_copy_only=False), dtype=object)
+    tbl = np.asarray(t["table"].to_numpy(zero_copy_only=False), dtype=object).copy()
+    row = (op == "I") | (op == "U") | (op == "D")
+    if row.any():
+        keys = pd.Series(doc[row]).str.slice(3).astype(np.int64) % n_tables
+        tbl[row] = (prefix + keys.astype(str)).to_numpy(dtype=object)
+    for i in np.where(op == "DDL")[0]:
+        d = json.loads(t["ddl"][int(i)].as_py())
+        if "table" not in d:
+            raise ValueError("multi-table fixture: every DDL record needs a 'table' key")
+        tbl[i] = d["table"]
+    if (op == "T").any():
+        raise ValueError("multi-table fixture: TRUNCATE events not supported")
+    idx = t.schema.get_field_index("table")
+    return t.set_column(idx, "table", pa.array(tbl, pa.string()))
+
+
+def split_lake_by_key(table: pa.Table, n_tables: int, prefix: str = "lake.t") -> dict[str, pa.Table]:
+    """Split an initial lake table into per-table initials with the same
+    key % n_tables routing rule as ``retable_by_key``."""
+    keys = pd.Series(table["doc_id"].to_numpy(zero_copy_only=False)).str.slice(3).astype(np.int64)
+    return {
+        f"{prefix}{i}": table.filter(pa.array((keys % n_tables == i).to_numpy()))
+        for i in range(n_tables)
+    }
+
+
+def write_multi_table_fixture(
+    spec: EventLogSpec, root: str, n_tables: int = 2, prefix: str = "lake.t"
+) -> dict:
+    """Multi-table variant of ``write_fixture``: ONE mixed stream whose
+    row events route across ``n_tables`` tables; returns per-table
+    initial lakes for ``Lake.create_multi``."""
+    seg_dir = os.path.join(root, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    segments, payload = generate_events(spec)
+    segments = [retable_by_key(t, n_tables, prefix) for t in segments]
+    paths = []
+    for s, t in enumerate(segments):
+        p = os.path.join(seg_dir, f"segment-{s + spec.segment_base:05d}.parquet")
+        pq.write_table(
+            t.replace_schema_metadata(
+                {**(t.schema.metadata or {}), b"ccr_plan": segment_plan_metadata(t).encode()}
+            ),
+            p,
+            use_dictionary=["op", "table", "segment_id"],
+        )
+        paths.append(p)
+    initials = split_lake_by_key(generate_lake(spec), n_tables, prefix)
+    return {
+        "segment_paths": paths,
+        "payload_schema": payload,
+        "n_events": sum(len(t) for t in segments),
+        "initials": initials,
+        "tables": sorted(initials),
+    }
+
+
 def write_fixture(spec: EventLogSpec, root: str) -> dict:
     """Write ``root/segments/segment-%05d.parquet`` + return metadata.
 

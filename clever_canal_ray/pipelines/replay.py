@@ -32,10 +32,10 @@ import pyarrow as pa
 import pyarrow.dataset as pds
 
 from clever_canal_ray.config import ReplayConfig
-from clever_canal_ray.schema import lake_schema, pack_position
+from clever_canal_ray.schema import lake_schema, pack_position, widen_union
 from clever_canal_ray.stages.combine import combine_read_columns, make_combine_fn
 from clever_canal_ray.stages.reduce import make_desalt_fn, make_partition_upsert_fn
-from clever_canal_ray.state.manifest import DuplicateCommitError, Lake, Manifest
+from clever_canal_ray.state.manifest import DuplicateCommitError, Lake, Manifest, route_ddls
 
 import threading
 
@@ -184,13 +184,33 @@ def _execute_batch(
     batch_id: int,
     part_files: dict[int, list[str]],
     force_pure_delta: bool = False,
+    tables_meta: dict[str, dict] | None = None,
 ) -> dict[int, dict]:
     """Phase-1 of one micro-batch: run the Dataset pipeline, write the
     (invisible) partition files, return the ``touched`` map for the
-    phase-2 commit. Thread-safe: builds and consumes its own Dataset."""
+    phase-2 commit. Thread-safe: builds and consumes its own Dataset.
+
+    ``tables_meta``: multi-table lakes — the post-DDL per-table meta
+    (name -> {"base_pid","num_partitions","ddl_journal"}); events route
+    by their ``table`` column (one shuffle still) and each partition
+    casts down to its table's schema."""
     import ray.data as rd
 
-    target_payload = lake_schema([e["ddl"] for e in journal])
+    routing = None
+    pid_schemas = None
+    if tables_meta is not None:
+        routing = {n: (t["base_pid"], t["num_partitions"]) for n, t in tables_meta.items()}
+        per_table = {
+            n: lake_schema([e["ddl"] for e in t["ddl_journal"]]) for n, t in tables_meta.items()
+        }
+        target_payload = widen_union([per_table[n] for n in sorted(per_table)])
+        pid_schemas = {
+            t["base_pid"] + i: per_table[n]
+            for n, t in tables_meta.items()
+            for i in range(t["num_partitions"])
+        }
+    else:
+        target_payload = lake_schema([e["ddl"] for e in journal])
     flt = (pds.field("segment_id") > hwm[0]) | (
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
     )
@@ -203,13 +223,17 @@ def _execute_batch(
     with _DATASET_BUILD_LOCK:
         if cfg.predicate is None:
             need_table = bool(
-                cfg.table_whitelist_regex or cfg.table_blacklist_regex or cfg.table_list is not None
+                cfg.table_whitelist_regex
+                or cfg.table_blacklist_regex
+                or cfg.table_list is not None
+                or routing is not None
+                or isinstance(cfg.column_projection, dict)
             )
             columns = combine_read_columns(need_table_col=need_table)
             ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
         else:
             ds = rd.read_parquet(segment_paths, filter=flt)
-    combine = make_combine_fn(cfg, target_payload, hwm, plan.ack)
+    combine = make_combine_fn(cfg, target_payload, hwm, plan.ack, routing=routing)
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_factor > 1:
         ds = ds.groupby("pid").map_groups(make_desalt_fn(cfg.salt_factor), batch_format="pyarrow")
@@ -223,6 +247,7 @@ def _execute_batch(
         # reducer-side auto-compact (which merges that snapshot) must
         # not fire; the driver compacts after the commits instead
         compact_threshold=10**9 if force_pure_delta else cfg.compact_threshold,
+        pid_schemas=pid_schemas,
     )
     metrics_rows = ds.groupby("pid").map_groups(upsert, batch_format="pyarrow").take_all()
     return {
@@ -266,6 +291,11 @@ def replay_batch(
     if plan.ack is None:
         return base
 
+    if plan.truncates and base.tables is not None:
+        raise NotImplementedError(
+            "TRUNCATE in a multi-table lake needs per-table routing of the "
+            "truncate position — not supported yet (single-table lakes only)"
+        )
     if plan.truncates:
         # TRUNCATE at position t: every row ≤ t dies, so the window
         # (hwm, t] commits directly as an empty lake (schema/journal
@@ -292,9 +322,13 @@ def replay_batch(
         return replay_batch(lake, segment_paths, cfg, _info=_info)
 
     journal = base.ddl_journal + plan.new_ddls
+    tables_meta = (
+        route_ddls(base.tables, plan.new_ddls) if base.tables is not None else None
+    )
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
     touched = _execute_batch(
-        lake, segment_paths, plan, base.hwm, journal, cfg, batch_id, part_files
+        lake, segment_paths, plan, base.hwm, journal, cfg, batch_id, part_files,
+        tables_meta=tables_meta,
     )
     if cfg.before_commit is not None:
         cfg.before_commit(batch_id, plan, touched)
@@ -420,9 +454,10 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
     n = cfg.segments_per_batch
 
     # --- upfront plan chain -------------------------------------------
-    batches: list[tuple[list[str], BatchPlan, tuple[int, int], list[dict]]] = []
+    batches: list[tuple[list[str], BatchPlan, tuple[int, int], list[dict], dict | None]] = []
     hwm = base.hwm
     journal = list(base.ddl_journal)
+    tm = base.tables  # multi-table: per-table journals evolve along the chain
     i = 0
     pending: list[str] = []
     while i < len(paths):
@@ -436,8 +471,10 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
             # a table-wide reset breaks the concurrent plan chain —
             # rare control event; the serial path handles the cut
             return _replay_serial(lake, paths, cfg)
-        batches.append((group, plan, hwm, list(journal)))
+        tm_next = route_ddls(tm, plan.new_ddls) if tm is not None else None
+        batches.append((group, plan, hwm, list(journal), tm_next))
         journal.extend(plan.new_ddls)
+        tm = tm_next
         hwm = plan.ack
         pending = [group[-1]]  # overlap one file for deferred txn tails
     # events past the final ack belong to an incomplete trailing
@@ -465,12 +502,13 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
                 first_id + k,
                 part_files,
                 True,  # force_pure_delta
+                tmk,
             )
-            for k, (group, plan, h, j) in enumerate(batches)
+            for k, (group, plan, h, j, tmk) in enumerate(batches)
         ]
         for k, fut in enumerate(futures):
             touched = fut.result()
-            group, plan, h, j = batches[k]
+            group, plan, h, j, tmk = batches[k]
             if cfg.before_commit is not None:
                 cfg.before_commit(first_id + k, plan, touched)
             m = lake.commit_batch(

@@ -112,6 +112,32 @@ def lake_schema(ddls: list[dict[str, Any]]) -> pa.Schema:
     return s
 
 
+def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
+    """Field-name union of several table schemas, widening on type
+    conflicts (the multi-table combine stage flattens every event to
+    this; each partition's reducer casts down to its table's schema —
+    lossless because only widening conflicts are legal)."""
+    fields: dict[str, pa.Field] = {}
+    order: list[str] = []
+    for s in schemas:
+        for f in s:
+            cur = fields.get(f.name)
+            if cur is None:
+                fields[f.name] = f
+                order.append(f.name)
+            elif cur.type != f.type:
+                a, b = type_name(cur.type), type_name(f.type)
+                if b in _WIDEN_OK.get(a, ()):
+                    fields[f.name] = pa.field(f.name, f.type, nullable=cur.nullable or f.nullable)
+                elif a in _WIDEN_OK.get(b, ()):
+                    pass  # current is already the wider one
+                else:
+                    raise SchemaEvolutionError(
+                        f"irreconcilable types for {f.name!r}: {a} vs {b}"
+                    )
+    return pa.schema([fields[n] for n in order])
+
+
 def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     """Up-cast a table written under an older schema version to ``target``.
 

@@ -73,13 +73,33 @@ def filter_mask(batch: pa.Table, cfg: ReplayConfig) -> pa.ChunkedArray | pa.Arra
     return mask
 
 
-def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int, int], ack: tuple[int, int]):
+def make_combine_fn(
+    cfg: ReplayConfig,
+    target_payload: pa.Schema,
+    hwm: tuple[int, int],
+    ack: tuple[int, int],
+    routing: dict[str, tuple[int, int]] | None = None,
+):
     """Build the map_batches body for one micro-batch (closure carries
-    only small immutable config — broadcast once per task by Ray)."""
+    only small immutable config — broadcast once per task by Ray).
+
+    ``routing``: multi-table lakes — table name -> (base_pid,
+    num_partitions); events route to global pid = base + hash(doc) % P
+    (Header.schemaName/tableName routing, EntryProtocol.proto:80-113).
+    Events of unregistered tables are dropped (unsubscribed-destination
+    rule). ``target_payload`` is then the union schema; each
+    partition's reducer casts down to its table's schema.
+    """
     hwm_pos = int(pack_position(hwm[0], hwm[1])) if hwm[0] >= 0 else -1
     ack_pos = int(pack_position(ack[0], ack[1]))
     payload_names = [f.name for f in target_payload]
-    proj = set(cfg.column_projection) if cfg.column_projection is not None else None
+    # F5 column projection: tuple = global keep-list; dict = PER-TABLE
+    # keep-lists {table: (cols...)} (parseFieldFilterMap analog,
+    # AbstractEventParser.java:667-682) — tables absent from the dict
+    # keep all columns.
+    proj_raw = cfg.column_projection
+    proj = set(proj_raw) if isinstance(proj_raw, (tuple, list, set)) else None
+    proj_by_table = dict(proj_raw) if isinstance(proj_raw, dict) else None
 
     has_filters = any(
         [
@@ -116,13 +136,36 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
         if batch.num_rows == 0:
             return _empty_combined(target_payload)
 
+        # 1b. multi-table routing: factorize the (low-cardinality)
+        # table column; drop unregistered tables (unsubscribed
+        # destinations never enter the apply path).
+        tcodes = tuniq = None
+        if routing is not None or proj_by_table is not None:
+            tbl_np = np.asarray(batch["table"].to_numpy(zero_copy_only=False), dtype=object)
+            tcodes, tuniq = pd.factorize(tbl_np)
+            if routing is not None:
+                reg = np.array([t in routing for t in tuniq], dtype=bool)
+                if not reg.all():
+                    keep_t = reg[tcodes]
+                    batch = batch.filter(pa.array(keep_t))
+                    pos = pos[keep_t]
+                    if batch.num_rows == 0:
+                        return _empty_combined(target_payload)
+                    tbl_np = tbl_np[keep_t]
+                    tcodes, tuniq = pd.factorize(tbl_np)
+
         # 2. within-batch LWW partial reduce (vectorized index math).
         # When the batch has few repeated keys the reduce would copy
         # ~all the payload for nothing — pass through instead and let
         # the partition reducer do the single final LWW (it must
         # anyway). Hot-key-heavy batches still collapse here.
+        # Multi-table: the LWW key is (table, doc_id) — doc_ids are
+        # only unique per table.
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         codes, _ = pd.factorize(doc)
+        if tcodes is not None and len(tuniq) > 1:
+            codes = codes.astype(np.int64) * len(tuniq) + tcodes
+            codes = pd.factorize(codes)[0]
         n_unique = codes.max() + 1 if len(codes) else 0
         if n_unique < 0.7 * len(codes):
             order = np.lexsort((pos, codes))  # by key, then position
@@ -133,6 +176,8 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
             batch = batch.take(pa.array(winners))
             pos = pos[winners]
             doc = doc[winners]
+            if tcodes is not None:
+                tcodes = tcodes[winners]
         else:
             counts = np.ones(batch.num_rows, dtype=np.int64)
 
@@ -154,11 +199,35 @@ def make_combine_fn(cfg: ReplayConfig, target_payload: pa.Schema, hwm: tuple[int
                 child = pa.nulls(batch.num_rows, f.type)
             if proj is not None and f.name not in proj:
                 child = pa.nulls(batch.num_rows, f.type)  # F5: dropped cell
+            elif proj_by_table is not None and tcodes is not None:
+                # F5 per-table: null the cell only for rows of tables
+                # whose keep-list excludes this column
+                drop_codes = [
+                    c
+                    for c, t in enumerate(tuniq)
+                    if t in proj_by_table and f.name not in proj_by_table[t]
+                ]
+                if drop_codes:
+                    keep_cell = ~np.isin(tcodes, drop_codes)
+                    if not keep_cell.all():
+                        if child.type != f.type:
+                            child = child.cast(f.type)
+                        child = pc.if_else(
+                            pa.array(keep_cell), child, pa.nulls(batch.num_rows, f.type)
+                        )
             if child.type != f.type:
                 child = child.cast(f.type)
             cols.append(child)
 
-        pids = partition_ids(doc, cfg.num_partitions)
+        if routing is not None:
+            from clever_canal_ray.state.partitioning import stable_hash
+
+            base_arr = np.array([routing[t][0] for t in tuniq], dtype=np.int64)
+            p_arr = np.array([routing[t][1] for t in tuniq], dtype=np.uint64)
+            local = (stable_hash(doc) % p_arr[tcodes]).astype(np.int64)
+            pids = (base_arr[tcodes] + local).astype(np.int32)
+        else:
+            pids = partition_ids(doc, cfg.num_partitions)
         if cfg.salt_factor > 1:
             pids = (pids.astype(np.int64) * cfg.salt_factor + (pos % cfg.salt_factor)).astype(np.int32)
         is_del = pc.equal(batch["op"], "D")

@@ -95,6 +95,7 @@ def make_partition_upsert_fn(
     batch_id: int,
     sink_mode: str = "compact",
     compact_threshold: int = 8,
+    pid_schemas: dict[int, pa.Schema] | None = None,
 ):
     """Build the map_groups body. ``part_files`` maps pid -> relative
     Parquet paths of the partition's current files (from the base
@@ -109,10 +110,12 @@ def make_partition_upsert_fn(
     """
     from clever_canal_ray.state.manifest import ensure_helper_columns, merge_partition_files
 
-    payload_names = [f.name for f in target_payload]
-
     def upsert(group: pa.Table) -> pa.Table:
         pid = int(group["pid"][0].as_py())
+        # multi-table lakes: the partition's table owns its own schema
+        # (cast down from the union the combine stage shipped)
+        tp = pid_schemas.get(pid, target_payload) if pid_schemas else target_payload
+        payload_names = [f.name for f in tp]
         win, counts, _ = lww_reduce(group, payload_names)
         events_in = int(np.asarray(group["n_events"]).sum())
 
@@ -127,7 +130,7 @@ def make_partition_upsert_fn(
 
         if sink_mode == "delta" and len(existing) + 1 < compact_threshold:
             # write-optimal path: winners + tombstones, old files untouched
-            delta = pa.Table.from_arrays(payload_cols, schema=target_payload)
+            delta = pa.Table.from_arrays(payload_cols, schema=tp)
             delta = ensure_helper_columns(delta, seq=batch_id, deleted=pa.array(is_del))
             rel = _write_file(lake_dir, delta, pid, batch_id)
             return pa.Table.from_pydict(
@@ -145,11 +148,11 @@ def make_partition_upsert_fn(
 
         # compact path: merge-on-read the current partition state, drop
         # changed keys, append final images, rewrite one file
-        images = pa.Table.from_arrays(payload_cols, schema=target_payload).filter(pa.array(~is_del))
+        images = pa.Table.from_arrays(payload_cols, schema=tp).filter(pa.array(~is_del))
         changed_keys = win["doc_id"].combine_chunks() if isinstance(win["doc_id"], pa.ChunkedArray) else win["doc_id"]
         if existing:
             old = merge_partition_files(
-                [pq.read_table(os.path.join(lake_dir, rel)) for rel in existing], target_payload
+                [pq.read_table(os.path.join(lake_dir, rel)) for rel in existing], tp
             )
             keep = pc.invert(pc.is_in(old["doc_id"], value_set=changed_keys))
             old_kept = old.filter(keep)

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from clever_canal_ray.schema import lake_schema, upcast_table
+from clever_canal_ray.schema import lake_schema, upcast_table, widen_union
 from clever_canal_ray.state.partitioning import partition_ids
 
 
@@ -137,6 +137,20 @@ METRICS_PARTITION_SCHEMA = pa.schema(
 )
 
 
+def route_ddls(tables: dict[str, dict], new_ddls: list[dict]) -> dict[str, dict]:
+    """Copy ``tables`` with each DDL journal entry appended to its
+    target table's journal. Multi-table DDLs must carry the table name
+    in the ddl record (``{"op": ..., "table": "db.tbl"}``) — the
+    Header.schemaName/tableName routing rule."""
+    out = {n: {**t, "ddl_journal": list(t["ddl_journal"])} for n, t in tables.items()}
+    for e in new_ddls:
+        name = e["ddl"].get("table")
+        if name not in out:
+            raise KeyError(f"DDL targets unknown table {name!r} (registered: {sorted(out)})")
+        out[name]["ddl_journal"].append(e)
+    return out
+
+
 class DuplicateCommitError(Exception):
     """Batch already committed — replay must treat this as a no-op."""
 
@@ -158,10 +172,45 @@ class Manifest:
     # append-only ledger.jsonl sidecar (Lake.full_ledger())
     ledger: list[dict] = field(default_factory=list)
     metrics: dict[str, Any] = field(default_factory=dict)
+    # multi-table lakes (reference: routing by Header.schemaName/tableName,
+    # EntryProtocol.proto:80-113; per-table meta TableMetaCache.java:45-76):
+    # name -> {"base_pid": int, "num_partitions": int, "ddl_journal": [...]}.
+    # Each table owns the global pid range [base_pid, base_pid+num_partitions);
+    # None = single-table lake (legacy layout, ddl_journal at top level).
+    tables: dict[str, dict] | None = None
 
     @property
     def payload_schema(self) -> pa.Schema:
-        return lake_schema([e["ddl"] for e in self.ddl_journal])
+        """Single-table: the journal-evolved schema. Multi-table: the
+        union of every table's schema (what the combine stage flattens
+        to; each partition casts down to its table's schema)."""
+        if self.tables is None:
+            return lake_schema([e["ddl"] for e in self.ddl_journal])
+        return widen_union([self.schema_of_table(t) for t in sorted(self.tables)])
+
+    # -- multi-table helpers ----------------------------------------------
+
+    def schema_of_table(self, name: str) -> pa.Schema:
+        if self.tables is None:
+            raise ValueError("single-table lake: use payload_schema")
+        return lake_schema([e["ddl"] for e in self.tables[name]["ddl_journal"]])
+
+    def table_of_pid(self, pid: int) -> str:
+        for name, t in self.tables.items():
+            if t["base_pid"] <= pid < t["base_pid"] + t["num_partitions"]:
+                return name
+        raise KeyError(f"pid {pid} not in any table range")
+
+    def schema_of_pid(self, pid: int) -> pa.Schema:
+        if self.tables is None:
+            return self.payload_schema
+        return self.schema_of_table(self.table_of_pid(pid))
+
+    def routing(self) -> dict[str, tuple[int, int]] | None:
+        """table name -> (base_pid, num_partitions), or None (single)."""
+        if self.tables is None:
+            return None
+        return {n: (t["base_pid"], t["num_partitions"]) for n, t in self.tables.items()}
 
     def to_json(self) -> str:
         return json.dumps(
@@ -175,6 +224,7 @@ class Manifest:
                 "partitions": self.partitions,
                 "ledger": self.ledger,
                 "metrics": self.metrics,
+                "tables": self.tables,
             },
             separators=(",", ":"),
         )
@@ -192,6 +242,7 @@ class Manifest:
             partitions=d["partitions"],
             ledger=d["ledger"],
             metrics=d.get("metrics", {}),
+            tables=d.get("tables"),
         )
 
 
@@ -218,20 +269,7 @@ class Lake:
                 "or choose a fresh directory"
             )
         os.makedirs(lake.manifest_dir, exist_ok=True)
-        pids = partition_ids(table["doc_id"].to_numpy(zero_copy_only=False), num_partitions)
-        parts: dict[str, dict] = {}
-        import numpy as np
-
-        order = np.argsort(pids, kind="stable")
-        sorted_tbl = table.take(order)
-        sorted_pids = pids[order]
-        bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
-        for pid in range(num_partitions):
-            lo, hi = int(bounds[pid]), int(bounds[pid + 1])
-            if lo == hi:
-                continue
-            rel = lake._write_part_file(sorted_tbl.slice(lo, hi - lo), pid, batch_id=0, seq=-1)
-            parts[str(pid)] = {"files": [rel], "rows": hi - lo}
+        parts = lake._write_initial_partitions(table, num_partitions, base_pid=0)
         m = Manifest(
             version=0,
             num_partitions=num_partitions,
@@ -243,6 +281,64 @@ class Lake:
         lake._write_manifest(m)
         lake._swap_current(m.version)
         return lake
+
+    @staticmethod
+    def create_multi(
+        lake_dir: str, initials: dict[str, pa.Table], partitions_per_table: int | dict = 8
+    ) -> "Lake":
+        """Bootstrap a MULTI-TABLE lake: one manifest, one global pid
+        space — table i owns the contiguous pid range
+        [base_i, base_i + P_i). Events route by their ``table`` column
+        (Header.schemaName/tableName, EntryProtocol.proto:80-113);
+        every table keeps its own DDL journal (TableMetaCache.java:45-76
+        per-table meta analog)."""
+        lake = Lake(lake_dir)
+        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
+            raise FileExistsError(f"{lake_dir} already holds a committed lake")
+        os.makedirs(lake.manifest_dir, exist_ok=True)
+        tables: dict[str, dict] = {}
+        parts: dict[str, dict] = {}
+        base = 0
+        for name in sorted(initials):
+            p = (
+                partitions_per_table[name]
+                if isinstance(partitions_per_table, dict)
+                else partitions_per_table
+            )
+            parts.update(lake._write_initial_partitions(initials[name], p, base_pid=base))
+            tables[name] = {"base_pid": base, "num_partitions": int(p), "ddl_journal": []}
+            base += int(p)
+        m = Manifest(
+            version=0,
+            num_partitions=base,
+            hwm=(-1, -1),
+            last_batch_id=-1,
+            schema_version=0,
+            partitions=parts,
+            tables=tables,
+        )
+        lake._write_manifest(m)
+        lake._swap_current(m.version)
+        return lake
+
+    def _write_initial_partitions(
+        self, table: pa.Table, num_partitions: int, base_pid: int
+    ) -> dict[str, dict]:
+        import numpy as np
+
+        pids = partition_ids(table["doc_id"].to_numpy(zero_copy_only=False), num_partitions)
+        parts: dict[str, dict] = {}
+        order = np.argsort(pids, kind="stable")
+        sorted_tbl = table.take(order)
+        sorted_pids = pids[order]
+        bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
+        for pid in range(num_partitions):
+            lo, hi = int(bounds[pid]), int(bounds[pid + 1])
+            if lo == hi:
+                continue
+            rel = self._write_part_file(sorted_tbl.slice(lo, hi - lo), base_pid + pid, batch_id=0, seq=-1)
+            parts[str(base_pid + pid)] = {"files": [rel], "rows": hi - lo}
+        return parts
 
     # -- manifest IO ------------------------------------------------------
 
@@ -330,6 +426,9 @@ class Lake:
         journal = list(cur.ddl_journal)
         if new_ddls:
             journal.extend(new_ddls)
+        tables = cur.tables
+        if tables is not None and new_ddls:
+            tables = route_ddls(tables, new_ddls)  # per-table journal routing
         rec = {
             "batch_id": batch_id,
             "prev_hwm": list(cur.hwm),
@@ -378,6 +477,7 @@ class Lake:
             partitions=parts,
             ledger=(cur.ledger + [rec])[-LEDGER_KEEP:],
             metrics=cur.metrics,
+            tables=tables,
         )
         self._write_manifest(m)
         self._swap_current(m.version)
@@ -415,34 +515,77 @@ class Lake:
         m = m or self.current()
         return [os.path.join(self.dir, f) for info in m.partitions.values() for f in info["files"]]
 
-    def read_table(self, m: Manifest | None = None) -> pa.Table:
+    def read_table(self, m: Manifest | None = None, table: str | None = None) -> pa.Table:
         """Full materialized read (tests / small lakes only):
-        per-partition merge-on-read (delta files, tombstones, up-cast)."""
+        per-partition merge-on-read (delta files, tombstones, up-cast).
+
+        Multi-table lakes: pass ``table`` to read one table in its own
+        schema; with table=None every partition is up-cast to the union
+        schema (columns missing from a table read as null)."""
         m = m or self.current()
-        target = m.payload_schema
+        out_schema = m.schema_of_table(table) if table is not None else m.payload_schema
+        lo, hi = (0, m.num_partitions)
+        if table is not None:
+            t = m.tables[table]
+            lo, hi = t["base_pid"], t["base_pid"] + t["num_partitions"]
         tables = []
-        for info in m.partitions.values():
+        for pid_s, info in m.partitions.items():
+            pid = int(pid_s)
+            if not (lo <= pid < hi):
+                continue
             files = [pq.read_table(os.path.join(self.dir, f)) for f in info["files"]]
             if files:
-                tables.append(merge_partition_files(files, target))
+                merged = merge_partition_files(files, m.schema_of_pid(pid))
+                tables.append(upcast_table(merged, out_schema))
         if not tables:
-            return target.empty_table()
+            return out_schema.empty_table()
         return pa.concat_tables(tables)
 
-    def read_dataset(self, m: Manifest | None = None):
+    def read_dataset(self, m: Manifest | None = None, table: str | None = None):
         """Streaming read as a ray.data.Dataset with merge-on-read.
 
         Fast path (fully compacted lake: ≤1 file per partition): plain
         parallel read, tombstone filter + up-cast per batch, no
         shuffle. Delta path: one ``groupby(__pid)`` shuffle so each
         partition's files merge together (delta-mode read cost — run
-        ``compact()`` to return to the fast path)."""
+        ``compact()`` to return to the fast path).
+
+        Multi-table lakes: ``table`` reads one table in its own schema;
+        table=None unions every table up-cast to the union schema."""
         import ray.data as rd
 
         m = m or self.current()
-        target = m.payload_schema
-        if all(len(i["files"]) <= 1 for i in m.partitions.values()):
-            ds = rd.read_parquet(self.data_files(m))
+        if m.tables is not None and table is None:
+            union = m.payload_schema
+
+            def widen(t: pa.Table, s=union) -> pa.Table:
+                return upcast_table(t, s)
+
+            parts = [
+                self.read_dataset(m, name).map_batches(widen, batch_format="pyarrow")
+                for name in sorted(m.tables)
+            ]
+            ds = parts[0]
+            return ds.union(*parts[1:]) if len(parts) > 1 else ds
+
+        if table is not None:
+            trec = m.tables[table]
+            base, p = trec["base_pid"], trec["num_partitions"]
+            target = m.schema_of_table(table)
+            pids_in = [
+                pid_s for pid_s in m.partitions if base <= int(pid_s) < base + p
+            ]
+        else:
+            base, p = 0, m.num_partitions
+            target = m.payload_schema
+            pids_in = list(m.partitions)
+        files = [
+            os.path.join(self.dir, f) for pid_s in pids_in for f in m.partitions[pid_s]["files"]
+        ]
+        if not files:
+            return rd.from_arrow(target.empty_table())
+        if all(len(m.partitions[pid_s]["files"]) <= 1 for pid_s in pids_in):
+            ds = rd.read_parquet(files)
 
             def clean(t: pa.Table, s=target) -> pa.Table:
                 if "__deleted" in t.column_names:
@@ -454,14 +597,12 @@ class Lake:
         # delta path: recover the partition id per row, merge per pid.
         # __seq (written per file) totally orders the versions per key,
         # so no file-order information is needed after the read.
-        ds = rd.read_parquet(self.data_files(m))
+        ds = rd.read_parquet(files)
 
         def tag(t: pa.Table) -> pa.Table:
-            import numpy as np
-
             from clever_canal_ray.state.partitioning import partition_ids
 
-            pids = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), m.num_partitions)
+            pids = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), p)
             return t.append_column("__pid", pa.array(pids, pa.int32()))
 
         def merge(group: pa.Table, s=target) -> pa.Table:
@@ -521,7 +662,6 @@ class Lake:
         consumed; manifest version bump only). The delta-mode
         maintenance operation."""
         cur = self.current()
-        target = cur.payload_schema
         parts = dict(cur.partitions)
         todo = [
             (pid_s, info["files"])
@@ -530,6 +670,7 @@ class Lake:
         ]
 
         def compact_one(pid_s: str, files: list[str]) -> tuple[str, str, int]:
+            target = cur.schema_of_pid(int(pid_s))
             tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
             merged = merge_partition_files(tables, target)
             # seq = last committed batch: the compacted file holds
@@ -564,6 +705,7 @@ class Lake:
             partitions=parts,
             ledger=cur.ledger,
             metrics=cur.metrics,
+            tables=cur.tables,
         )
         self._write_manifest(m)
         self._swap_current(m.version)

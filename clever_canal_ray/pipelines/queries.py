@@ -61,6 +61,55 @@ def cdc_upsert_lake(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_multi_table(sf_dir: str):
+    """Multi-table apply: the flagship CDC stream routed across TWO
+    tables by doc key %% 2 into one multi-table lake (one manifest, one
+    shuffle); per-table final state re-tagged with its table name —
+    the oracle recomputes the same routing from doc_id in SQL."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from clever_canal_ray.fixtures.generator import retable_by_key, split_lake_by_key
+    from clever_canal_ray.pipelines.flagship import derive_change_events, tokenize_documents
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.state.manifest import Lake
+
+    work_dir = os.path.join("/tmp", f"ccr_multi_{uuid.uuid4().hex}")
+    os.makedirs(work_dir)
+    try:
+        lake_tbl = tokenize_documents(sf_dir)
+        events = retable_by_key(derive_change_events(sf_dir, lake_tbl.num_rows), 2)
+        seg_path = os.path.join(work_dir, "segment-00000.parquet")
+        pq_.write_table(events, seg_path)
+        lake = Lake.create_multi(
+            os.path.join(work_dir, "lake"), split_lake_by_key(lake_tbl, 2), partitions_per_table=4
+        )
+        replay(lake, [seg_path], ReplayConfig(sink_mode="delta", pipeline_depth=2))
+        lake.compact()
+        m = lake.current()
+
+        rows = []
+        for name in sorted(m.tables):
+            t = lake.read_table(table=name)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": t["doc_id"].to_pylist(),
+                        "n_tok": t["n_tok"].to_numpy(zero_copy_only=False).astype("int64"),
+                        "source": t["source"].to_pylist(),
+                        "tbl": name,
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def cdc_lww_state(sf_dir: str):
     ds = _read(sf_dir, "events").map_batches(_with_op, batch_format="pandas")
     out = cdc_ops.lww_latest(ds, key="user_id", pos="event_id")

@@ -48,11 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q.text_fingerprint,
         "lang_id": q.lang_id,  # rows-only (heuristic)
         "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
-        "minhash_verified": q.minhash_verified,  # rows-only (LSH + exact verify)
-        "simhash_docs": q.simhash_docs,  # rows-only (bit ops)
+        "minhash_verified": q.minhash_verified,  # oracle: exact all-pairs jaccard
+        "simhash_docs": q.simhash_docs,  # oracle: md5-based bit votes in SQL
         "ann_lsh_topk": q.ann_lsh_topk,  # rows-only (approximate by design)
         "embedding_lsh_dups": q.embedding_lsh_dups,  # rows-only (bucketed scale path)
-        "multimodal_features": q.multimodal_features,  # rows-only (binary payload plumbing)
+        "multimodal_features": q.multimodal_features,  # oracle: byte counts in SQL
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "ann_topk": q.ann_topk,
         "embedding_dups": q.embedding_dups,
@@ -193,6 +193,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "multimodal_features": r"""
+            SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(length(text) - length(regexp_replace(text, '[\x00-\x1f]', '', 'g')) AS BIGINT) AS f0_count
+            FROM documents
+        """,
+        "simhash_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+            h AS (SELECT doc_id, CAST(md5_number_upper(word) AS UBIGINT) AS h FROM w),
+            v AS (SELECT doc_id, b, sum(CAST((h >> b) & 1 AS BIGINT)) AS ones, count(*) AS n
+                  FROM h CROSS JOIN range(64) t(b) GROUP BY doc_id, b)
+            SELECT doc_id,
+                   lpad(lower(to_hex(CAST(sum(CASE WHEN ones*2 >= n
+                                                   THEN (CAST(1 AS UBIGINT) << b)
+                                                   ELSE CAST(0 AS UBIGINT) END) AS UBIGINT))),
+                        16, '0') AS simhash_hex
+            FROM v GROUP BY doc_id
+        """,
+        "minhash_verified": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+                          ELSE list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                              for i in range(1, len(s)-1)])
+                     END AS g
+                   FROM t),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                             CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.g, b.g))) AS jac
+                      FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+            SELECT a, b, CAST(floor(jac*1000000 + 0.5) AS BIGINT) AS jac_e6
+            FROM pairs WHERE jac >= 0.4
         """,
         "ngram_jaccard_pairs": """
             SELECT a.doc_id AS a, b.doc_id AS b, round(jaccard(a.text, b.text), 4) AS jac

@@ -292,8 +292,23 @@ def minhash_pairs(sf_dir: str):
 
 
 def simhash_docs(sf_dir: str):
+    """SimHash with the md5-based word hash (``md5_number_upper``) so
+    DuckDB can recompute the identical 64-bit fingerprint — the
+    oracle-checked variant; the default pipeline hash (pandas
+    hash_array) is faster but engine-internal."""
+    from clever_canal_ray.functions.dedup import md5_u64, simhash_u64
+
+    def sim(df: pd.DataFrame) -> pd.DataFrame:
+        vals = simhash_u64(df["text"].to_numpy(), word_hash=md5_u64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "simhash_hex": [format(int(v), "016x") for v in vals],
+            }
+        )
+
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        simhash64, batch_format="pandas"
+        sim, batch_format="pandas"
     )
 
 
@@ -333,11 +348,36 @@ def embedding_dups(sf_dir: str):
 
 
 def minhash_verified(sf_dir: str):
-    """Rows-only: LSH candidates + exact shingle-Jaccard verification."""
+    """LSH candidates + exact shingle-Jaccard verification, fully
+    distributed (bucketed shuffle join of texts to candidate pairs; no
+    driver materialization). Oracle-checked: the exact word-3-gram
+    Jaccard is recomputed all-pairs in DuckDB — LSH recall is 1 on this
+    fixture, verified at sf0.001 and sf0.01."""
     from clever_canal_ray.functions.dedup import minhash_lsh_pairs_verified
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_pairs_verified(ds, threshold=0.4)
+    out = minhash_lsh_pairs_verified(ds, threshold=0.4)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "jac_e6": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                # half-up integer micros: np.round is half-even, DuckDB
+                # round is half-away — floor(x*1e6+0.5) matches exactly
+                "jac_e6": np.floor(df["jaccard"].to_numpy() * 1e6 + 0.5).astype("int64"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
 
 
 def ann_lsh_topk(sf_dir: str):
@@ -381,8 +421,13 @@ def multimodal_features(sf_dir: str):
         schema=MEDIA_SCHEMA,
     )
     out = extract_features(rd.from_arrow(media), concurrency=2, batch_size=64).to_pandas()
-    out["f0"] = [round(float(f[0]), 6) for f in out["features"]]
-    return out[["media_id", "n_bytes", "f0"]]
+    # bin-0 byte count recovered exactly from the actor's float32 ratio
+    # (count = ratio * n_bytes rounds exactly at these magnitudes) — an
+    # integer DuckDB can recompute as the control-char byte count
+    out["f0_count"] = [
+        int(round(float(f[0]) * n)) for f, n in zip(out["features"], out["n_bytes"])
+    ]
+    return out[["media_id", "n_bytes", "f0_count"]]
 
 
 # --- analytic parity (aggregate / sort / join coverage) ------------------

@@ -146,12 +146,14 @@ def test_minhash_verified_pairs(ray_session):
     from clever_canal_ray.functions.dedup import minhash_lsh_pairs_verified, shingle_jaccard
 
     docs = _near_dup_docs(n=30)
-    out = minhash_lsh_pairs_verified(rd.from_pandas(docs), threshold=0.6)
+    out = minhash_lsh_pairs_verified(rd.from_pandas(docs), threshold=0.6).to_pandas()
+    out["a"] = out["a"].astype(int)  # ids ride the shuffle join as strings
+    out["b"] = out["b"].astype(int)
     assert len(out) > 0
     # every surviving pair really has jaccard >= threshold (exact)
     by_id = dict(zip(docs["doc_id"], docs["text"]))
     for a, b, j in zip(out["a"], out["b"], out["jaccard"]):
-        assert abs(shingle_jaccard(by_id[a], by_id[b]) - j) < 1e-6  # fn rounds to 6dp
+        assert abs(shingle_jaccard(by_id[a], by_id[b]) - j) < 1e-9
         assert j >= 0.6
     planted = {(2 * k, 2 * k + 1) for k in range(15)}
     found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}

@@ -115,3 +115,29 @@ def test_ledger_ring_and_full_ledger_sidecar(tmp_path):
         if f.startswith("manifest-")
     )
     assert sizes[-1] < 40_000
+
+
+def test_minhash_simhash_batch_kernels_match_per_doc():
+    """The columnar signature/simhash kernels reproduce the per-doc
+    reference bit-for-bit (including empty/short-doc paths)."""
+    from clever_canal_ray.functions.dedup import MinHasher, _stable_u64, simhash_u64
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=int(n))) for n in rng.integers(0, 40, 300)]
+    texts += ["", "one", "two words", "exactly three words"]
+    mh = MinHasher()
+    ref = np.stack([mh.signature(t) for t in texts])
+    assert np.array_equal(ref, mh.signatures_batch(texts))
+
+    bits = np.arange(64, dtype=np.uint64)
+    expected = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            continue
+        hs = _stable_u64(words)
+        votes = ((hs[:, None] >> bits) & np.uint64(1)).astype(np.int64)
+        maj = votes.sum(axis=0) * 2 >= len(words)
+        expected[i] = np.bitwise_or.reduce(np.where(maj, np.uint64(1) << bits, np.uint64(0)))
+    assert np.array_equal(expected, simhash_u64(texts))

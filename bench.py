@@ -46,7 +46,10 @@ HEADLINE_ONLY = os.environ.get("CCR_BENCH_HEADLINE_ONLY", "0") == "1"
 
 
 def fixture_dir() -> str:
-    key = f"v4_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
+    # v5: segment plan metadata moved to .plan.json sidecars (schema
+    # metadata made Ray block schemas unhashable -> per-block schema
+    # shipping + warning spam)
+    key = f"v5_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
     return os.path.join("/tmp", f"ccr_bench_{key}")
 
 

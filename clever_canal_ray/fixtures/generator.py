@@ -562,17 +562,9 @@ def write_multi_table_fixture(
     os.makedirs(seg_dir, exist_ok=True)
     segments, payload = generate_events(spec)
     segments = [retable_by_key(t, n_tables, prefix) for t in segments]
-    paths = []
-    for s, t in enumerate(segments):
-        p = os.path.join(seg_dir, f"segment-{s + spec.segment_base:05d}.parquet")
-        pq.write_table(
-            t.replace_schema_metadata(
-                {**(t.schema.metadata or {}), b"ccr_plan": segment_plan_metadata(t).encode()}
-            ),
-            p,
-            use_dictionary=["op", "table", "segment_id"],
-        )
-        paths.append(p)
+    paths = [
+        _write_segment(t, seg_dir, s + spec.segment_base) for s, t in enumerate(segments)
+    ]
     initials = split_lake_by_key(generate_lake(spec), n_tables, prefix)
     return {
         "segment_paths": paths,
@@ -593,17 +585,23 @@ def write_fixture(spec: EventLogSpec, root: str) -> dict:
     seg_dir = os.path.join(root, "segments")
     os.makedirs(seg_dir, exist_ok=True)
     segments, payload = generate_events(spec)
-    paths = []
-    for s, t in enumerate(segments):
-        p = os.path.join(seg_dir, f"segment-{s + spec.segment_base:05d}.parquet")
-        # dict-encode only the low-cardinality string columns; dict on
-        # the random token lists costs 2-5x en/decode CPU for nothing
-        pq.write_table(
-            t.replace_schema_metadata(
-                {**(t.schema.metadata or {}), b"ccr_plan": segment_plan_metadata(t).encode()}
-            ),
-            p,
-            use_dictionary=["op", "table", "segment_id"],
-        )
-        paths.append(p)
+    paths = [
+        _write_segment(t, seg_dir, s + spec.segment_base) for s, t in enumerate(segments)
+    ]
     return {"segment_paths": paths, "payload_schema": payload, "n_events": sum(len(t) for t in segments)}
+
+
+def _write_segment(t: pa.Table, seg_dir: str, segment_id: int) -> str:
+    """Write one segment file + its ``.plan.json`` sidecar (the binlog
+    index-file analog). The plan lives in a SIDECAR, not parquet schema
+    metadata: a pa.Schema carrying metadata is unhashable, which
+    disables Ray's block-schema deduplication and spams every worker
+    with 'Failed to hash the schemas' warnings (transform_pyarrow
+    unify_schemas) — clean schemas keep block bundling cheap."""
+    p = os.path.join(seg_dir, f"segment-{segment_id:05d}.parquet")
+    # dict-encode only the low-cardinality string columns; dict on
+    # the random token lists costs 2-5x en/decode CPU for nothing
+    pq.write_table(t, p, use_dictionary=["op", "table", "segment_id"])
+    with open(p + ".plan.json", "w") as f:
+        f.write(segment_plan_metadata(t))
+    return p

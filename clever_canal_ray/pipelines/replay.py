@@ -115,16 +115,25 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
 
 
 def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan | None:
-    """Plan from footer metadata; None if any file lacks it."""
+    """Plan from the ``.plan.json`` sidecar (binlog index-file analog;
+    legacy fallback: parquet footer ``ccr_plan`` metadata). None if any
+    file lacks both — caller falls back to the light column scan."""
+    import os
+
     import pyarrow.parquet as pq
 
     hwm_pos = int(pack_position(hwm[0], hwm[1])) if hwm[0] >= 0 else -1
     acks, metas = [], []
     for p in segment_paths:
-        md = pq.read_metadata(p).metadata
-        if not md or b"ccr_plan" not in md:
-            return None
-        m = json.loads(md[b"ccr_plan"])
+        sidecar = p + ".plan.json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                m = json.loads(f.read())
+        else:
+            md = pq.read_metadata(p).metadata
+            if not md or b"ccr_plan" not in md:
+                return None
+            m = json.loads(md[b"ccr_plan"])
         metas.append(m)
         if m["ack"] is not None:
             acks.append(tuple(m["ack"]))

@@ -95,15 +95,106 @@ def dedup_positions(ds, pos_col: str, group_cols: list[str]):
     )
 
 
-def write_flat_messages(events_ds, out_dir: str, database: str = "lake", table: str = "sequences"):
+def _field_changed(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Row mask: payload field value differs between two struct children
+    (validity difference counts as changed). Vectorized for scalars AND
+    list columns (length compare, then flat-aligned value compare)."""
+    va = ~np.asarray(pc.is_null(a).to_numpy(zero_copy_only=False), dtype=bool)
+    vb = ~np.asarray(pc.is_null(b).to_numpy(zero_copy_only=False), dtype=bool)
+    changed = va != vb
+    both = va & vb
+    if not both.any():
+        return changed
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type):
+        la = np.diff(np.asarray(a.offsets))
+        lb = np.diff(np.asarray(b.offsets))
+        len_diff = la != lb
+        changed |= both & len_diff
+        cand = both & ~len_diff
+        if cand.any():
+            idx = np.where(cand)[0]
+            fa = a.take(pa.array(idx)).flatten().to_numpy(zero_copy_only=False)
+            fb = b.take(pa.array(idx)).flatten().to_numpy(zero_copy_only=False)
+            neq = fa != fb
+            counts = la[idx]
+            any_neq = np.zeros(len(idx), dtype=bool)
+            nz = counts > 0
+            if nz.any():
+                # reduceat over the non-empty segments only (an empty
+                # segment would alias its neighbor's first element)
+                c2 = counts[nz]
+                offs2 = np.zeros(len(c2), np.int64)
+                np.cumsum(c2[:-1], out=offs2[1:])
+                any_neq[nz] = np.add.reduceat(neq.astype(np.int64), offs2) > 0
+            changed[idx] |= any_neq
+        return changed
+    neq = pc.not_equal(a, b)
+    neq_np = np.asarray(neq.fill_null(False).to_numpy(zero_copy_only=False), dtype=bool)
+    changed |= both & neq_np
+    return changed
+
+
+def write_flat_messages(
+    events_ds, out_dir: str, database: str = "lake", table: str = "sequences",
+    minimal_old: bool = True,
+):
     """Serialize canonical change events to FlatMessage-shaped JSON
     files (protocol/FlatMessage.java:10-35: one object per row change
     with database/table/pkNames/type/es/data/old) — the client-facing
     wire format, written distributed via ``Dataset.write_json``.
+
+    ``minimal_old``: for UPDATE rows, ``old`` carries only the columns
+    whose value actually changed (others null) and ``updated`` lists
+    their names — the per-column change mask
+    (LogEventConvert.isUpdate:875-899; FlatMessage.old holds changed
+    before-values only, FlatMessage.java:16).
     """
     def project(t: pa.Table) -> pa.Table:
         n = t.num_rows
         after = t["after"].combine_chunks() if isinstance(t["after"], pa.ChunkedArray) else t["after"]
+        before = (
+            t["before"].combine_chunks()
+            if "before" in t.column_names and isinstance(t["before"], pa.ChunkedArray)
+            else (t["before"] if "before" in t.column_names else pa.nulls(n, after.type))
+        )
+        is_u = np.asarray(pc.equal(t["op"], "U").to_numpy(zero_copy_only=False), dtype=bool)
+        fields = [after.type.field(i) for i in range(after.type.num_fields)]
+        updated_lists = pa.nulls(n, pa.list_(pa.string()))
+        if minimal_old and is_u.any() and before.null_count < n:
+            old_children = []
+            changed_by_field = {}
+            for f in fields:
+                a_child = pc.struct_field(before, f.name)
+                b_child = pc.struct_field(after, f.name)
+                ch = _field_changed(a_child, b_child) & is_u
+                changed_by_field[f.name] = ch
+                # U rows: null out unchanged cells; non-U rows keep before as-is
+                keep = ch | ~is_u
+                old_children.append(
+                    pc.if_else(pa.array(keep), a_child, pa.nulls(n, f.type))
+                )
+            before_invalid = np.asarray(
+                pc.is_null(before).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            old = pa.StructArray.from_arrays(
+                old_children, fields=fields, mask=pa.array(before_invalid)
+            )
+            # updated = changed column names per U row (list<string>)
+            names = [f.name for f in fields]
+            mat = np.stack([changed_by_field[nm] for nm in names], axis=1)  # (n, F)
+            counts = mat.sum(axis=1).astype(np.int64)  # all-False rows for non-U
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            name_arr = np.asarray(names, dtype=object)
+            # np.where iterates row-major: flat names align with offsets
+            flat = name_arr[np.where(mat)[1]] if counts.sum() else np.array([], dtype=object)
+            updated_lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat, pa.string()),
+                mask=pa.array(~is_u),
+            )
+        else:
+            old = before
         return pa.Table.from_pydict(
             {
                 "database": pa.array([database] * n, pa.string()),
@@ -113,9 +204,8 @@ def write_flat_messages(events_ds, out_dir: str, database: str = "lake", table: 
                 "type": t["op"],
                 "es": t["execute_ts"].cast(pa.int64()),
                 "data": after,
-                "old": t["before"].combine_chunks()
-                if "before" in t.column_names and isinstance(t["before"], pa.ChunkedArray)
-                else (t["before"] if "before" in t.column_names else pa.nulls(n, after.type)),
+                "old": old,
+                "updated": updated_lists,
             }
         )
 

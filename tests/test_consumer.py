@@ -176,6 +176,24 @@ def test_write_flat_messages(ray_session, fx, tmp_path):
             rows.extend(_json.loads(line) for line in fh if line.strip())
     assert len(rows) == total
     sample = rows[0]
-    assert set(sample) == {"database", "table", "pkNames", "isDdl", "type", "es", "data", "old"}
+    assert set(sample) == {
+        "database", "table", "pkNames", "isDdl", "type", "es", "data", "old", "updated",
+    }
     assert sample["pkNames"] == ["doc_id"]
     assert any(r["type"] == "D" and r["data"] is None for r in rows)
+    # per-column change mask (LogEventConvert.isUpdate analog): for U
+    # rows, `updated` names exactly the differing columns and `old`
+    # carries ONLY their before-values (unchanged cells null)
+    checked = 0
+    for r in rows:
+        if r["type"] != "U" or r["old"] is None or r["updated"] is None:
+            continue
+        non_null_old = {k for k, v in r["old"].items() if v is not None}
+        assert non_null_old <= set(r["updated"])
+        for k in r["updated"]:
+            assert r["data"] is None or r["old"].get(k) != r["data"].get(k) or r["old"].get(k) is None
+        # a column present in old must genuinely differ from the after image
+        for k in non_null_old:
+            assert r["data"][k] != r["old"][k]
+        checked += 1
+    assert checked > 0

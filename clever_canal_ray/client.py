@@ -159,6 +159,21 @@ class ChangeConsumer:
         self._cursor = tuple(rec["ack"])
         self._persist()
 
+    def seek_to_timestamp(self, ts_ms: int) -> tuple[int, int]:
+        """Timestamp-positioned rewind/seek (MysqlEventParser
+        .findStartPositionInternal rewind-by-timestamp analog): move
+        the cursor to the last txn boundary before the first event with
+        ``execute_ts`` >= ts_ms; in-flight batches are dropped and the
+        next get delivers from the transaction containing that event."""
+        from clever_canal_ray.sources.segments import find_start_position
+
+        pos = find_start_position(self.dirs, ts_ms)
+        self._cursor = pos
+        self._delivered = pos
+        self._inflight = []
+        self._persist()
+        return pos
+
     def rollback(self) -> None:
         """Clear the in-flight ledger and reset the delivered cursor to
         the acked cursor; everything un-acked is re-delivered by

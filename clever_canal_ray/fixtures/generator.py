@@ -513,6 +513,7 @@ def segment_plan_metadata(t: pa.Table) -> str:
             "ddls": ddls,
             "truncates": truncates,
             "max_ts": int(ts.max().astype("datetime64[ms]").astype("int64")) if len(t) else None,
+            "min_ts": int(ts.min().astype("datetime64[ms]").astype("int64")) if len(t) else None,
         }
     )
 

@@ -41,6 +41,83 @@ def discover_segments(dirs: list[str] | str) -> list[str]:
     return [p for _, p in found]
 
 
+def load_segment_plan(path: str) -> dict | None:
+    """Load a segment's plan metadata (``.plan.json`` sidecar, legacy
+    parquet-footer fallback); None if neither exists."""
+    import json
+
+    sidecar = path + ".plan.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.loads(f.read())
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path).metadata
+    if md and b"ccr_plan" in md:
+        return json.loads(md[b"ccr_plan"])
+    return None
+
+
+def find_start_position(paths_or_dirs, ts_ms: int) -> tuple[int, int]:
+    """Timestamp-positioned start (MysqlEventParser
+    .findStartPositionInternal:466-547 rewind-by-timestamp analog):
+    the last transaction-boundary position BEFORE the first event whose
+    ``execute_ts`` >= ts_ms, in (segment_id, offset) order. Feeding it
+    as a cursor/HWM delivers the whole transaction containing that
+    event and everything after. Returns (-1, -1) when ts_ms precedes
+    the stream.
+
+    Plan sidecars prune the scan to one segment (plus its predecessor
+    for the boundary); files without plans get a light column scan.
+    """
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    from clever_canal_ray.schema import pack_position
+
+    if isinstance(paths_or_dirs, str) or (
+        isinstance(paths_or_dirs, list) and paths_or_dirs and os.path.isdir(paths_or_dirs[0])
+    ):
+        paths = discover_segments(paths_or_dirs)
+    else:
+        paths = list(paths_or_dirs)
+    if not paths:
+        return (-1, -1)
+    # prune: first segment whose max_ts >= ts holds the first such event
+    # (min/max ts per segment overlap only by jitter); scan it plus its
+    # predecessor (for the preceding txn boundary)
+    first_idx = 0
+    plans = [load_segment_plan(p) for p in paths]
+    if all(pl is not None and pl.get("max_ts") is not None for pl in plans):
+        first_idx = next(
+            (i for i, pl in enumerate(plans) if pl["max_ts"] >= ts_ms), len(paths) - 1
+        )
+    scan = paths[max(0, first_idx - 1) : first_idx + 1]
+    t = pds.dataset(scan).to_table(
+        columns=["segment_id", "offset", "execute_ts", "txn_commit"]
+    )
+    seg = t["segment_id"].to_numpy(zero_copy_only=False)
+    off = t["offset"].to_numpy(zero_copy_only=False)
+    pos = pack_position(seg, off)
+    order = np.argsort(pos, kind="stable")
+    ts = t["execute_ts"].to_numpy(zero_copy_only=False).astype("datetime64[ms]").astype(np.int64)[order]
+    commit = t["txn_commit"].to_numpy(zero_copy_only=False).astype(bool)[order]
+    at_or_after = np.where(ts >= ts_ms)[0]
+    if len(at_or_after) == 0:
+        # whole scanned window precedes ts: start after its last boundary
+        bidx = np.where(commit)[0]
+        if len(bidx) == 0:
+            return (-1, -1)
+        i = int(bidx[-1])
+        return (int(seg[order][i]), int(off[order][i]))
+    first = int(at_or_after[0])
+    bidx = np.where(commit[:first])[0]
+    if len(bidx) == 0:
+        return (-1, -1)
+    i = int(bidx[-1])
+    return (int(seg[order][i]), int(off[order][i]))
+
+
 @dataclass
 class SegmentQueue:
     """Poll-based file queue over journal dirs: ``pending(hwm_segment)``

@@ -500,6 +500,24 @@ class Lake:
                     by_id[rec["batch_id"]] = rec
         return [by_id[b] for b in sorted(by_id) if b <= cur.last_batch_id]
 
+    def skip_to(self, position: tuple[int, int], batch_id: int | None = None) -> Manifest:
+        """Advance the HWM past a stream prefix WITHOUT applying it —
+        the start-at-position/timestamp primitive (pair with
+        ``sources.segments.find_start_position(dirs, ts_ms)`` for
+        "begin replaying this journal at timestamp T" on a fresh lake).
+        Committed as an empty batch; refuses to move the HWM backwards
+        (HWM is monotone — rewind is ``rollback_to_version``)."""
+        cur = self.current()
+        if tuple(position) <= tuple(cur.hwm):
+            raise ValueError(f"skip_to {position} is not ahead of HWM {cur.hwm}")
+        return self.commit_batch(
+            cur,
+            batch_id=cur.last_batch_id + 1 if batch_id is None else batch_id,
+            new_hwm=tuple(position),
+            touched={},
+            metrics={"skip": True},
+        )
+
     def rollback_to_version(self, version: int) -> Manifest:
         """Time-travel the pointer back (EventStore.rollback analog:
         un-acked work is simply re-delivered from the earlier HWM)."""

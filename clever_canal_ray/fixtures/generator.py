@@ -310,7 +310,21 @@ def generate_events(spec: EventLogSpec):
             key_all[out_pos] = key_idx[src_pos]
             sv_all[out_pos] = version
             src_pos += 1
-    final_payload = lake_schema([d for _, d in spec.ddls])
+    # logical final schema (all DDLs; registry verbs live at the
+    # manifest layer) vs PHYSICAL event layout: events encode under the
+    # original column names with dropped columns retained (adds+widens
+    # only) — a renamed/dropped column's pre-DDL events still carry its
+    # values; the engine resolves names through the journal's rename
+    # map at merge-on-read (schema.attach_renames)
+    column_ddls = [
+        d
+        for _, d in spec.ddls
+        if d["op"] not in ("create_table", "drop_table", "rename_table")
+    ]
+    final_payload = lake_schema(column_ddls)
+    physical_payload = lake_schema(
+        [d for d in column_ddls if d["op"] in ("add_column", "widen_type")]
+    )
 
     # ---- positions: segments / offsets / txns ---------------------------
     seg_bounds = np.linspace(0, total, spec.n_segments + 1).astype(np.int64)
@@ -433,8 +447,8 @@ def generate_events(spec: EventLogSpec):
     m = key_all >= 0
     doc_ids[m] = np.array([spec.doc_id(int(k)) for k in key_all[m]], dtype=object)
 
-    tok_type = final_payload.field("tokens").type
-    ntok_type = final_payload.field("n_tok").type
+    tok_type = physical_payload.field("tokens").type
+    ntok_type = physical_payload.field("n_tok").type
 
     def payload_arrays(tokens_obj, source_obj, ntok_np, valid, extra):
         arrays = {
@@ -445,22 +459,22 @@ def generate_events(spec: EventLogSpec):
             ),
             "source": pa.array(np.where(valid, source_obj, None), pa.string()),
         }
-        for f in final_payload:
+        for f in physical_payload:
             if f.name in arrays:
                 continue
             arrays[f.name] = pa.array(extra.get(f.name, np.full(total, None, dtype=object)), f.type)
         return arrays
 
     after_struct = _payload_struct(
-        final_payload, payload_arrays(after_tokens_obj, after_source, lengths, has_after, extra_vals), has_after
+        physical_payload, payload_arrays(after_tokens_obj, after_source, lengths, has_after, extra_vals), has_after
     )
     before_struct = _payload_struct(
-        final_payload,
+        physical_payload,
         payload_arrays(before_tokens_obj, before_source, before_ntok, has_before, before_extra),
         has_before,
     )
 
-    ev_schema = event_schema(final_payload)
+    ev_schema = event_schema(physical_payload)
     full = pa.Table.from_arrays(
         [
             pa.array(segment_id, pa.int32()),

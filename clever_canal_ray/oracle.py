@@ -21,7 +21,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from clever_canal_ray.schema import lake_schema, upcast_table
+from clever_canal_ray.schema import journal_renames, lake_schema, upcast_table
 
 
 def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) -> pa.Table:
@@ -60,8 +60,17 @@ def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) ->
             state[key] = {k: after[k] for k in after}
 
     final_schema = lake_schema(ddls)
+    renames = journal_renames(ddls)  # old physical name -> final name
     rows = [state[k] for k in sorted(state)]
-    # rows written under older versions lack the added columns
-    norm = [{f.name: r.get(f.name) for f in final_schema} for r in rows]
-    t = pa.Table.from_pylist(norm, schema=final_schema)
+
+    def val(r: dict, name: str):
+        if name in r:
+            return r[name]
+        for old, new in renames.items():
+            if new == name and old in r:
+                return r[old]
+        return None  # written under an older version
+
+    norm = [{f.name: val(r, f.name) for f in final_schema} for r in rows]
+    t = pa.Table.from_pylist(norm, schema=pa.schema(list(final_schema)))
     return upcast_table(t, final_schema)

@@ -332,7 +332,9 @@ def replay_batch(
 
     journal = base.ddl_journal + plan.new_ddls
     tables_meta = (
-        route_ddls(base.tables, plan.new_ddls) if base.tables is not None else None
+        route_ddls(base.tables, plan.new_ddls, min_new_base=base.next_base_pid())
+        if base.tables is not None
+        else None
     )
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
     touched = _execute_batch(
@@ -479,6 +481,14 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
         if plan.truncates:
             # a table-wide reset breaks the concurrent plan chain —
             # rare control event; the serial path handles the cut
+            return _replay_serial(lake, paths, cfg)
+        if tm is not None and any(
+            e["ddl"]["op"] in ("create_table", "drop_table", "rename_table")
+            for e in plan.new_ddls
+        ):
+            # registry DDLs re-shape the pid space mid-chain (create
+            # needs next_base_pid from the committed manifest) — rare
+            # control events; serial path handles them
             return _replay_serial(lake, paths, cfg)
         tm_next = route_ddls(tm, plan.new_ddls) if tm is not None else None
         batches.append((group, plan, hwm, list(journal), tm_next))

@@ -78,18 +78,28 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
-def apply_ddl(schema: pa.Schema, ddl: dict[str, Any]) -> pa.Schema:
+def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None) -> pa.Schema:
     """Apply one structured DDL record to a schema.
 
     DDL records are the structured analog of Canal's DDL history rows
-    (FIXTURES.md §3): ``{"op": "add_column"|"widen_type", ...}``.
-    Enforces the additive/widening-only rule.
+    (FIXTURES.md §3; verb classification DruidDdlParser.parse:22-160):
+    ``add_column | widen_type | rename_column | drop_column`` (plus the
+    multi-table registry verbs create/drop/rename_table handled at the
+    manifest layer). ``dropped`` (optional, mutated) tracks dropped
+    names: re-adding one is rejected — old files may still hold its
+    values and merge-on-read would resurrect them; compact + a fresh
+    name instead.
     """
     op = ddl["op"]
     if op == "add_column":
         name = ddl["name"]
         if schema.get_field_index(name) != -1:
             raise SchemaEvolutionError(f"column {name!r} already exists")
+        if dropped is not None and name in dropped:
+            raise SchemaEvolutionError(
+                f"column {name!r} was dropped earlier; old files may still hold its "
+                "values — compact the lake and use a fresh name"
+            )
         return schema.append(pa.field(name, type_from_name(ddl["type"]), nullable=True))
     if op == "widen_type":
         name = ddl["name"]
@@ -101,15 +111,71 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any]) -> pa.Schema:
         if new not in _WIDEN_OK.get(old, ()) :
             raise SchemaEvolutionError(f"illegal widen {old} -> {new} for {name!r}")
         return schema.set(i, pa.field(name, type_from_name(new), nullable=schema.field(i).nullable))
+    if op == "rename_column":
+        src, dst = ddl["from"], ddl["to"]
+        i = schema.get_field_index(src)
+        if i == -1:
+            raise SchemaEvolutionError(f"column {src!r} not found")
+        if schema.get_field_index(dst) != -1:
+            raise SchemaEvolutionError(f"column {dst!r} already exists")
+        if src == "doc_id":
+            raise SchemaEvolutionError("the primary-key column cannot be renamed")
+        f = schema.field(i)
+        return schema.set(i, pa.field(dst, f.type, nullable=f.nullable))
+    if op == "drop_column":
+        name = ddl["name"]
+        i = schema.get_field_index(name)
+        if i == -1:
+            raise SchemaEvolutionError(f"column {name!r} not found")
+        if name == "doc_id":
+            raise SchemaEvolutionError("the primary-key column cannot be dropped")
+        if dropped is not None:
+            dropped.add(name)
+        return schema.remove(i)
     raise SchemaEvolutionError(f"unknown DDL op {op!r}")
+
+
+def journal_renames(ddls: list[dict[str, Any]]) -> dict[str, str]:
+    """Cumulative old-name -> final-name map of a DDL journal (files
+    written before a rename keep the old column name on disk; the
+    merge-on-read up-cast follows this map)."""
+    out: dict[str, str] = {}
+    for d in ddls:
+        if d["op"] == "rename_column":
+            src, dst = d["from"], d["to"]
+            for k, v in list(out.items()):
+                if v == src:
+                    out[k] = dst
+            out[src] = dst
+        elif d["op"] == "drop_column":
+            # dropping a renamed column ends its chain
+            out = {k: v for k, v in out.items() if v != d["name"]}
+    return out
+
+
+RENAMES_META_KEY = b"ccr_renames"
+
+
+def attach_renames(schema: pa.Schema, ddls: list[dict[str, Any]]) -> pa.Schema:
+    """Stamp the journal's rename map onto a target schema so every
+    ``upcast_table`` call against it resolves renamed columns in old
+    files — no signature changes anywhere in the merge path. The map
+    rides schema metadata; upcast_table strips it from its OUTPUT (a
+    schema with metadata is unhashable and would disable Ray's block
+    schema dedup)."""
+    renames = journal_renames(ddls)
+    if not renames:
+        return schema
+    return schema.with_metadata({RENAMES_META_KEY: json.dumps(renames)})
 
 
 def lake_schema(ddls: list[dict[str, Any]]) -> pa.Schema:
     """v0 schema + replay of the DDL journal (TableMetaTSDB replay)."""
     s = LAKE_SCHEMA_V0
+    dropped: set = set()
     for d in ddls:
-        s = apply_ddl(s, d)
-    return s
+        s = apply_ddl(s, d, dropped)
+    return attach_renames(s, ddls)
 
 
 def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
@@ -141,20 +207,35 @@ def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
 def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     """Up-cast a table written under an older schema version to ``target``.
 
-    Missing columns are added as all-null; widened columns are cast.
+    Missing columns are added as all-null; widened columns are cast;
+    renamed columns resolve through the rename map riding ``target``'s
+    metadata (attach_renames). Dropped columns simply aren't selected.
     This is the merge-on-read half of schema evolution: old Parquet
-    files are never rewritten (FIXTURES.md §3 rules).
+    files are never rewritten (FIXTURES.md §3 rules). The OUTPUT schema
+    carries no metadata (a schema with metadata is unhashable and
+    disables Ray's block-schema dedup).
     """
+    renames: dict[str, str] = {}
+    if target.metadata and RENAMES_META_KEY in target.metadata:
+        renames = json.loads(target.metadata[RENAMES_META_KEY])
+    out_schema = pa.schema(list(target))  # metadata stripped
     cols = []
     n = len(table)
     for f in target:
         i = table.schema.get_field_index(f.name)
+        if i == -1 and renames:
+            # a file written before the rename holds the old name
+            for old, new in renames.items():
+                if new == f.name:
+                    i = table.schema.get_field_index(old)
+                    if i != -1:
+                        break
         if i == -1:
             cols.append(pa.nulls(n, f.type))
         else:
             c = table.column(i)
             cols.append(c if c.type == f.type else c.cast(f.type))
-    return pa.Table.from_arrays(cols, schema=target)
+    return pa.Table.from_arrays(cols, schema=out_schema)
 
 
 def schema_to_json(schema: pa.Schema) -> str:

@@ -93,6 +93,17 @@ def make_combine_fn(
     hwm_pos = int(pack_position(hwm[0], hwm[1])) if hwm[0] >= 0 else -1
     ack_pos = int(pack_position(ack[0], ack[1]))
     payload_names = [f.name for f in target_payload]
+    # rename_column: events physically carry the ORIGINAL column name
+    # (their epoch's layout); resolve target names through the
+    # journal's rename map (schema.attach_renames on target_payload)
+    import json as _json
+
+    from clever_canal_ray.schema import RENAMES_META_KEY
+
+    _rev_renames: dict[str, list[str]] = {}
+    if target_payload.metadata and RENAMES_META_KEY in target_payload.metadata:
+        for _old, _new in _json.loads(target_payload.metadata[RENAMES_META_KEY]).items():
+            _rev_renames.setdefault(_new, []).append(_old)
     # F5 column projection: tuple = global keep-list; dict = PER-TABLE
     # keep-lists {table: (cols...)} (parseFieldFilterMap analog,
     # AbstractEventParser.java:667-682) — tables absent from the dict
@@ -193,9 +204,14 @@ def make_combine_fn(
         for f in target_payload:
             if f.name == "doc_id":
                 continue
-            try:
-                child = pc.struct_field(after, f.name)
-            except (KeyError, pa.ArrowInvalid):
+            child = None
+            for cand in [f.name] + _rev_renames.get(f.name, []):
+                try:
+                    child = pc.struct_field(after, cand)
+                    break
+                except (KeyError, pa.ArrowInvalid):
+                    continue
+            if child is None:
                 child = pa.nulls(batch.num_rows, f.type)
             if proj is not None and f.name not in proj:
                 child = pa.nulls(batch.num_rows, f.type)  # F5: dropped cell

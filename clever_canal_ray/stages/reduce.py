@@ -115,6 +115,10 @@ def make_partition_upsert_fn(
         # multi-table lakes: the partition's table owns its own schema
         # (cast down from the union the combine stage shipped)
         tp = pid_schemas.get(pid, target_payload) if pid_schemas else target_payload
+        # tp may carry the journal's rename map as metadata (merge-time
+        # concern); data FILES are written with clean schemas — schema
+        # metadata would make Ray block schemas unhashable on read
+        tp_clean = pa.schema(list(tp))
         payload_names = [f.name for f in tp]
         win, counts, _ = lww_reduce(group, payload_names)
         events_in = int(np.asarray(group["n_events"]).sum())
@@ -130,7 +134,7 @@ def make_partition_upsert_fn(
 
         if sink_mode == "delta" and len(existing) + 1 < compact_threshold:
             # write-optimal path: winners + tombstones, old files untouched
-            delta = pa.Table.from_arrays(payload_cols, schema=tp)
+            delta = pa.Table.from_arrays(payload_cols, schema=tp_clean)
             delta = ensure_helper_columns(delta, seq=batch_id, deleted=pa.array(is_del))
             rel = _write_file(lake_dir, delta, pid, batch_id)
             return pa.Table.from_pydict(
@@ -148,7 +152,7 @@ def make_partition_upsert_fn(
 
         # compact path: merge-on-read the current partition state, drop
         # changed keys, append final images, rewrite one file
-        images = pa.Table.from_arrays(payload_cols, schema=tp).filter(pa.array(~is_del))
+        images = pa.Table.from_arrays(payload_cols, schema=tp_clean).filter(pa.array(~is_del))
         changed_keys = win["doc_id"].combine_chunks() if isinstance(win["doc_id"], pa.ChunkedArray) else win["doc_id"]
         if existing:
             old = merge_partition_files(

@@ -83,7 +83,8 @@ def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table
     import numpy as np
 
     target_h = pa.schema(
-        list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+        list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+        metadata=target.metadata,  # carries the rename map for upcast
     )
     # file order within the manifest breaks __seq ties (same-batch
     # rewrite); encoded as a stride rank — the stride bounds how many
@@ -137,17 +138,55 @@ METRICS_PARTITION_SCHEMA = pa.schema(
 )
 
 
-def route_ddls(tables: dict[str, dict], new_ddls: list[dict]) -> dict[str, dict]:
-    """Copy ``tables`` with each DDL journal entry appended to its
-    target table's journal. Multi-table DDLs must carry the table name
-    in the ddl record (``{"op": ..., "table": "db.tbl"}``) — the
-    Header.schemaName/tableName routing rule."""
+# DDL verbs that alter the table REGISTRY rather than one table's
+# schema (DruidDdlParser CREATE/ERASE/RENAME classification analog)
+REGISTRY_DDL_OPS = ("create_table", "drop_table", "rename_table")
+
+
+def route_ddls(
+    tables: dict[str, dict], new_ddls: list[dict], min_new_base: int = 0
+) -> dict[str, dict]:
+    """Copy ``tables`` with each DDL journal entry applied: column DDLs
+    append to their target table's journal; registry DDLs
+    (create/drop/rename_table) mutate the registry itself. Multi-table
+    DDLs must carry the table name in the ddl record
+    (``{"op": ..., "table": "db.tbl"}``) — the Header.schemaName/
+    tableName routing rule. ``min_new_base``: lowest pid a created
+    table may claim (pass Manifest.next_base_pid() so a dropped table's
+    partition range is never reused while its files may survive)."""
     out = {n: {**t, "ddl_journal": list(t["ddl_journal"])} for n, t in tables.items()}
     for e in new_ddls:
-        name = e["ddl"].get("table")
-        if name not in out:
-            raise KeyError(f"DDL targets unknown table {name!r} (registered: {sorted(out)})")
-        out[name]["ddl_journal"].append(e)
+        d = e["ddl"]
+        op = d["op"]
+        name = d.get("table")
+        if op == "create_table":
+            if name in out:
+                raise KeyError(f"create_table: {name!r} already exists")
+            base = max(
+                [min_new_base] + [t["base_pid"] + t["num_partitions"] for t in out.values()]
+            )
+            out[name] = {
+                "base_pid": base,
+                "num_partitions": int(d.get("num_partitions", 8)),
+                "ddl_journal": [],
+            }
+        elif op == "drop_table":
+            if name not in out:
+                raise KeyError(f"drop_table: unknown table {name!r}")
+            del out[name]
+        elif op == "rename_table":
+            dst = d["to"]
+            if name not in out:
+                raise KeyError(f"rename_table: unknown table {name!r}")
+            if dst in out:
+                raise KeyError(f"rename_table: {dst!r} already exists")
+            out[dst] = out.pop(name)
+        else:
+            if name not in out:
+                raise KeyError(
+                    f"DDL targets unknown table {name!r} (registered: {sorted(out)})"
+                )
+            out[name]["ddl_journal"].append(e)
     return out
 
 
@@ -211,6 +250,14 @@ class Manifest:
         if self.tables is None:
             return None
         return {n: (t["base_pid"], t["num_partitions"]) for n, t in self.tables.items()}
+
+    def next_base_pid(self) -> int:
+        """Lowest pid a newly created table may claim: past every live
+        range AND every pid that ever held files (a dropped table's
+        range is not reused while its files may survive on disk)."""
+        ends = [t["base_pid"] + t["num_partitions"] for t in (self.tables or {}).values()]
+        pids = [int(p) + 1 for p in self.partitions]
+        return max(ends + pids + [self.num_partitions])
 
     def to_json(self) -> str:
         return json.dumps(
@@ -427,8 +474,18 @@ class Lake:
         if new_ddls:
             journal.extend(new_ddls)
         tables = cur.tables
+        num_partitions = cur.num_partitions
         if tables is not None and new_ddls:
-            tables = route_ddls(tables, new_ddls)  # per-table journal routing
+            tables = route_ddls(tables, new_ddls, min_new_base=cur.next_base_pid())
+            live = [
+                (t["base_pid"], t["base_pid"] + t["num_partitions"]) for t in tables.values()
+            ]
+            # drop_table: its partitions leave the manifest (files are
+            # unreferenced -> gc'd); create_table: the pid space grows
+            parts = {
+                p: i for p, i in parts.items() if any(lo <= int(p) < hi for lo, hi in live)
+            }
+            num_partitions = max([num_partitions] + [hi for _, hi in live])
         rec = {
             "batch_id": batch_id,
             "prev_hwm": list(cur.hwm),
@@ -469,7 +526,7 @@ class Lake:
             pq.write_table(mt, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
         m = Manifest(
             version=cur.version + 1,
-            num_partitions=cur.num_partitions,
+            num_partitions=num_partitions,
             hwm=new_hwm,
             last_batch_id=batch_id,
             schema_version=len(journal),

@@ -64,5 +64,9 @@ def test_illegal_ddl_rejected():
         apply_ddl(s, {"op": "widen_type", "name": "tokens", "from": "list<int64>", "to": "list<int32>"})
     with pytest.raises(SchemaEvolutionError):
         apply_ddl(s, {"op": "add_column", "name": "doc_id", "type": "string"})
+    # drop_column became a supported verb (tests/test_ddl_verbs.py);
+    # unknown verbs and PK drops stay rejected
     with pytest.raises(SchemaEvolutionError):
-        apply_ddl(s, {"op": "drop_column", "name": "source"})
+        apply_ddl(s, {"op": "drop_column", "name": "doc_id"})
+    with pytest.raises(SchemaEvolutionError):
+        apply_ddl(s, {"op": "alter_engine", "name": "source"})

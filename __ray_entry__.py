@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count_bpe": q.text_token_count_bpe,
         "text_quality": q.text_quality,
         "text_fingerprint": q.text_fingerprint,
-        "lang_id": q.lang_id,  # rows-only (heuristic)
+        "lang_id": q.lang_id,  # oracle: marker-overlap heuristic in SQL
         "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
         "minhash_verified": q.minhash_verified,  # oracle: exact all-pairs jaccard
         "simhash_docs": q.simhash_docs,  # oracle: md5-based bit votes in SQL
@@ -193,6 +193,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "lang_id": r"""
+            WITH d AS (SELECT doc_id, lower(substr(text,1,500)) AS head,
+                              substr(text,1,200) AS head200 FROM documents),
+            cjk AS (SELECT doc_id,
+                           length(head200) - length(regexp_replace(head200, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk
+                    FROM d),
+            words AS (SELECT doc_id, list_distinct(regexp_extract_all(head, '[a-z]+')) AS ws FROM d),
+            scores AS (
+              SELECT w.doc_id, l.lang, len(list_intersect(w.ws, l.markers)) AS score
+              FROM words w CROSS JOIN (VALUES
+                ('en', ['the','and','of','is','to','a','in','that']),
+                ('de', ['der','die','das','und','ist','nicht','ein']),
+                ('fr', ['le','la','les','et','est','une','pas']),
+                ('es', ['el','la','los','y','es','una','no'])) AS l(lang, markers)),
+            best AS (SELECT doc_id, lang, score,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+                     FROM scores)
+            SELECT d.doc_id,
+                   CASE WHEN c.n_cjk > 5 THEN 'zh'
+                        WHEN b.score > 0 THEN b.lang
+                        ELSE 'en' END AS pred_lang
+            FROM d JOIN cjk c USING (doc_id) JOIN best b USING (doc_id)
+            WHERE b.rn = 1
         """,
         "multimodal_features": r"""
             SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id,

@@ -40,6 +40,13 @@ class ReplayConfig:
     #               partitions auto-compact at compact_threshold files
     sink_mode: str = "compact"
     compact_threshold: int = 8
+    # GTID-style failover dedup: ALSO drop events whose logical txn_id
+    # is <= the manifest's txn_hwm. Enables switching to a mirror /
+    # archived copy of the stream whose file positions are incomparable
+    # (different segment numbering) without double-applying — the
+    # MysqlGtIdSet resume semantics (MysqlConnection.java:184,
+    # driver/.../MysqlGtIdSet.java).
+    gtid_dedup: bool = False
     # pipelined micro-batches: execute up to this many batch pipelines
     # concurrently (phase-1 writes are invisible until the strictly
     # in-order phase-2 commits). >1 requires sink_mode="delta" (compact

@@ -528,6 +528,11 @@ def segment_plan_metadata(t: pa.Table) -> str:
             "truncates": truncates,
             "max_ts": int(ts.max().astype("datetime64[ms]").astype("int64")) if len(t) else None,
             "min_ts": int(ts.min().astype("datetime64[ms]").astype("int64")) if len(t) else None,
+            # logical txn-id bounds — the GTID-set building block: txn
+            # ids survive re-segmentation (mirror/archive sources), file
+            # positions don't
+            "max_txn": int(t["txn_id"].to_numpy(zero_copy_only=False).max()) if len(t) else None,
+            "min_txn": int(t["txn_id"].to_numpy(zero_copy_only=False).min()) if len(t) else None,
         }
     )
 

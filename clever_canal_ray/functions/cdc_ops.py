@@ -68,10 +68,19 @@ def position_bounds(ds, key: str, pos: str):
 def kway_merge_head(shard_datasets, ts_col: str, pos_col: str, head: int):
     """O7 GroupEventSink analog: union N shard streams, order by
     (execute-ts, position) with position as the regression tiebreak,
-    take the first ``head`` events."""
-    ds = shard_datasets[0]
+    take the first ``head`` events.
+
+    Scale shape: each BLOCK first reduces to its local head-N (cheap
+    partial top-k inside map_batches), so the global sort ranks only
+    ~blocks x head rows instead of every event — a head-N over a
+    union must not be an all-data sort."""
+
+    def local_head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(head, [ts_col, pos_col])
+
+    ds = shard_datasets[0].map_batches(local_head, batch_format="pandas")
     for other in shard_datasets[1:]:
-        ds = ds.union(other)
+        ds = ds.union(other.map_batches(local_head, batch_format="pandas"))
     return ds.sort([ts_col, pos_col]).limit(head)
 
 

@@ -279,7 +279,9 @@ def text_fingerprint(sf_dir: str):
 
 
 def lang_id(sf_dir: str):
-    """Rows-only check (heuristic, no SQL equivalent)."""
+    """Language-ID actor pool; the marker-overlap heuristic (distinct
+    word ∩ marker-set score, lexicographic tie-break, CJK codepoint
+    gate) is mirrored exactly in DuckDB — oracle-checked."""
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         LangId, batch_format="pandas", concurrency=2
     )

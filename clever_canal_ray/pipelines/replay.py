@@ -49,6 +49,10 @@ class BatchPlan:
     n_candidate_events: int
     max_execute_ts: int | None = None  # ms; source-side liveness (F8 analog)
     n_seen_events: int = 0  # all events above HWM in the window (incl. past ack)
+    # highest logical txn id fully committed at the ack (GTID watermark
+    # input; exact — ack is a txn boundary so every event of txns up to
+    # it lies at or below the ack position)
+    max_txn_at_ack: int | None = None
     # TRUNCATE positions in (hwm, ack] (EventType.TRUNCATE=8 analog),
     # ascending; handled by replay_batch as whole-table resets
     truncates: list = field(default_factory=list)
@@ -72,7 +76,8 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
     )
     meta = dset.to_table(
-        columns=["segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts"], filter=flt
+        columns=["segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts", "txn_id"],
+        filter=flt,
     )
     if meta.num_rows == 0:
         return BatchPlan(ack=None, new_ddls=[], n_candidate_events=0)
@@ -101,6 +106,8 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     n_cand = int((pos <= ack_pos).sum())
     ts = meta["execute_ts"].to_numpy(zero_copy_only=False)
     max_ts = int(ts[pos <= ack_pos].max().astype("datetime64[ms]").astype("int64")) if n_cand else None
+    txn = meta["txn_id"].to_numpy(zero_copy_only=False)
+    max_txn = int(txn[pos <= ack_pos].max()) if n_cand else None
     t_idx = np.where((op == "T") & (pos <= ack_pos))[0]
     t_idx = t_idx[np.argsort(pos[t_idx])]
     truncates = [(int(seg[i]), int(off[i])) for i in t_idx]
@@ -111,6 +118,7 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         max_execute_ts=max_ts,
         n_seen_events=int(meta.num_rows),
         truncates=truncates,
+        max_txn_at_ack=max_txn,
     )
 
 
@@ -173,6 +181,34 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         if m["max_pos"] is not None
         and hwm_pos < int(pack_position(m["max_pos"][0], m["max_pos"][1])) <= ack_pos
     )
+    # GTID watermark: whole files at/below the ack contribute their
+    # footer max_txn; a file straddling the ack gets one light scan
+    max_txn = -1
+    exact = True
+    for p, m in zip(segment_paths, metas):
+        if m["max_pos"] is None:
+            continue
+        lo = int(pack_position(m["min_pos"][0], m["min_pos"][1]))
+        hi = int(pack_position(m["max_pos"][0], m["max_pos"][1]))
+        if hi <= ack_pos:
+            if m.get("max_txn") is None:
+                exact = False
+                break
+            max_txn = max(max_txn, int(m["max_txn"]))
+        elif lo <= ack_pos < hi:
+            import numpy as np
+
+            t = pds.dataset([p]).to_table(columns=["segment_id", "offset", "txn_id"])
+            pos = pack_position(
+                t["segment_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False),
+            )
+            inside = pos <= ack_pos
+            if inside.any():
+                max_txn = max(
+                    max_txn,
+                    int(t["txn_id"].to_numpy(zero_copy_only=False)[inside].max()),
+                )
     return BatchPlan(
         ack=ack,
         new_ddls=ddls,
@@ -180,6 +216,7 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         max_execute_ts=max_ts,
         n_seen_events=n_seen if max_seen > ack_pos else n_cand,
         truncates=truncates,
+        max_txn_at_ack=(max_txn if (exact and max_txn >= 0) else None),
     )
 
 
@@ -194,6 +231,7 @@ def _execute_batch(
     part_files: dict[int, list[str]],
     force_pure_delta: bool = False,
     tables_meta: dict[str, dict] | None = None,
+    txn_hwm: int = -1,
 ) -> dict[int, dict]:
     """Phase-1 of one micro-batch: run the Dataset pipeline, write the
     (invisible) partition files, return the ``touched`` map for the
@@ -238,11 +276,15 @@ def _execute_batch(
                 or routing is not None
                 or isinstance(cfg.column_projection, dict)
             )
-            columns = combine_read_columns(need_table_col=need_table)
+            columns = combine_read_columns(
+                need_table_col=need_table, need_txn=cfg.gtid_dedup
+            )
             ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
         else:
             ds = rd.read_parquet(segment_paths, filter=flt)
-    combine = make_combine_fn(cfg, target_payload, hwm, plan.ack, routing=routing)
+    combine = make_combine_fn(
+        cfg, target_payload, hwm, plan.ack, routing=routing, txn_hwm=txn_hwm
+    )
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_factor > 1:
         ds = ds.groupby("pid").map_groups(make_desalt_fn(cfg.salt_factor), batch_format="pyarrow")
@@ -339,7 +381,7 @@ def replay_batch(
     part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
     touched = _execute_batch(
         lake, segment_paths, plan, base.hwm, journal, cfg, batch_id, part_files,
-        tables_meta=tables_meta,
+        tables_meta=tables_meta, txn_hwm=base.txn_hwm,
     )
     if cfg.before_commit is not None:
         cfg.before_commit(batch_id, plan, touched)
@@ -351,6 +393,7 @@ def replay_batch(
             touched=touched,
             new_ddls=plan.new_ddls,
             metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
+            new_txn_hwm=plan.max_txn_at_ack,
         )
     except DuplicateCommitError:
         return lake.current()
@@ -522,6 +565,7 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
                 part_files,
                 True,  # force_pure_delta
                 tmk,
+                base.txn_hwm,
             )
             for k, (group, plan, h, j, tmk) in enumerate(batches)
         ]
@@ -537,6 +581,7 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
                 touched=touched,
                 new_ddls=plan.new_ddls,
                 metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
+                new_txn_hwm=plan.max_txn_at_ack,
             )
             if cfg.after_commit is not None:
                 cfg.after_commit(m)

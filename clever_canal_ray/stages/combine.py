@@ -79,6 +79,7 @@ def make_combine_fn(
     hwm: tuple[int, int],
     ack: tuple[int, int],
     routing: dict[str, tuple[int, int]] | None = None,
+    txn_hwm: int = -1,
 ):
     """Build the map_batches body for one micro-batch (closure carries
     only small immutable config — broadcast once per task by Ray).
@@ -131,6 +132,11 @@ def make_combine_fn(
             batch["offset"].to_numpy(zero_copy_only=False),
         )
         keep = (pos > hwm_pos) & (pos <= ack_pos)
+        if cfg.gtid_dedup and txn_hwm >= 0:
+            # GTID failover dedup: logical txn identity survives
+            # re-segmentation; txns already applied under another
+            # source's positions are dropped here (MysqlGtIdSet resume)
+            keep &= batch["txn_id"].to_numpy(zero_copy_only=False) > txn_hwm
         op_col = batch["op"]
         # control rows (DDL / TRUNCATE) never enter the data path —
         # the driver consumes them from the plan (F9 isolation)
@@ -264,12 +270,16 @@ def make_combine_fn(
 
 # columns the combine stage actually needs — passed to read_parquet so
 # the (large, unused) `before` struct never leaves storage
-def combine_read_columns(need_table_col: bool = True, need_ts: bool = False) -> list[str]:
+def combine_read_columns(
+    need_table_col: bool = True, need_ts: bool = False, need_txn: bool = False
+) -> list[str]:
     cols = ["segment_id", "offset", "op", "doc_id", "after"]
     if need_table_col:
         cols.insert(3, "table")
     if need_ts:
         cols.append("execute_ts")
+    if need_txn:
+        cols.append("txn_id")
     return cols
 
 

@@ -205,6 +205,13 @@ class Manifest:
     hwm: tuple[int, int]  # (segment_id, offset), inclusive, txn boundary
     last_batch_id: int
     schema_version: int
+    # GTID analog (MysqlGtIdSet / UUIDSet, driver/.../MysqlGtIdSet.java):
+    # the highest LOGICAL transaction id fully applied. Txn ids survive
+    # re-segmentation (a mirror or archived copy of the stream numbers
+    # its files differently but keeps txn identity), so a failover
+    # source replays exactly-once via `ReplayConfig.gtid_dedup` even
+    # though its (segment_id, offset) positions are incomparable.
+    txn_hwm: int = -1
     ddl_journal: list[dict] = field(default_factory=list)  # [{"position":[s,o],"ddl":{...}}]
     partitions: dict[str, dict] = field(default_factory=dict)  # pid -> {"files":[rel], "rows":n}
     # last LEDGER_KEEP committed batch records; full history is the
@@ -267,6 +274,7 @@ class Manifest:
                 "hwm": list(self.hwm),
                 "last_batch_id": self.last_batch_id,
                 "schema_version": self.schema_version,
+                "txn_hwm": self.txn_hwm,
                 "ddl_journal": self.ddl_journal,
                 "partitions": self.partitions,
                 "ledger": self.ledger,
@@ -285,6 +293,7 @@ class Manifest:
             hwm=tuple(d["hwm"]),
             last_batch_id=d["last_batch_id"],
             schema_version=d["schema_version"],
+            txn_hwm=d.get("txn_hwm", -1),
             ddl_journal=d["ddl_journal"],
             partitions=d["partitions"],
             ledger=d["ledger"],
@@ -439,6 +448,7 @@ class Lake:
         new_ddls: list[dict] | None = None,
         metrics: dict | None = None,
         truncate: bool = False,
+        new_txn_hwm: int | None = None,
     ) -> Manifest:
         """Atomically publish a micro-batch.
 
@@ -530,6 +540,7 @@ class Lake:
             hwm=new_hwm,
             last_batch_id=batch_id,
             schema_version=len(journal),
+            txn_hwm=max(cur.txn_hwm, new_txn_hwm if new_txn_hwm is not None else -1),
             ddl_journal=journal,
             partitions=parts,
             ledger=(cur.ledger + [rec])[-LEDGER_KEEP:],
@@ -722,6 +733,56 @@ class Lake:
                     removed += 1
         return {"files_removed": removed, "bytes_freed": freed, "files_live": len(live)}
 
+    def prometheus_metrics(self) -> str:
+        """Render engine counters in Prometheus text exposition format —
+        the StoreCollector/EntryCollector analog (StoreCollector.java:
+        33-43): scrape by serving this string (e.g. via any WSGI
+        one-liner) or shipping it to a pushgateway; no server is bound
+        here. Counters come from the manifest + full ledger; gauges
+        from the current manifest."""
+        cur = self.current()
+        ledger = self.full_ledger()
+        events = sum(r.get("events_in", 0) for r in ledger)
+        upserts = sum(r.get("rows_upserted", 0) for r in ledger)
+        deletes = sum(r.get("rows_deleted", 0) for r in ledger)
+        rows = sum(int(i["rows"]) for i in cur.partitions.values())
+        files = sum(len(i["files"]) for i in cur.partitions.values())
+        last_ts = max((r.get("max_execute_ts", 0) for r in ledger), default=0)
+        lines = [
+            "# TYPE canal_events_applied_total counter",
+            f"canal_events_applied_total {events}",
+            "# TYPE canal_rows_upserted_total counter",
+            f"canal_rows_upserted_total {upserts}",
+            "# TYPE canal_rows_deleted_total counter",
+            f"canal_rows_deleted_total {deletes}",
+            "# TYPE canal_batches_committed_total counter",
+            f"canal_batches_committed_total {len(ledger)}",
+            "# TYPE canal_manifest_version gauge",
+            f"canal_manifest_version {cur.version}",
+            "# TYPE canal_hwm_segment_id gauge",
+            f"canal_hwm_segment_id {cur.hwm[0]}",
+            "# TYPE canal_hwm_offset gauge",
+            f"canal_hwm_offset {cur.hwm[1]}",
+            "# TYPE canal_txn_hwm gauge",
+            f"canal_txn_hwm {cur.txn_hwm}",
+            "# TYPE canal_schema_version gauge",
+            f"canal_schema_version {cur.schema_version}",
+            "# TYPE canal_lake_rows gauge",
+            f"canal_lake_rows {rows}",
+            "# TYPE canal_lake_files gauge",
+            f"canal_lake_files {files}",
+            "# TYPE canal_last_execute_ts_ms gauge",
+            f"canal_last_execute_ts_ms {last_ts}",
+        ]
+        for name, t in sorted((cur.tables or {}).items()):
+            trows = sum(
+                int(i["rows"])
+                for p, i in cur.partitions.items()
+                if t["base_pid"] <= int(p) < t["base_pid"] + t["num_partitions"]
+            )
+            lines.append(f'canal_table_rows{{table="{name}"}} {trows}')
+        return "\n".join(lines) + "\n"
+
     def metrics_table(self) -> pa.Table:
         """All per-(batch, partition) metrics rows (A1 counters, lineage)."""
         mdir = os.path.join(self.manifest_dir, "metrics")
@@ -776,6 +837,7 @@ class Lake:
             hwm=cur.hwm,
             last_batch_id=cur.last_batch_id,
             schema_version=cur.schema_version,
+            txn_hwm=cur.txn_hwm,
             ddl_journal=cur.ddl_journal,
             partitions=parts,
             ledger=cur.ledger,

@@ -1,0 +1,75 @@
+"""GTID-analog failover: logical txn ids survive re-segmentation, so a
+mirror/archived copy of the stream (same events, different file
+positions) replays exactly-once via ReplayConfig(gtid_dedup=True) —
+the MysqlGtIdSet resume semantics (MysqlConnection.java:184,
+driver/.../MysqlGtIdSet.java)."""
+
+import dataclasses
+
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import (
+    EventLogSpec,
+    generate_events,
+    generate_lake,
+    write_fixture,
+)
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state.manifest import Lake
+from tests.util import assert_tables_equal
+
+SPEC_A = EventLogSpec(seed=19, n_initial_docs=150, n_events=1200, n_segments=4)
+SPEC_B = dataclasses.replace(SPEC_A, segment_base=50)  # the mirror: same txns, new positions
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    ra = tmp_path_factory.mktemp("src_a")
+    rb = tmp_path_factory.mktemp("src_b")
+    info_a = write_fixture(SPEC_A, str(ra))
+    info_b = write_fixture(SPEC_B, str(rb))
+    segs_a, _ = generate_events(SPEC_A)
+    segs_b, _ = generate_events(SPEC_B)
+    # the mirror really is the same logical stream
+    assert [t["txn_id"].to_pylist() for t in segs_a] == [t["txn_id"].to_pylist() for t in segs_b]
+    assert [t["doc_id"].to_pylist() for t in segs_a] == [t["doc_id"].to_pylist() for t in segs_b]
+    return info_a, info_b
+
+
+def test_full_failover_is_noop(ray_session, fx, tmp_path):
+    info_a, info_b = fx
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, gtid_dedup=True)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(SPEC_A), num_partitions=4)
+    m1 = replay(lake, info_a["segment_paths"], cfg)
+    assert m1.txn_hwm >= 0
+    state1 = lake.read_table()
+    applied_a = sum(r["events_in"] for r in lake.full_ledger())
+    assert applied_a == SPEC_A.n_events
+
+    # switch to the mirror: positions incomparable (all "ahead"), but
+    # every txn is <= txn_hwm -> zero events re-applied
+    m2 = replay(lake, info_b["segment_paths"], cfg)
+    assert m2.hwm[0] >= 50  # position hwm moved onto source B's axis
+    assert sum(r["events_in"] for r in lake.full_ledger()) == applied_a
+    assert_tables_equal(lake.read_table(), state1)
+
+
+def test_partial_failover_applies_only_missing_txns(ray_session, fx, tmp_path):
+    info_a, info_b = fx
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, gtid_dedup=True)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(SPEC_A), num_partitions=4)
+    # source A dies after half its segments
+    replay(lake, info_a["segment_paths"][:2], cfg)
+    partial_applied = sum(r["events_in"] for r in lake.full_ledger())
+    assert 0 < partial_applied < SPEC_A.n_events
+
+    # mirror offers the WHOLE stream; only the missing tail applies
+    replay(lake, info_b["segment_paths"], cfg)
+    total_applied = sum(r["events_in"] for r in lake.full_ledger())
+    assert total_applied == SPEC_A.n_events
+
+    segs_a, _ = generate_events(SPEC_A)
+    oracle = apply_events_serial(generate_lake(SPEC_A), segs_a)
+    assert_tables_equal(lake.read_table(), oracle)

@@ -194,3 +194,30 @@ def test_time_travel_read(ray_session, fx, tmp_path):
     # an intermediate version has the partial state (row count between)
     t1 = lake.read_table(lake.manifest_at(1))
     assert t0.num_rows <= t1.num_rows <= lake.read_table().num_rows + 1000
+
+
+def test_prometheus_metrics_export(ray_session, tmp_path):
+    """Prometheus text-format export (StoreCollector analog): counters
+    track the ledger, gauges the current manifest."""
+    from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.state.manifest import Lake
+
+    spec = EventLogSpec(seed=83, n_initial_docs=100, n_events=600, n_segments=3)
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    m = replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=2))
+    text = lake.prometheus_metrics()
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        k, v = line.rsplit(" ", 1)
+        metrics[k] = float(v)
+    assert metrics["canal_events_applied_total"] == spec.n_events
+    assert metrics["canal_batches_committed_total"] == len(lake.full_ledger())
+    assert metrics["canal_manifest_version"] == m.version
+    assert metrics["canal_hwm_segment_id"] == m.hwm[0]
+    assert metrics["canal_lake_rows"] == sum(int(i["rows"]) for i in m.partitions.values())
+    assert metrics["canal_last_execute_ts_ms"] > 0

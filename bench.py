@@ -165,10 +165,16 @@ def run_once() -> dict:
 
     # headline: delta sink (the write-optimal CDC path), min of 2 runs
     # (first run absorbs residual I/O noise); compaction cost and
-    # compact-sink reference reported alongside
+    # compact-sink reference reported alongside. This VM has ±3x
+    # multi-minute throttle phases — when the two reps disagree badly
+    # the window probably spanned a phase edge, so take one more.
     replay_sec_1, compact_sec, applied = bench_replay(meta, sink_mode="delta", compact_after=True)
     replay_sec_2, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
-    replay_sec = min(replay_sec_1, replay_sec_2)
+    reps = [replay_sec_1, replay_sec_2]
+    if max(reps) / min(reps) > 1.4:
+        replay_sec_3, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
+        reps.append(replay_sec_3)
+    replay_sec = min(reps)
     if HEADLINE_ONLY:  # scaling subruns measure only the headline
         queries = {"compaction": round(compact_sec, 3)}
     else:

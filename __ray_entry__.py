@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_empty_txn_suppress": q.cdc_empty_txn_suppress,
         # training-data ops (dedup / text / similarity)
         "dedup_exact_docs": q.dedup_exact_docs,
+        "dedup_survivors": q.dedup_survivors,
         "text_token_count": q.text_token_count,
         "text_token_count_bpe": q.text_token_count_bpe,
         "text_quality": q.text_quality,
@@ -170,6 +171,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text
+        """,
+        "dedup_survivors": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1
         """,
         "text_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents

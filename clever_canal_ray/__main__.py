@@ -6,6 +6,8 @@
     python -m clever_canal_ray compact      --lake DIR
     python -m clever_canal_ray status       --lake DIR
     python -m clever_canal_ray metrics      --lake DIR
+    python -m clever_canal_ray prometheus   --lake DIR
+    python -m clever_canal_ray skip-to-ts   --lake DIR --segments DIR --ts-ms T
     python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
 
 Owns its Ray session (scripts do; library code never does).
@@ -50,9 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--poll", type=float, default=1.0)
     f.add_argument("--idle-stop", type=int, default=None)
 
-    for name in ("compact", "status", "metrics", "gc"):
+    for name in ("compact", "status", "metrics", "gc", "prometheus"):
         s = sub.add_parser(name)
         s.add_argument("--lake", required=True)
+
+    sk = sub.add_parser("skip-to-ts")  # timestamp-positioned start
+    sk.add_argument("--lake", required=True)
+    sk.add_argument("--segments", nargs="+", required=True)
+    sk.add_argument("--ts-ms", type=int, required=True)
 
     g = sub.add_parser("gen-fixture")
     g.add_argument("--out", required=True)
@@ -107,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         print(t.to_pandas().to_string(index=False))
     elif args.cmd == "gc":
         print(json.dumps(Lake(args.lake).gc()))
+    elif args.cmd == "prometheus":
+        print(Lake(args.lake).prometheus_metrics(), end="")
+    elif args.cmd == "skip-to-ts":
+        from clever_canal_ray.sources.segments import find_start_position
+
+        pos = find_start_position(args.segments, args.ts_ms)
+        m = Lake(args.lake).skip_to(pos)
+        print(json.dumps({"skipped_to": list(pos), "hwm": list(m.hwm)}))
     elif args.cmd == "gen-fixture":
         from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
         import pyarrow.parquet as pq

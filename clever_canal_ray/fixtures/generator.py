@@ -58,9 +58,11 @@ class EventLogSpec:
     include_before: bool = True  # before-images double payload; bench may disable
     # DDL scenario: [(position_fraction, ddl_record_dict), ...] in order
     ddls: tuple = ()
-    # TRUNCATE events (EventType.TRUNCATE=8 analog): position fractions;
-    # each wipes the whole table at its position (its own txn, F9-style
-    # isolation). Encoded as op="T" rows.
+    # TRUNCATE events (EventType.TRUNCATE=8 analog): position fractions
+    # (whole-table wipe at that position, its own txn, F9-style
+    # isolation) — each entry is a fraction OR (fraction, table_name)
+    # for multi-table streams (truncates only that table). Encoded as
+    # op="T" rows.
     truncates: tuple = ()
     # first segment_id of this journal (chained journals / soak runs use
     # disjoint ascending ranges so positions keep increasing)
@@ -280,15 +282,19 @@ def generate_events(spec: EventLogSpec):
     key_idx[~is_ins] = ud_targets
 
     # ---- inject DDL / TRUNCATE rows at fixed fractional positions -------
+    trunc_entries = [
+        (t if isinstance(t, (tuple, list)) else (t, None)) for t in spec.truncates
+    ]
     injections = sorted(
         [(min(n - 1, int(frac * n)), "DDL", json.dumps(d)) for frac, d in spec.ddls]
-        + [(min(n - 1, int(frac * n)), "T", None) for frac in spec.truncates],
+        + [(min(n - 1, int(frac * n)), "T", tbl) for frac, tbl in trunc_entries],
         key=lambda x: x[0],
     )
     total = n + len(injections)
     op_all = np.empty(total, dtype=object)
     key_all = np.full(total, -1, dtype=np.int64)
     ddl_all = np.full(total, None, dtype=object)
+    tbl_override = np.full(total, None, dtype=object)  # per-table TRUNCATE targets
     sv_all = np.zeros(total, dtype=np.int32)  # schema_version per event
     src_pos = 0
     version = 0
@@ -303,6 +309,8 @@ def generate_events(spec: EventLogSpec):
             if kind == "DDL":
                 ddl_all[out_pos] = payload
                 version += 1
+            elif kind == "T" and payload is not None:
+                tbl_override[out_pos] = payload
             sv_all[out_pos] = version
             inj_i += 1
         else:
@@ -484,7 +492,14 @@ def generate_events(spec: EventLogSpec):
             pa.array(txn_commit, pa.bool_()),
             pa.array(ts, pa.timestamp("ms")),
             pa.array(op_all, pa.string()),
-            pa.array(np.full(total, "lake.sequences", dtype=object), pa.string()),
+            pa.array(
+                np.where(
+                    tbl_override != None,  # noqa: E711 — elementwise
+                    tbl_override,
+                    np.full(total, "lake.sequences", dtype=object),
+                ),
+                pa.string(),
+            ),
             pa.array(doc_ids, pa.string()),
             pa.array(sv_all, pa.int32()),
             pa.array(ddl_all, pa.string()),
@@ -515,7 +530,11 @@ def segment_plan_metadata(t: pa.Table) -> str:
     ddls = []
     for i in np.where(op == "DDL")[0]:
         ddls.append({"position": [int(seg[i]), int(off[i])], "ddl": json.loads(t["ddl"][int(i)].as_py())})
-    truncates = [[int(seg[i]), int(off[i])] for i in np.where(op == "T")[0]]
+    # [seg, off, table] — table routes per-table truncates in
+    # multi-table lakes (ignored by single-table replay)
+    truncates = [
+        [int(seg[i]), int(off[i]), t["table"][int(i)].as_py()] for i in np.where(op == "T")[0]
+    ]
     ack_i = int(np.argmax(np.where(commit, pos, -1))) if commit.any() else None
     ts = t["execute_ts"].to_numpy(zero_copy_only=False)
     return json.dumps(
@@ -556,8 +575,14 @@ def retable_by_key(t: pa.Table, n_tables: int, prefix: str = "lake.t") -> pa.Tab
         if "table" not in d:
             raise ValueError("multi-table fixture: every DDL record needs a 'table' key")
         tbl[i] = d["table"]
-    if (op == "T").any():
-        raise ValueError("multi-table fixture: TRUNCATE events not supported")
+    # TRUNCATE rows keep the table their spec entry targeted
+    # ((fraction, table) form required for multi-table streams)
+    for i in np.where(op == "T")[0]:
+        if tbl[i] is None or not str(tbl[i]).startswith(prefix):
+            raise ValueError(
+                "multi-table fixture: TRUNCATE entries must name a table: "
+                "spec.truncates=((fraction, 'lake.tN'), ...)"
+            )
     idx = t.schema.get_field_index("table")
     return t.set_column(idx, "table", pa.array(tbl, pa.string()))
 

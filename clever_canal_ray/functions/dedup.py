@@ -59,6 +59,33 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     return bucketed_groupby(ds, ["h"], partial, final, num_buckets=num_buckets)
 
 
+def exact_dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+    """The corpus AFTER exact dedup: keep each text's minimum-id doc,
+    drop the other copies — the filtered dataset a training pipeline
+    actually consumes (exact_dedup reports the groups; this applies
+    them).
+
+    Scale shape: the keeper-id set is (hash, keep_id) pairs from one
+    bucketed shuffle; survivors are selected with a second pass that
+    broadcast-checks membership per batch. The keeper SET is bounded by
+    the number of DISTINCT texts; under heavy duplication it is far
+    smaller than the corpus. For corpora where even that set is huge,
+    flip to the shuffle-join used by minhash_lsh_pairs_verified.
+    """
+    import ray
+
+    keep = exact_dedup(ds, text_col=text_col, id_col=id_col, num_buckets=num_buckets)
+    keep_ids = keep.select_columns(["keep_id"]).to_pandas()["keep_id"].to_numpy()
+    ref = ray.put(pa.array(np.sort(keep_ids)))  # broadcast once (ray.put), read per task
+
+    def survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -254,6 +254,19 @@ def dedup_exact_docs(sf_dir: str):
     )
 
 
+def dedup_survivors(sf_dir: str):
+    """The corpus after exact dedup (min-id survivor per text)."""
+    from clever_canal_ray.functions.dedup import exact_dedup_survivors
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup_survivors(ds, text_col="text", id_col="doc_id")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 def text_token_count(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         token_counts, batch_format="pandas"

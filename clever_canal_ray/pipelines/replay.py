@@ -76,7 +76,9 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
     )
     meta = dset.to_table(
-        columns=["segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts", "txn_id"],
+        columns=[
+            "segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts", "txn_id", "table",
+        ],
         filter=flt,
     )
     if meta.num_rows == 0:
@@ -110,7 +112,8 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     max_txn = int(txn[pos <= ack_pos].max()) if n_cand else None
     t_idx = np.where((op == "T") & (pos <= ack_pos))[0]
     t_idx = t_idx[np.argsort(pos[t_idx])]
-    truncates = [(int(seg[i]), int(off[i])) for i in t_idx]
+    tbl_np = np.asarray(meta["table"].to_numpy(zero_copy_only=False), dtype=object)
+    truncates = [(int(seg[i]), int(off[i]), tbl_np[i]) for i in t_idx]
     return BatchPlan(
         ack=ack,
         new_ddls=ddls,
@@ -172,7 +175,7 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         for tp in m.get("truncates", []):
             tpp = int(pack_position(tp[0], tp[1]))
             if hwm_pos < tpp <= ack_pos:
-                truncates.append((tp[0], tp[1]))
+                truncates.append((tp[0], tp[1], tp[2] if len(tp) > 2 else None))
     truncates.sort(key=lambda t: int(pack_position(t[0], t[1])))
     max_ts = max((m["max_ts"] for m in metas if m["max_ts"] is not None), default=None)
     n_cand = sum(
@@ -343,10 +346,44 @@ def replay_batch(
         return base
 
     if plan.truncates and base.tables is not None:
-        raise NotImplementedError(
-            "TRUNCATE in a multi-table lake needs per-table routing of the "
-            "truncate position — not supported yet (single-table lakes only)"
+        # per-table TRUNCATE (multi-table lakes): the window (hwm, t]
+        # applies normally for OTHER tables; the target table's rows in
+        # the window die at t (excluded from the apply) and its
+        # partitions are wiped by the commit; replay continues past t.
+        t = plan.truncates[0]
+        t_pos = int(pack_position(t[0], t[1]))
+        t_table = t[2] if len(t) > 2 else None
+        ddls_before = [
+            d
+            for d in plan.new_ddls
+            if int(pack_position(d["position"][0], d["position"][1])) <= t_pos
+        ]
+        tables_meta = route_ddls(base.tables, ddls_before, min_new_base=base.next_base_pid())
+        # exclude the truncated table from the apply (combine drops
+        # unregistered tables) — its window rows die at t anyway
+        exec_tables = {k: v for k, v in tables_meta.items() if k != t_table}
+        sub_plan = BatchPlan(
+            ack=(t[0], t[1]),
+            new_ddls=ddls_before,
+            n_candidate_events=plan.n_candidate_events,
         )
+        part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
+        touched = _execute_batch(
+            lake, segment_paths, sub_plan, base.hwm, [], cfg, batch_id, part_files,
+            tables_meta=exec_tables, txn_hwm=base.txn_hwm,
+        )
+        lake.commit_batch(
+            base,
+            batch_id=batch_id,
+            new_hwm=(t[0], t[1]),
+            touched=touched,
+            new_ddls=ddls_before,
+            metrics={"truncate": t_table or True},
+            truncate=t_table if (t_table in base.tables) else False,
+        )
+        if cfg.after_commit is not None:
+            cfg.after_commit(lake.current())
+        return replay_batch(lake, segment_paths, cfg, _info=_info)
     if plan.truncates:
         # TRUNCATE at position t: every row ≤ t dies, so the window
         # (hwm, t] commits directly as an empty lake (schema/journal

@@ -447,7 +447,7 @@ class Lake:
         touched: dict[int, dict],
         new_ddls: list[dict] | None = None,
         metrics: dict | None = None,
-        truncate: bool = False,
+        truncate: bool | str = False,
         new_txn_hwm: int | None = None,
     ) -> Manifest:
         """Atomically publish a micro-batch.
@@ -465,8 +465,17 @@ class Lake:
         if cur.version != base.version:
             raise CommitConflictError(f"manifest moved {base.version} -> {cur.version}")
         # TRUNCATE: the committed state starts from an empty table
-        # (EventType.TRUNCATE=8; rows die, schema survives)
-        parts = {} if truncate else dict(cur.partitions)
+        # (EventType.TRUNCATE=8; rows die, schema survives).
+        # truncate=True wipes the whole (single-table) lake; a table
+        # NAME wipes only that table's partition range (multi-table)
+        if truncate is True:
+            parts = {}
+        elif truncate:
+            trec = cur.tables[truncate]
+            lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
+            parts = {p: i for p, i in cur.partitions.items() if not (lo <= int(p) < hi)}
+        else:
+            parts = dict(cur.partitions)
         rows_upserted = rows_deleted = events_in = 0
         for pid, info in touched.items():
             if info.get("mode") == "append":  # delta sink: add a change file

@@ -96,6 +96,7 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
         total_events += applied
         total_sec += replay_sec
         rows_now = sum(i["rows"] for i in m.partitions.values())
+        mpath = os.path.join(lake.manifest_dir, f"manifest-{m.version:08d}.json")
         report.append(
             {
                 "chunk": chunk,
@@ -104,6 +105,13 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
                 "events_per_sec": round(applied / replay_sec),
                 "lake_physical_rows": rows_now,
                 "manifest_version": m.version,
+                # flat-growth evidence: the inline manifest must NOT grow
+                # with stream length (ring ledger); full history lives in
+                # the append-only jsonl sidecar
+                "manifest_bytes": os.path.getsize(mpath),
+                "ledger_jsonl_bytes": os.path.getsize(
+                    os.path.join(lake.manifest_dir, "ledger.jsonl")
+                ),
             }
         )
         print(json.dumps(report[-1]), flush=True)

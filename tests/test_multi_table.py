@@ -146,3 +146,43 @@ def test_per_table_column_projection(ray_session, fx, tmp_path):
     inserted = t0.filter(pa.array((km >= spec.n_initial_docs).to_numpy()))
     assert inserted.num_rows > 0
     assert inserted["source"].null_count == inserted.num_rows
+
+
+def test_multi_table_truncate_targets_one_table(ray_session, tmp_path):
+    """Per-table TRUNCATE (EventType.TRUNCATE=8 routed by table): t0's
+    rows die at the truncate position while t1's stream applies
+    untouched; replay continues past the cut. Oracle: serial apply on
+    each table's filtered sub-stream."""
+    import pyarrow.compute as pc
+
+    from clever_canal_ray.fixtures.generator import (
+        generate_events,
+        retable_by_key,
+        split_lake_by_key,
+    )
+
+    spec = EventLogSpec(
+        seed=29, n_initial_docs=200, n_events=2000, n_segments=5,
+        truncates=((0.5, "lake.t0"),),
+    )
+    root = tmp_path / "fx"
+    info = write_multi_table_fixture(spec, str(root), n_tables=2)
+    lake = Lake.create_multi(str(tmp_path / "lake"), info["initials"], partitions_per_table=4)
+    m = replay(lake, info["segment_paths"], ReplayConfig(segments_per_batch=2))
+    assert any(r.get("truncate") for r in lake.full_ledger())
+
+    segs, _ = generate_events(spec)
+    retabled = [retable_by_key(t, 2) for t in segs]
+    initials = split_lake_by_key(generate_lake(spec), 2)
+    for name in ("lake.t0", "lake.t1"):
+        sub = [t.filter(pc.equal(t["table"], name)) for t in retabled]
+        oracle = apply_events_serial(initials[name], sub)
+        assert_tables_equal(lake.read_table(table=name), oracle)
+    # the truncate really bit: t0 lost its pre-truncate rows
+    t0 = lake.read_table(table="lake.t0")
+    km = _keys_mod(t0, 2)
+    assert (km == 0).all()
+    full_no_trunc = _oracle_split(
+        EventLogSpec(seed=29, n_initial_docs=200, n_events=2000, n_segments=5), 2
+    )
+    assert t0.num_rows < full_no_trunc[0].num_rows

@@ -9,9 +9,9 @@ state under token-array equality per row (BASELINE.json north rule).
 
 Apply convention (see fixtures/generator.py docstring): idempotent
 upsert — I and U set the image, D tombstones, D on missing is a no-op.
-DDL events evolve the schema (additive/widening only); rows written
+DDL events evolve the schema (add/widen/rename/drop); rows written
 before a DDL are up-cast (missing columns → null, ints widened
-losslessly).
+losslessly, renamed columns resolved through the journal's rename map).
 """
 
 from __future__ import annotations

@@ -20,7 +20,8 @@ DDL events are extracted driver-side (they are rare and tiny) and
 appended to the manifest's schema journal — the DDL-isolation analog
 (F9, MemoryEventStoreWithBuffer.doGet:389-417): every data event in the
 batch is cast to the batch's final schema version, which is lossless
-because only additive/widening DDL is legal (FIXTURES.md §3).
+for add/widen (FIXTURES.md §3) and name-resolved through the journal's
+rename map for rename/drop (schema.attach_renames).
 """
 
 from __future__ import annotations

@@ -46,10 +46,9 @@ HEADLINE_ONLY = os.environ.get("CCR_BENCH_HEADLINE_ONLY", "0") == "1"
 
 
 def fixture_dir() -> str:
-    # v5: segment plan metadata moved to .plan.json sidecars (schema
-    # metadata made Ray block schemas unhashable -> per-block schema
-    # shipping + warning spam)
-    key = f"v5_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
+    # v6: 64k-row parquet row groups in segment files (per-row-group
+    # read parallelism; v5 single-group files decoded one-core-per-file)
+    key = f"v6_{BENCH_SEED}_{N_INITIAL}_{N_EVENTS}_{N_SEGMENTS}"
     return os.path.join("/tmp", f"ccr_bench_{key}")
 
 
@@ -99,7 +98,7 @@ def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float
     cfg = ReplayConfig(
         num_partitions=NUM_PARTITIONS,
         segments_per_batch=SEGMENTS_PER_BATCH,
-        batch_size=32_768,
+        batch_size=131_072,
         sink_mode=sink_mode,
         pipeline_depth=PIPELINE_DEPTH if sink_mode == "delta" else 1,
     )

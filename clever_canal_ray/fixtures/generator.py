@@ -645,8 +645,14 @@ def _write_segment(t: pa.Table, seg_dir: str, segment_id: int) -> str:
     unify_schemas) — clean schemas keep block bundling cheap."""
     p = os.path.join(seg_dir, f"segment-{segment_id:05d}.parquet")
     # dict-encode only the low-cardinality string columns; dict on
-    # the random token lists costs 2-5x en/decode CPU for nothing
-    pq.write_table(t, p, use_dictionary=["op", "table", "segment_id"])
+    # the random token lists costs 2-5x en/decode CPU for nothing.
+    # Bounded row groups: Ray parallelizes parquet reads PER ROW GROUP,
+    # and a 500k-row single-group file decodes on one core (~2.4 s) —
+    # 64k-row groups took the 8-file batch read from 3.8 s to 1.5 s at
+    # 32 cpus (measured).
+    pq.write_table(
+        t, p, use_dictionary=["op", "table", "segment_id"], row_group_size=65536
+    )
     with open(p + ".plan.json", "w") as f:
         f.write(segment_plan_metadata(t))
     return p

@@ -61,7 +61,7 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
     )
     lake = Lake.create(os.path.join(root, "lake"), generate_lake(base_spec), num_partitions=64)
     cfg = ReplayConfig(
-        num_partitions=64, segments_per_batch=8, batch_size=32_768,
+        num_partitions=64, segments_per_batch=8, batch_size=131_072,
         sink_mode="delta", pipeline_depth=4, compact_threshold=12,
     )
 

@@ -63,3 +63,49 @@ def test_random_replay_converges(
         ),
     )
     assert_tables_equal(lake.read_table(), oracle)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_tables=st.integers(2, 4),
+    n_segments=st.integers(2, 6),
+    segments_per_batch=st.integers(1, 3),
+    sink_mode=st.sampled_from(["delta", "compact"]),
+)
+def test_random_multi_table_replay_converges(
+    ray_session, tmp_path_factory, seed, n_tables, n_segments, segments_per_batch, sink_mode
+):
+    """Multi-table convergence: one mixed stream over K tables ==
+    per-table partition of the serial oracle, for random seeds, table
+    counts, segmentation, and sink modes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from clever_canal_ray.fixtures.generator import write_multi_table_fixture
+
+    spec = EventLogSpec(
+        seed=seed, n_initial_docs=60, n_events=400, n_segments=n_segments,
+    )
+    root = tmp_path_factory.mktemp("fx_prop_multi")
+    info = write_multi_table_fixture(spec, str(root), n_tables=n_tables)
+    lake = Lake.create_multi(str(root / "lake"), info["initials"], partitions_per_table=3)
+    replay(
+        lake,
+        info["segment_paths"],
+        ReplayConfig(segments_per_batch=segments_per_batch, sink_mode=sink_mode),
+    )
+    segs, _ = generate_events(spec)
+    full = apply_events_serial(generate_lake(spec), segs)
+    km = (
+        pd.Series(full["doc_id"].to_numpy(zero_copy_only=False)).str.slice(3).astype(np.int64)
+        % n_tables
+    ).to_numpy()
+    for i in range(n_tables):
+        expected = full.filter(pa.array(km == i))
+        assert_tables_equal(lake.read_table(table=f"lake.t{i}"), expected)

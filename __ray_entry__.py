@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "ann_topk": q.ann_topk,
         "embedding_dups": q.embedding_dups,
+        "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN
+        "events_windowed": q.events_windowed,  # oracle: tumbling windows in SQL
         # analytic parity (aggregate / sort-limit / joins)
         "q1_pricing": q.q1_pricing,
         "top_orders_by_revenue": q.top_orders_by_revenue,
@@ -280,6 +282,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "asof_latest_order": """
+            WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                        FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN od o
+              ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+        """,
+        "events_windowed": """
+            SELECT (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
+            FROM events GROUP BY 1, 2
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

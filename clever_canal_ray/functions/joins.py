@@ -1,0 +1,128 @@
+"""Distributed temporal joins — operators Ray Data lacks natively.
+
+``asof_join``: for every left row, attach the right row with the
+greatest ``right_on`` <= ``left_on`` among rows sharing the key — the
+event-time enrichment join (market-data / CDC-snapshot lookup shape).
+
+Scale design: ONE bucketed hash shuffle per side on the join key
+(co-partitioning), then a vectorized per-bucket ``pandas.merge_asof``
+(sort-merge within the bucket). No broadcast, no all-pairs; skewed
+keys are bounded by the bucket granularity. The partitioning
+assumption: a single key's rows (both sides) fit one bucket group —
+the same assumption a range-partitioned MPP asof join makes per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from clever_canal_ray.state.partitioning import stable_hash
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    num_buckets: int = 32,
+):
+    """Backward as-of join (inner): rows of ``left_ds`` matched to the
+    latest ``right_ds`` row with ``right_on <= left_on`` per key.
+
+    Column sets of the two sides must be disjoint. ``left_on`` /
+    ``right_on`` must be comparable after pandas datetime coercion.
+    Returns a Dataset with the left columns plus the matched right
+    columns (unmatched left rows dropped — inner semantics).
+    """
+    left_cols = left_ds.schema().names
+    right_cols = right_ds.schema().names
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"asof_join requires disjoint column names; shared: {sorted(overlap)}")
+    all_cols = list(left_cols) + list(right_cols)
+
+    def tag(side: int, on_col: str, by_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out[on_col] = pd.to_datetime(out[on_col])
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = np.nan
+            out = out[all_cols]
+            out["__side"] = np.int8(side)
+            out["__bucket"] = (
+                stable_hash(df[by_col].astype(str).to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return out
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, left_on, left_by), batch_format="pandas").union(
+        right_ds.map_batches(tag(1, right_on, right_by), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][list(left_cols)]
+        rf = g[g["__side"] == 1][list(right_cols)]
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(columns=all_cols)
+        out = pd.merge_asof(
+            lf.sort_values(left_on, kind="stable"),
+            rf.sort_values(right_on, kind="stable"),
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out.dropna(subset=[right_on])[all_cols]
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(lambda g: merge(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+
+def tumbling_window_agg(ds, ts_col: str, window_ms: int, group_cols: list[str], agg_map: dict):
+    """Tumbling-window aggregate: floor(ts / window) windows per group.
+    Partial per-batch pandas agg, ONE small groupby on
+    (window, *group_cols) — the windowed-aggregate shape over event
+    time. ``agg_map``: out_col -> (src_col, 'sum'|'count'|'min'|'max').
+    """
+
+    # partial spec + how partials merge (count partials merge by sum)
+    specs = {
+        out: (src, "size" if how == "count" else how) for out, (src, how) in agg_map.items()
+    }
+    merge_how = {
+        out: ("sum" if how in ("count", "sum") else how) for out, (_, how) in agg_map.items()
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # explicit ms unit: pandas keeps arrow timestamps in their
+        # native unit (us/ns), so a bare astype(int64) is unit-dependent
+        ts = pd.to_datetime(df[ts_col]).astype("datetime64[ms]").astype("int64")
+        df["window_start"] = (ts // window_ms) * window_ms
+        keys = ["window_start"] + group_cols
+        return df.groupby(keys, sort=False).agg(**specs).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["window_start"] + group_cols
+        return g.groupby(keys, sort=False).agg(
+            **{out: (out, merge_how[out]) for out in agg_map}
+        ).reset_index()
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["window_start"] + group_cols,
+        lambda df: df,
+        final,
+        num_buckets=16,
+    )

@@ -242,6 +242,71 @@ def cdc_empty_txn_suppress(sf_dir: str):
     return per_txn
 
 
+def asof_latest_order(sf_dir: str):
+    """Distributed backward AS-OF join (an operator Ray Data lacks):
+    each event matched to the user's latest order at/before its ts —
+    one bucketed shuffle per side + per-bucket merge_asof. Oracle:
+    DuckDB ASOF JOIN. The right side is first reduced to one order per
+    (custkey, date) so the as-of tie-break is deterministic."""
+    from clever_canal_ray.functions.joins import asof_join
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders_raw = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def day_max(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_custkey", "o_orderdate"], sort=False)["o_orderkey"]
+            .max()
+            .reset_index()
+        )
+
+    orders = bucketed_groupby(
+        orders_raw, ["o_custkey", "o_orderdate"], day_max, day_max, num_buckets=16
+    )
+    out = asof_join(
+        ev, orders, left_by="user_id", right_by="o_custkey", left_on="ts", right_on="o_orderdate"
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def events_windowed(sf_dir: str):
+    """Tumbling-window aggregate over event time (1h windows): counts +
+    integer-cent value sums per event_type per window."""
+    from clever_canal_ray.functions.joins import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["val_cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        return df
+
+    out = tumbling_window_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ts_col="ts",
+        window_ms=3_600_000,
+        group_cols=["event_type"],
+        agg_map={"n_events": ("val_cents", "count"), "sum_val_cents": ("val_cents", "sum")},
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype(
+            {"window_start": "int64", "n_events": "int64", "sum_val_cents": "int64"}
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 # --- training-data ops over `documents` / `embeddings` -------------------
 
 

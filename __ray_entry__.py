@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.lang_id,  # oracle: marker-overlap heuristic in SQL
         "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
         "minhash_verified": q.minhash_verified,  # oracle: exact all-pairs jaccard
+        "minhash_clusters": q.minhash_clusters,  # oracle: recursive-CTE components
         "simhash_docs": q.simhash_docs,  # oracle: md5-based bit votes in SQL
         "ann_lsh_topk": q.ann_lsh_topk,  # rows-only (approximate by design)
         "embedding_lsh_dups": q.embedding_lsh_dups,  # rows-only (bucketed scale path)
@@ -259,6 +260,27 @@ def oracle_sql() -> dict[str, str]:
                       FROM sh a, sh b WHERE a.doc_id < b.doc_id)
             SELECT a, b, CAST(floor(jac*1000000 + 0.5) AS BIGINT) AS jac_e6
             FROM pairs WHERE jac >= 0.4
+        """,
+        "minhash_clusters": """
+            WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+                          ELSE list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                              for i in range(1, len(s)-1)])
+                     END AS g
+                   FROM t),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                      FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                        AND CAST(len(list_distinct(list_intersect(a.g, b.g))) AS DOUBLE)
+                            / len(list_distinct(list_concat(a.g, b.g))) >= 0.4),
+            edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            walk(node, label) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges) t1(u)
+                UNION
+                SELECT e.v, w.label FROM walk w JOIN edges e ON w.node = e.u
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+            FROM walk GROUP BY node
         """,
         "ngram_jaccard_pairs": """
             SELECT a.doc_id AS a, b.doc_id AS b, round(jaccard(a.text, b.text), 4) AS jac

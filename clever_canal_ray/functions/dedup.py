@@ -400,6 +400,97 @@ def minhash_lsh_pairs_verified(
     )
 
 
+def connected_components(
+    pairs_ds, a_col: str = "a", b_col: str = "b", num_buckets: int = 16, max_iters: int = 50
+):
+    """Connected components of an undirected pair graph by distributed
+    min-label propagation (the cluster step after near-dup pair
+    generation: every doc in a component shares the min doc id as its
+    cluster id).
+
+    Scale shape: per iteration, TWO bucketed hash shuffles of
+    edge/label rows (labels join edge sources, messages re-key to edge
+    targets, per-node min) — no driver-side graph, no adjacency
+    materialization. Converges in O(component diameter) iterations
+    (near-dup components are shallow); stops early when no label
+    changes. Node ids must be integers.
+    """
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[a_col].to_numpy(dtype=np.int64)
+        v = df[b_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([u, v]),
+                "val": np.concatenate([v, u]),
+                "own": np.zeros(2 * len(df), dtype=bool),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["key"].to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return df
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g["key"].unique()
+        return pd.DataFrame({"key": nodes, "val": nodes, "own": np.ones(len(nodes), dtype=bool)})
+
+    labels = (
+        edges.map_batches(bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: init_labels(g.drop(columns="__bucket")), batch_format="pandas")
+        .materialize()
+    )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g[g["own"]]
+        lab_map = dict(zip(lbl["key"], lbl["val"]))
+        e = g[~g["own"]]
+        msgs = pd.DataFrame(
+            {
+                "key": e["val"].to_numpy(),
+                "val": e["key"].map(lab_map).to_numpy(),
+                "own": np.zeros(len(e), dtype=bool),
+            }
+        )
+        return pd.concat([msgs, lbl], ignore_index=True)
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("key", sort=False)["val"].min().reset_index()
+        old = g[g["own"]][["key", "val"]].rename(columns={"val": "old"})
+        out = new.merge(old, on="key", how="left")
+        out["changed"] = (out["val"] < out["old"].fillna(np.iinfo(np.int64).max)).astype("int64")
+        out["own"] = True
+        return out[["key", "val", "own", "changed"]]
+
+    for _ in range(max_iters):
+        stream = edges.union(labels)
+        new_labels = (
+            stream.map_batches(bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(lambda g: propagate(g.drop(columns="__bucket")), batch_format="pandas")
+            .map_batches(bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(lambda g: reduce_min(g.drop(columns="__bucket")), batch_format="pandas")
+            .materialize()
+        )
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["key"].astype("int64"), "cluster": df["val"].astype("int64")}
+        )
+
+    return labels.map_batches(finish, batch_format="pandas")
+
+
 # --- SimHash --------------------------------------------------------------
 
 

@@ -371,6 +371,30 @@ def minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: exact-verified MinHash pairs → distributed
+    connected components (min-label propagation). Oracle: recursive-CTE
+    transitive closure over the same exact-jaccard pair graph."""
+    from clever_canal_ray.functions.dedup import connected_components, minhash_lsh_pairs_verified
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs_verified(ds, threshold=0.4)
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": df["a"].astype("int64"), "b": df["b"].astype("int64")})
+
+    cc = connected_components(pairs.map_batches(to_int, batch_format="pandas"))
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["node"].astype("int64"), "cluster": df["cluster"].astype("int64")}
+        )
+
+    return cc.map_batches(proj, batch_format="pandas")
+
+
 def simhash_docs(sf_dir: str):
     """SimHash with the md5-based word hash (``md5_number_upper``) so
     DuckDB can recompute the identical 64-bit fingerprint — the

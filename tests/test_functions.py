@@ -158,3 +158,17 @@ def test_minhash_verified_pairs(ray_session):
     planted = {(2 * k, 2 * k + 1) for k in range(15)}
     found = {(min(a, b), max(a, b)) for a, b in zip(out["a"], out["b"])}
     assert len(found & planted) / len(planted) >= 0.9
+
+
+def test_connected_components_chains_and_singletons(ray_session):
+    """Min-label propagation resolves multi-hop chains (a-b, b-c, c-d
+    -> one cluster) and separate components independently."""
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import connected_components
+
+    pairs = pd.DataFrame({"a": [1, 2, 3, 50, 80, 81], "b": [2, 3, 4, 51, 81, 82]})
+    out = connected_components(rd.from_pandas(pairs)).to_pandas().sort_values("node")
+    got = dict(zip(out["node"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 51: 50, 80: 80, 81: 80, 82: 80}

@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC / engine family (SURVEY.md §2: O9, O7, A1-A4, D3, F1-F7, FlatMessage)
         "cdc_upsert_lake": q.cdc_upsert_lake,
         "cdc_multi_table": q.cdc_multi_table,
+        "cdc_consumer_drain": q.cdc_consumer_drain,
         "cdc_lww_state": q.cdc_lww_state,
         "cdc_live_rows": q.cdc_live_rows,
         "cdc_changelog_counts": q.cdc_changelog_counts,
@@ -118,6 +119,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tok, source,
                    'lake.t' || CAST(CAST(substr(doc_id, 4) AS BIGINT) % 2 AS VARCHAR) AS tbl
             FROM final
+        """,
+        "cdc_consumer_drain": f"""
+            SELECT event_id, {op_case} AS op, CAST(epoch_ms(ts) AS BIGINT) AS es
+            FROM events
         """,
         "cdc_lww_state": f"""
             SELECT user_id, event_id AS last_pos, {op_case} AS op, value, event_type

@@ -110,6 +110,51 @@ def cdc_multi_table(sf_dir: str):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def cdc_consumer_drain(sf_dir: str):
+    """The Canal get/ack consumer protocol end-to-end: the flagship
+    stream written as a journal, drained batch-by-batch via
+    subscribe/get_without_ack/ack (txn-boundary cuts, FIFO acks);
+    delivered rows must be exactly every event, once, in order."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq_
+
+    from clever_canal_ray.client import ChangeConsumer
+    from clever_canal_ray.pipelines.flagship import derive_change_events, tokenize_documents
+
+    work = os.path.join("/tmp", f"ccr_cons_{uuid.uuid4().hex}")
+    os.makedirs(os.path.join(work, "segments"))
+    try:
+        n_docs = tokenize_documents(sf_dir).num_rows
+        events = derive_change_events(sf_dir, n_docs)
+        pq_.write_table(events, os.path.join(work, "segments", "segment-00000.parquet"))
+        c = ChangeConsumer(os.path.join(work, "segments"), os.path.join(work, "state"))
+        c.subscribe()
+        frames = []
+        while True:
+            got = c.get_without_ack(4096)
+            if got is None:
+                break
+            bid, t = got
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": t["offset"].to_numpy(zero_copy_only=False).astype("int64") - 1,
+                        "op": t["op"].to_pylist(),
+                        "es": t["execute_ts"]
+                        .cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        .astype("int64"),
+                    }
+                )
+            )
+            c.ack(bid)
+        return pd.concat(frames, ignore_index=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def cdc_lww_state(sf_dir: str):
     ds = _read(sf_dir, "events").map_batches(_with_op, batch_format="pandas")
     out = cdc_ops.lww_latest(ds, key="user_id", pos="event_id")

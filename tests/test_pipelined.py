@@ -92,3 +92,44 @@ def test_pipelined_salted_skew(ray_session, fx, tmp_path):
     )
     replay(lake, info["segment_paths"], cfg)
     assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_pipelined_crash_mid_stream_resumes(ray_session, fx, tmp_path):
+    """Driver dies after the k-th in-order commit of a pipelined run
+    (before_commit raises); a fresh driver re-offered the whole stream
+    resumes from the manifest HWM and converges — phase-1 files of the
+    never-committed batches are invisible orphans (gc'able)."""
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+
+    class Crash(RuntimeError):
+        pass
+
+    committed = []
+
+    def bomb(batch_id, plan, touched):
+        if len(committed) >= 2:
+            raise Crash("driver killed")
+        committed.append(batch_id)
+
+    cfg = ReplayConfig(
+        num_partitions=4, segments_per_batch=2, sink_mode="delta",
+        pipeline_depth=3, before_commit=bomb,
+    )
+    with pytest.raises(Crash):
+        replay(lake, info["segment_paths"], cfg)
+    m_crash = Lake(str(tmp_path / "lake")).current()
+    assert m_crash.last_batch_id == committed[-1]
+
+    # fresh driver, same journal offered again: converges exactly-once
+    lake2 = Lake(str(tmp_path / "lake"))
+    replay(
+        lake2,
+        info["segment_paths"],
+        ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta", pipeline_depth=3),
+    )
+    assert_tables_equal(lake2.read_table(), oracle)
+    # orphan phase-1 files from the crashed batches are unreferenced -> gc
+    stats = lake2.gc(keep_manifests=1)
+    assert stats["files_removed"] >= 0
+    assert_tables_equal(lake2.read_table(), oracle)

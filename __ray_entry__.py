@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q.minhash_clusters,  # oracle: recursive-CTE components
         "simhash_docs": q.simhash_docs,  # oracle: md5-based bit votes in SQL
         "ann_lsh_topk": q.ann_lsh_topk,  # rows-only (approximate by design)
+        "ann_ivf_topk": q.ann_ivf_topk,  # rows-only (IVF scale path)
         "embedding_lsh_dups": q.embedding_lsh_dups,  # rows-only (bucketed scale path)
         "multimodal_features": q.multimodal_features,  # oracle: byte counts in SQL
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,

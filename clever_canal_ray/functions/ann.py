@@ -120,20 +120,117 @@ def lsh_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 10, seed: int = 7, i
     )
 
 
-def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 8, seed: int = 99, id_col: str = "vec_id", emb_col: str = "embedding"):
+def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 8, seed: int = 99, id_col: str = "vec_id", emb_col: str = "embedding", n_probe_bits: int = 0):
     """LSH-bucketed ANN: exact rerank within the query's bucket(s).
 
     The corpus is bucketed with one map_batches (signatures) and
     filtered to the query buckets (broadcast set) — a semi-join, not a
     shuffle; rerank is brute force over the tiny candidate set.
+    ``n_probe_bits`` > 0 enables multiprobe: also search every bucket
+    within that Hamming distance of each query signature (recall rises
+    steeply; candidate volume grows ~ C(n_bits, n_probe_bits)).
     """
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     hasher = HyperplaneHasher(q.shape[1], n_bits=n_bits, seed=seed)
-    q_buckets = set(hasher.bucket_of(q).tolist())
+    base = hasher.bucket_of(q).tolist()
+    q_buckets = set(base)
+    if n_probe_bits > 0:
+        from itertools import combinations
+
+        flips = [
+            sum(1 << b for b in combo)
+            for r in range(1, n_probe_bits + 1)
+            for combo in combinations(range(n_bits), r)
+        ]
+        q_buckets |= {sig ^ f for sig in base for f in flips}
 
     def in_query_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
         return batch[pd.Series(hasher.bucket_of(m), index=batch.index).isin(q_buckets)]
 
     candidates = ds.map_batches(in_query_buckets, batch_format="pandas")
+    return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def ivf_build_centroids(ds, n_centroids: int = 16, iters: int = 2, emb_col: str = "embedding", id_col: str = "vec_id", num_buckets: int = 8):
+    """IVF coarse quantizer: k-means centroids trained distributed —
+    seeds = the first ``n_centroids`` vectors by id (deterministic),
+    then ``iters`` Lloyd rounds where assignment runs per batch against
+    broadcast centroids and the (cid, sum, count) partials merge
+    through ONE small bucketed groupby per round. Centroid matrix is
+    k × d — driver-resident by design (the IVF index's only global
+    state)."""
+    import ray
+
+    seed_df = (
+        ds.map_batches(
+            lambda df: df.nsmallest(n_centroids, id_col), batch_format="pandas"
+        )
+        .to_pandas()
+        .nsmallest(n_centroids, id_col)
+        .sort_values(id_col)
+    )
+    cents = _normalize(np.stack(seed_df[emb_col].to_numpy()).astype(np.float64))
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            cid = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((c.shape[0], m.shape[1]))
+            np.add.at(sums, cid, m)
+            counts = np.bincount(cid, minlength=c.shape[0])
+            keep = counts > 0
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(c.shape[0])[keep],
+                    "vec_sum": list(sums[keep]),
+                    "n": counts[keep].astype("int64"),
+                }
+            )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            agg = (
+                g.groupby("cid", sort=False)
+                .agg(vec_sum=("vec_sum", lambda s: np.sum(np.stack(s.to_numpy()), axis=0)), n=("n", "sum"))
+                .reset_index()
+            )
+            return agg
+
+        stats = bucketed_groupby(
+            ds, ["cid"], assign_partial, merge, num_buckets=num_buckets
+        ).to_pandas()
+        new = cents.copy()
+        for _, r in stats.iterrows():
+            if r["n"] > 0:
+                new[int(r["cid"])] = np.asarray(r["vec_sum"]) / r["n"]
+        cents = _normalize(new)
+    return cents
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_probe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF search: per batch, assign vectors to their nearest centroid
+    (broadcast k × d matrix) and keep only vectors whose cell is among
+    each query's ``n_probe`` nearest cells — a semi-join filter, no
+    corpus shuffle — then exact rerank of the surviving candidates."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe_cells = set(
+        np.argsort(-(q @ cents.T), axis=1)[:, :n_probe].reshape(-1).tolist()
+    )
+    ref = ray.put(cents)
+
+    def in_probe_cells(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        cid = np.argmax(m @ c.T, axis=1)
+        return df[pd.Series(cid, index=df.index).isin(probe_cells)]
+
+    candidates = ds.map_batches(in_probe_cells, batch_format="pandas")
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)

@@ -539,6 +539,18 @@ def ann_lsh_topk(sf_dir: str):
     return out.astype({"query_i": "int64", "vec_id": "int64"})
 
 
+def ann_ivf_topk(sf_dir: str):
+    """Rows-only: IVF ANN (distributed k-means coarse quantizer +
+    n_probe cell search + exact rerank). Approximate by design."""
+    from clever_canal_ray.functions.ann import ivf_build_centroids, ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = ivf_build_centroids(ds, n_centroids=8, iters=2)
+    qdf = ds.filter(expr="vec_id < 2").to_pandas().sort_values("vec_id")
+    out = ivf_topk(ds, np.stack(qdf["embedding"].to_numpy()), cents, k=10, n_probe=3)
+    return out.astype({"query_i": "int64", "vec_id": "int64"})
+
+
 def embedding_lsh_dups(sf_dir: str):
     """Rows-only: bucketed embedding near-dup (no broadcast matrix)."""
     from clever_canal_ray.functions.ann import lsh_dup_pairs

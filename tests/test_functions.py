@@ -172,3 +172,87 @@ def test_connected_components_chains_and_singletons(ray_session):
     out = connected_components(rd.from_pandas(pairs)).to_pandas().sort_values("node")
     got = dict(zip(out["node"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 51: 50, 80: 80, 81: 80, 82: 80}
+
+
+def test_ivf_ann_recall_vs_brute_force(ray_session):
+    """IVF (k-means cells + n_probe search) finds most of the exact
+    top-k; probing all cells recovers it exactly."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import brute_force_topk, ivf_build_centroids, ivf_topk
+
+    rng = np.random.default_rng(12)
+    # clustered data so cells are meaningful
+    centers = rng.standard_normal((6, 24)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((80, 24)) * 0.5 for c in centers])
+    emb = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    ds = rd.from_pandas(emb)
+    cents = ivf_build_centroids(ds, n_centroids=6, iters=2)
+    assert cents.shape == (6, 24)
+    q = vecs[:2]
+    exact = brute_force_topk(rd.from_pandas(emb), q, k=10)
+    approx = ivf_topk(rd.from_pandas(emb), q, cents, k=10, n_probe=2)
+    for qi in (0, 1):
+        e = set(exact[exact["query_i"] == qi]["vec_id"])
+        a = set(approx[approx["query_i"] == qi]["vec_id"])
+        assert len(a & e) / 10 >= 0.7, f"ivf recall too low for q{qi}"
+    # probing every cell degenerates to exact search
+    full = ivf_topk(rd.from_pandas(emb), q, cents, k=10, n_probe=6)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_lsh_multiprobe_improves_recall(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(21)
+    emb = pd.DataFrame(
+        {"vec_id": np.arange(400), "embedding": list(rng.standard_normal((400, 16)))}
+    )
+    q = np.stack(emb["embedding"].iloc[:2].to_numpy())
+    exact = brute_force_topk(rd.from_pandas(emb), q, k=8)
+
+    def recall(out):
+        r = 0
+        for qi in (0, 1):
+            e = set(exact[exact["query_i"] == qi]["vec_id"])
+            a = set(out[out["query_i"] == qi]["vec_id"])
+            r += len(a & e)
+        return r / 16
+
+    single = recall(lsh_topk(rd.from_pandas(emb), q, k=8, n_bits=8))
+    multi = recall(lsh_topk(rd.from_pandas(emb), q, k=8, n_bits=8, n_probe_bits=2))
+    assert multi >= single
+    assert multi >= 0.5
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize + frame-sample actor stages: correct output shapes,
+    deterministic across batch sizes, real 1->N frame explosion."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(60, seed=6)
+    resized = resize_images(rd.from_arrow(tbl), width=16, height=8).to_pandas()
+    assert len(resized) == 60
+    assert (resized["width"] == 16).all() and (resized["height"] == 8).all()
+    assert all(len(p) == 16 * 8 for p in resized["payload"])
+    # deterministic across batch sizes
+    resized2 = resize_images(rd.from_arrow(tbl), width=16, height=8, batch_size=7).to_pandas()
+    a = resized.sort_values("media_id")["payload"].tolist()
+    b = resized2.sort_values("media_id")["payload"].tolist()
+    assert a == b
+
+    frames = sample_frames(rd.from_arrow(tbl), frame_bytes=128, stride=3).to_pandas()
+    assert len(frames) > 60  # exploded
+    assert (frames["frame_idx"] % 3 == 0).all()
+    sizes = frames.groupby("media_id").size()
+    assert (sizes >= 1).all()

@@ -197,3 +197,65 @@ def test_write_flat_messages(ray_session, fx, tmp_path):
             assert r["data"][k] != r["old"][k]
         checked += 1
     assert checked > 0
+
+
+def test_consumer_protocol_random_sequences(fx, tmp_path):
+    """Model-based fuzz of the get/ack/rollback protocol: random
+    operation sequences must deliver, between acks and rollbacks,
+    exactly the suffix of events past the acked cursor, in order,
+    ending on txn boundaries."""
+    import numpy as np
+
+    spec, info, total, root = fx
+    rng = np.random.default_rng(123)
+    c = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "fuzz"))
+    c.subscribe()
+
+    acked_pos = -1  # packed position of the acked cursor
+    delivered_after_ack = []  # (batch_id, first_pos, last_pos) in-flight, FIFO
+    for step in range(120):
+        op = rng.choice(["get", "ack", "rollback"], p=[0.6, 0.3, 0.1])
+        if op == "get":
+            got = c.get_without_ack(int(rng.integers(1, 120)))
+            if got is None:
+                continue
+            bid, t = got
+            pos = pack_position(
+                t["segment_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False),
+            )
+            assert (np.diff(pos) > 0).all()
+            assert bool(t["txn_commit"][-1].as_py())
+            expected_start = (
+                delivered_after_ack[-1][2] if delivered_after_ack else acked_pos
+            )
+            assert int(pos[0]) > expected_start  # continues past last delivery
+            delivered_after_ack.append((bid, int(pos[0]), int(pos[-1])))
+        elif op == "ack":
+            if not delivered_after_ack:
+                continue
+            bid, first, last = delivered_after_ack.pop(0)
+            c.ack(bid)
+            acked_pos = last
+        else:
+            c.rollback()
+            delivered_after_ack = []
+    # drain to the end; total delivered past the acked cursor is exact
+    c.rollback()
+    remaining = 0
+    while True:
+        got = c.get_without_ack(500)
+        if got is None:
+            break
+        bid, t = got
+        remaining += t.num_rows
+        c.ack(bid)
+    all_segs, _ = generate_events(spec)
+    import pyarrow as pa
+
+    full = pa.concat_tables(all_segs)
+    all_pos = pack_position(
+        full["segment_id"].to_numpy(zero_copy_only=False),
+        full["offset"].to_numpy(zero_copy_only=False),
+    )
+    assert remaining == int((all_pos > acked_pos).sum())

@@ -186,3 +186,41 @@ def test_multi_table_truncate_targets_one_table(ray_session, tmp_path):
         EventLogSpec(seed=29, n_initial_docs=200, n_events=2000, n_segments=5), 2
     )
     assert t0.num_rows < full_no_trunc[0].num_rows
+
+
+def test_multi_table_salted_reduce_converges(ray_session, fx, tmp_path):
+    """Skew path x multi-table: salted two-stage reduce (salt_factor>1)
+    with table-routed global pids still converges to the partitioned
+    oracle (desalt divides the salted pid back to the true global pid)."""
+    spec, info = fx
+    lake = Lake.create_multi(str(tmp_path / "lake"), info["initials"], partitions_per_table=4)
+    replay(
+        lake,
+        info["segment_paths"],
+        ReplayConfig(segments_per_batch=2, salt_factor=3),
+    )
+    oracles = _oracle_split(spec, 2)
+    assert_tables_equal(lake.read_table(table="lake.t0"), oracles[0])
+    assert_tables_equal(lake.read_table(table="lake.t1"), oracles[1].drop_columns(["lang"]))
+
+
+def test_multi_table_gtid_failover(ray_session, tmp_path):
+    """GTID dedup x multi-table: a mirror journal (re-segmented, same
+    logical txns) fails over into a multi-table lake exactly-once."""
+    import dataclasses
+
+    from clever_canal_ray.fixtures.generator import write_multi_table_fixture
+
+    spec_a = EventLogSpec(seed=47, n_initial_docs=150, n_events=1200, n_segments=4)
+    spec_b = dataclasses.replace(spec_a, segment_base=40)
+    ia = write_multi_table_fixture(spec_a, str(tmp_path / "a"), n_tables=2)
+    ib = write_multi_table_fixture(spec_b, str(tmp_path / "b"), n_tables=2)
+    cfg = ReplayConfig(segments_per_batch=2, gtid_dedup=True)
+    lake = Lake.create_multi(str(tmp_path / "lake"), ia["initials"], partitions_per_table=3)
+    replay(lake, ia["segment_paths"][:2], cfg)  # source A dies mid-stream
+    replay(lake, ib["segment_paths"], cfg)  # mirror offers everything
+    applied = sum(r["events_in"] for r in lake.full_ledger())
+    assert applied == spec_a.n_events
+    oracles = _oracle_split(spec_a, 2)
+    assert_tables_equal(lake.read_table(table="lake.t0"), oracles[0])
+    assert_tables_equal(lake.read_table(table="lake.t1"), oracles[1])

@@ -65,10 +65,14 @@ def asof_join(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][list(left_cols)]
-        rf = g[g["__side"] == 1][list(right_cols)]
+        lf = g[g["__side"] == 0][list(left_cols)].copy()
+        rf = g[g["__side"] == 1][list(right_cols)].copy()
         if len(lf) == 0 or len(rf) == 0:
             return pd.DataFrame(columns=all_cols)
+        # the union's NaN-padding can promote the on-columns to object
+        # in some block layouts — re-coerce before the ordered merge
+        lf[left_on] = pd.to_datetime(lf[left_on])
+        rf[right_on] = pd.to_datetime(rf[right_on])
         out = pd.merge_asof(
             lf.sort_values(left_on, kind="stable"),
             rf.sort_values(right_on, kind="stable"),

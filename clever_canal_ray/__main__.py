@@ -119,9 +119,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "skip-to-ts":
         from clever_canal_ray.sources.segments import find_start_position
 
+        lake = Lake(args.lake)
         pos = find_start_position(args.segments, args.ts_ms)
-        m = Lake(args.lake).skip_to(pos)
-        print(json.dumps({"skipped_to": list(pos), "hwm": list(m.hwm)}))
+        cur_hwm = tuple(lake.current().hwm)
+        if tuple(pos) <= cur_hwm:
+            # ts at/before the stream start (or already consumed):
+            # nothing to skip — replay simply begins at the current HWM
+            print(json.dumps({"skipped_to": None, "hwm": list(cur_hwm), "noop": True}))
+        else:
+            m = lake.skip_to(pos)
+            print(json.dumps({"skipped_to": list(pos), "hwm": list(m.hwm)}))
     elif args.cmd == "gen-fixture":
         from clever_canal_ray.fixtures.generator import EventLogSpec, generate_lake, write_fixture
         import pyarrow.parquet as pq

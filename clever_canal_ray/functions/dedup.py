@@ -524,8 +524,9 @@ def simhash_u64(texts, word_hash=None) -> np.ndarray:
 
 
 def md5_u64(words) -> np.ndarray:
-    """First 8 md5 bytes as big-endian uint64 — matches DuckDB's
-    ``md5_number_upper`` (the oracle-checkable word hash)."""
+    """First 8 md5 bytes as LITTLE-endian uint64 — matches DuckDB's
+    ``md5_number_upper`` exactly (verified: md5_number_upper('hello')
+    == int.from_bytes(md5(b'hello').digest()[:8], 'little'))."""
     import hashlib
 
     return np.fromiter(

@@ -130,22 +130,14 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
     """Plan from the ``.plan.json`` sidecar (binlog index-file analog;
     legacy fallback: parquet footer ``ccr_plan`` metadata). None if any
     file lacks both — caller falls back to the light column scan."""
-    import os
-
-    import pyarrow.parquet as pq
+    from clever_canal_ray.sources.segments import load_segment_plan
 
     hwm_pos = int(pack_position(hwm[0], hwm[1])) if hwm[0] >= 0 else -1
     acks, metas = [], []
     for p in segment_paths:
-        sidecar = p + ".plan.json"
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                m = json.loads(f.read())
-        else:
-            md = pq.read_metadata(p).metadata
-            if not md or b"ccr_plan" not in md:
-                return None
-            m = json.loads(md[b"ccr_plan"])
+        m = load_segment_plan(p)
+        if m is None:
+            return None
         metas.append(m)
         if m["ack"] is not None:
             acks.append(tuple(m["ack"]))
@@ -354,6 +346,13 @@ def replay_batch(
         t = plan.truncates[0]
         t_pos = int(pack_position(t[0], t[1]))
         t_table = t[2] if len(t) > 2 else None
+        if t_table is None:
+            # a silent no-op here would permanently lose the wipe (the
+            # commit advances the HWM past it) — refuse loudly instead
+            raise ValueError(
+                "multi-table lake: TRUNCATE event carries no table name "
+                "(legacy plan sidecar? regenerate segment plan metadata)"
+            )
         ddls_before = [
             d
             for d in plan.new_ddls
@@ -361,7 +360,10 @@ def replay_batch(
         ]
         tables_meta = route_ddls(base.tables, ddls_before, min_new_base=base.next_base_pid())
         # exclude the truncated table from the apply (combine drops
-        # unregistered tables) — its window rows die at t anyway
+        # unregistered tables) — its window rows die at t anyway.
+        # Resolution runs against the POST-DDL registry so a truncate
+        # may target a table created/renamed earlier in the window; a
+        # genuinely unregistered table (unsubscribed) is a no-op wipe.
         exec_tables = {k: v for k, v in tables_meta.items() if k != t_table}
         sub_plan = BatchPlan(
             ack=(t[0], t[1]),
@@ -379,8 +381,8 @@ def replay_batch(
             new_hwm=(t[0], t[1]),
             touched=touched,
             new_ddls=ddls_before,
-            metrics={"truncate": t_table or True},
-            truncate=t_table if (t_table in base.tables) else False,
+            metrics={"truncate": t_table},
+            truncate=t_table if (t_table in tables_meta) else False,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())

@@ -85,10 +85,11 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None
     (FIXTURES.md §3; verb classification DruidDdlParser.parse:22-160):
     ``add_column | widen_type | rename_column | drop_column`` (plus the
     multi-table registry verbs create/drop/rename_table handled at the
-    manifest layer). ``dropped`` (optional, mutated) tracks dropped
-    names: re-adding one is rejected — old files may still hold its
-    values and merge-on-read would resurrect them; compact + a fresh
-    name instead.
+    manifest layer). ``dropped`` (optional, mutated) tracks RETIRED
+    names — dropped columns AND rename sources: reusing one (add or
+    rename target) is rejected, because old files still physically
+    hold the name and merge-on-read would resurrect its values into
+    the new unrelated column; compact + a fresh name instead.
     """
     op = ddl["op"]
     if op == "add_column":
@@ -97,8 +98,8 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None
             raise SchemaEvolutionError(f"column {name!r} already exists")
         if dropped is not None and name in dropped:
             raise SchemaEvolutionError(
-                f"column {name!r} was dropped earlier; old files may still hold its "
-                "values — compact the lake and use a fresh name"
+                f"column {name!r} was dropped or renamed away earlier; old files may "
+                "still hold its values — compact the lake and use a fresh name"
             )
         return schema.append(pa.field(name, type_from_name(ddl["type"]), nullable=True))
     if op == "widen_type":
@@ -120,6 +121,13 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None
             raise SchemaEvolutionError(f"column {dst!r} already exists")
         if src == "doc_id":
             raise SchemaEvolutionError("the primary-key column cannot be renamed")
+        if dropped is not None:
+            if dst in dropped:
+                raise SchemaEvolutionError(
+                    f"column {dst!r} was dropped or renamed away earlier; old files "
+                    "may still hold its values — compact the lake and use a fresh name"
+                )
+            dropped.add(src)  # the source name is retired on disk
         f = schema.field(i)
         return schema.set(i, pa.field(dst, f.type, nullable=f.nullable))
     if op == "drop_column":
@@ -182,10 +190,16 @@ def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
     """Field-name union of several table schemas, widening on type
     conflicts (the multi-table combine stage flattens every event to
     this; each partition's reducer casts down to its table's schema —
-    lossless because only widening conflicts are legal)."""
+    lossless because only widening conflicts are legal). The inputs'
+    rename maps (attach_renames metadata) are MERGED onto the output:
+    the combine stage resolves renamed physical column names through
+    it, and per-table down-casts drop any cross-table spillover."""
     fields: dict[str, pa.Field] = {}
     order: list[str] = []
+    renames: dict[str, str] = {}
     for s in schemas:
+        if s.metadata and RENAMES_META_KEY in s.metadata:
+            renames.update(json.loads(s.metadata[RENAMES_META_KEY]))
         for f in s:
             cur = fields.get(f.name)
             if cur is None:
@@ -201,7 +215,10 @@ def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
                     raise SchemaEvolutionError(
                         f"irreconcilable types for {f.name!r}: {a} vs {b}"
                     )
-    return pa.schema([fields[n] for n in order])
+    out = pa.schema([fields[n] for n in order])
+    if renames:
+        out = out.with_metadata({RENAMES_META_KEY: json.dumps(renames)})
+    return out
 
 
 def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:

@@ -464,14 +464,24 @@ class Lake:
             raise DuplicateCommitError(f"batch {batch_id} already committed (hwm batch {cur.last_batch_id})")
         if cur.version != base.version:
             raise CommitConflictError(f"manifest moved {base.version} -> {cur.version}")
+        # registry DDLs route FIRST so a truncate in the same batch can
+        # name a table created/renamed by an earlier DDL of the window
+        journal = list(cur.ddl_journal)
+        if new_ddls:
+            journal.extend(new_ddls)
+        tables = cur.tables
+        num_partitions = cur.num_partitions
+        if tables is not None and new_ddls:
+            tables = route_ddls(tables, new_ddls, min_new_base=cur.next_base_pid())
         # TRUNCATE: the committed state starts from an empty table
         # (EventType.TRUNCATE=8; rows die, schema survives).
         # truncate=True wipes the whole (single-table) lake; a table
-        # NAME wipes only that table's partition range (multi-table)
+        # NAME wipes only that table's partition range (multi-table),
+        # resolved against the post-DDL registry
         if truncate is True:
             parts = {}
         elif truncate:
-            trec = cur.tables[truncate]
+            trec = tables[truncate]
             lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
             parts = {p: i for p, i in cur.partitions.items() if not (lo <= int(p) < hi)}
         else:
@@ -489,13 +499,7 @@ class Lake:
             rows_upserted += int(info.get("rows_upserted", 0))
             rows_deleted += int(info.get("rows_deleted", 0))
             events_in += int(info.get("events_in", 0))
-        journal = list(cur.ddl_journal)
-        if new_ddls:
-            journal.extend(new_ddls)
-        tables = cur.tables
-        num_partitions = cur.num_partitions
         if tables is not None and new_ddls:
-            tables = route_ddls(tables, new_ddls, min_new_base=cur.next_base_pid())
             live = [
                 (t["base_pid"], t["base_pid"] + t["num_partitions"]) for t in tables.values()
             ]
@@ -517,6 +521,17 @@ class Lake:
         }
         if metrics:
             rec.update(metrics)
+        # O(1)-scrape running totals (prometheus_metrics reads these
+        # instead of replaying the whole ledger sidecar)
+        totals = dict(cur.metrics)
+        totals["events_applied_total"] = int(totals.get("events_applied_total", 0)) + events_in
+        totals["rows_upserted_total"] = int(totals.get("rows_upserted_total", 0)) + rows_upserted
+        totals["rows_deleted_total"] = int(totals.get("rows_deleted_total", 0)) + rows_deleted
+        totals["batches_committed_total"] = int(totals.get("batches_committed_total", 0)) + 1
+        if metrics and metrics.get("max_execute_ts"):
+            totals["last_execute_ts_ms"] = max(
+                int(totals.get("last_execute_ts_ms", 0)), int(metrics["max_execute_ts"])
+            )
         # full-history ledger: append-only jsonl sidecar (flat commit
         # cost; the manifest itself keeps only the last LEDGER_KEEP)
         with open(os.path.join(self.manifest_dir, "ledger.jsonl"), "a") as lf:
@@ -553,7 +568,7 @@ class Lake:
             ddl_journal=journal,
             partitions=parts,
             ledger=(cur.ledger + [rec])[-LEDGER_KEEP:],
-            metrics=cur.metrics,
+            metrics=totals,
             tables=tables,
         )
         self._write_manifest(m)
@@ -562,19 +577,20 @@ class Lake:
 
     def full_ledger(self) -> list[dict]:
         """Complete committed-batch history: the ledger.jsonl sidecar
-        filtered to batches the current manifest actually committed
-        (a crash between the sidecar append and the pointer swap may
-        leave one uncommitted tail line — dropped here)."""
+        merged with the inline ring (a lake created before the sidecar
+        existed holds older records only inline), filtered to batches
+        the current manifest actually committed (a crash between the
+        sidecar append and the pointer swap may leave one uncommitted
+        tail line — dropped here)."""
         cur = self.current()
+        by_id: dict[int, dict] = {rec["batch_id"]: rec for rec in cur.ledger}
         path = os.path.join(self.manifest_dir, "ledger.jsonl")
-        if not os.path.exists(path):
-            return list(cur.ledger)
-        by_id: dict[int, dict] = {}
-        with open(path) as f:
-            for line in f:
-                if line.strip():
-                    rec = json.loads(line)
-                    by_id[rec["batch_id"]] = rec
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        by_id[rec["batch_id"]] = rec  # sidecar wins on overlap
         return [by_id[b] for b in sorted(by_id) if b <= cur.last_batch_id]
 
     def skip_to(self, position: tuple[int, int], batch_id: int | None = None) -> Manifest:
@@ -747,16 +763,26 @@ class Lake:
         the StoreCollector/EntryCollector analog (StoreCollector.java:
         33-43): scrape by serving this string (e.g. via any WSGI
         one-liner) or shipping it to a pushgateway; no server is bound
-        here. Counters come from the manifest + full ledger; gauges
-        from the current manifest."""
+        here. Counters come from O(1) running totals in the manifest
+        (legacy lakes fall back to one ledger replay); gauges from the
+        current manifest."""
         cur = self.current()
-        ledger = self.full_ledger()
-        events = sum(r.get("events_in", 0) for r in ledger)
-        upserts = sum(r.get("rows_upserted", 0) for r in ledger)
-        deletes = sum(r.get("rows_deleted", 0) for r in ledger)
+        if "events_applied_total" in cur.metrics:
+            t = cur.metrics  # O(1) running totals maintained per commit
+            events = int(t.get("events_applied_total", 0))
+            upserts = int(t.get("rows_upserted_total", 0))
+            deletes = int(t.get("rows_deleted_total", 0))
+            batches = int(t.get("batches_committed_total", 0))
+            last_ts = int(t.get("last_execute_ts_ms", 0))
+        else:  # pre-running-totals lake: one-time ledger replay
+            ledger = self.full_ledger()
+            events = sum(r.get("events_in", 0) for r in ledger)
+            upserts = sum(r.get("rows_upserted", 0) for r in ledger)
+            deletes = sum(r.get("rows_deleted", 0) for r in ledger)
+            batches = len(ledger)
+            last_ts = max((r.get("max_execute_ts", 0) for r in ledger), default=0)
         rows = sum(int(i["rows"]) for i in cur.partitions.values())
         files = sum(len(i["files"]) for i in cur.partitions.values())
-        last_ts = max((r.get("max_execute_ts", 0) for r in ledger), default=0)
         lines = [
             "# TYPE canal_events_applied_total counter",
             f"canal_events_applied_total {events}",
@@ -765,7 +791,7 @@ class Lake:
             "# TYPE canal_rows_deleted_total counter",
             f"canal_rows_deleted_total {deletes}",
             "# TYPE canal_batches_committed_total counter",
-            f"canal_batches_committed_total {len(ledger)}",
+            f"canal_batches_committed_total {batches}",
             "# TYPE canal_manifest_version gauge",
             f"canal_manifest_version {cur.version}",
             "# TYPE canal_hwm_segment_id gauge",

@@ -143,3 +143,54 @@ def test_registry_verbs_create_rename_drop_table(ray_session, tmp_path):
                    "ddl": {"op": "create_table", "table": "lake.t3", "num_partitions": 2}}],
     )
     assert m3.tables["lake.t3"]["base_pid"] >= 12
+
+
+def test_retired_name_reuse_rejected():
+    """A renamed-away source name is retired like a dropped one: re-add
+    or rename-target reuse would resurrect old files' physical values
+    (code-review regression)."""
+    with pytest.raises(SchemaEvolutionError):
+        lake_schema(
+            [
+                {"op": "rename_column", "from": "source", "to": "origin"},
+                {"op": "add_column", "name": "source", "type": "string"},
+            ]
+        )
+    with pytest.raises(SchemaEvolutionError):
+        lake_schema(
+            [
+                {"op": "rename_column", "from": "source", "to": "origin"},
+                {"op": "rename_column", "from": "n_tok", "to": "source"},
+            ]
+        )
+
+
+def test_multi_table_rename_column_keeps_values(ray_session, tmp_path):
+    """rename_column in a MULTI-table journal: the union schema must
+    carry the rename map (widen_union merges metadata) so events —
+    physically under the original name — keep their values
+    (code-review regression: values were silently nulled)."""
+    import pyarrow.compute as pc
+
+    from clever_canal_ray.fixtures.generator import retable_by_key, split_lake_by_key
+
+    spec = EventLogSpec(
+        seed=37, n_initial_docs=150, n_events=1200, n_segments=5,
+        ddls=((0.4, {"op": "rename_column", "from": "source", "to": "origin",
+                     "table": "lake.t0"}),),
+    )
+    info = write_multi_table_fixture(spec, str(tmp_path / "fx"), n_tables=2)
+    lake = Lake.create_multi(str(tmp_path / "lake"), info["initials"], partitions_per_table=4)
+    m = replay(lake, info["segment_paths"], ReplayConfig(segments_per_batch=2))
+    assert [f.name for f in m.schema_of_table("lake.t0")] == ["doc_id", "tokens", "n_tok", "origin"]
+
+    segs, _ = generate_events(spec)
+    retabled = [retable_by_key(t, 2) for t in segs]
+    initials = split_lake_by_key(generate_lake(spec), 2)
+    for name in ("lake.t0", "lake.t1"):
+        sub = [t.filter(pc.equal(t["table"], name)) for t in retabled]
+        oracle = apply_events_serial(initials[name], sub)
+        assert_tables_equal(lake.read_table(table=name), oracle)
+    # the renamed column genuinely carries post-rename event values
+    t0 = lake.read_table(table="lake.t0")
+    assert t0["origin"].null_count < t0.num_rows

@@ -283,7 +283,8 @@ def generate_events(spec: EventLogSpec):
 
     # ---- inject DDL / TRUNCATE rows at fixed fractional positions -------
     trunc_entries = [
-        (t if isinstance(t, (tuple, list)) else (t, None)) for t in spec.truncates
+        (tuple(t) + (None,))[:2] if isinstance(t, (tuple, list)) else (t, None)
+        for t in spec.truncates
     ]
     injections = sorted(
         [(min(n - 1, int(frac * n)), "DDL", json.dumps(d)) for frac, d in spec.ddls]
@@ -530,10 +531,13 @@ def segment_plan_metadata(t: pa.Table) -> str:
     ddls = []
     for i in np.where(op == "DDL")[0]:
         ddls.append({"position": [int(seg[i]), int(off[i])], "ddl": json.loads(t["ddl"][int(i)].as_py())})
-    # [seg, off, table] — table routes per-table truncates in
-    # multi-table lakes (ignored by single-table replay)
+    # [seg, off, table, txn_id] — table routes per-table truncates in
+    # multi-table lakes; txn_id lets truncate commits advance the GTID
+    # watermark over the truncated window
+    txn = t["txn_id"].to_numpy(zero_copy_only=False)
     truncates = [
-        [int(seg[i]), int(off[i]), t["table"][int(i)].as_py()] for i in np.where(op == "T")[0]
+        [int(seg[i]), int(off[i]), t["table"][int(i)].as_py(), int(txn[i])]
+        for i in np.where(op == "T")[0]
     ]
     ack_i = int(np.argmax(np.where(commit, pos, -1))) if commit.any() else None
     ts = t["execute_ts"].to_numpy(zero_copy_only=False)

@@ -114,7 +114,7 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     t_idx = np.where((op == "T") & (pos <= ack_pos))[0]
     t_idx = t_idx[np.argsort(pos[t_idx])]
     tbl_np = np.asarray(meta["table"].to_numpy(zero_copy_only=False), dtype=object)
-    truncates = [(int(seg[i]), int(off[i]), tbl_np[i]) for i in t_idx]
+    truncates = [(int(seg[i]), int(off[i]), tbl_np[i], int(txn[i])) for i in t_idx]
     return BatchPlan(
         ack=ack,
         new_ddls=ddls,
@@ -168,7 +168,14 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         for tp in m.get("truncates", []):
             tpp = int(pack_position(tp[0], tp[1]))
             if hwm_pos < tpp <= ack_pos:
-                truncates.append((tp[0], tp[1], tp[2] if len(tp) > 2 else None))
+                truncates.append(
+                    (
+                        tp[0],
+                        tp[1],
+                        tp[2] if len(tp) > 2 else None,
+                        tp[3] if len(tp) > 3 else None,
+                    )
+                )
     truncates.sort(key=lambda t: int(pack_position(t[0], t[1])))
     max_ts = max((m["max_ts"] for m in metas if m["max_ts"] is not None), default=None)
     n_cand = sum(
@@ -310,6 +317,32 @@ def _execute_batch(
     }
 
 
+def _table_subscribed(cfg: ReplayConfig, name) -> bool:
+    """Does a table name pass the F1-F3 subscription filters? (Used to
+    decide whether a TRUNCATE control event applies to this consumer —
+    an unsubscribed table's truncate must never wipe subscribed state.)
+    A None name (legacy plan metadata) counts as subscribed."""
+    import re
+
+    if name is None:
+        return True
+    if cfg.table_whitelist_regex:
+        pat = "|".join(
+            f"(?:^{p.strip()}$)" for p in cfg.table_whitelist_regex.split(",") if p.strip()
+        )
+        if not re.search(pat, name):
+            return False
+    if cfg.table_blacklist_regex:
+        pat = "|".join(
+            f"(?:^{p.strip()}$)" for p in cfg.table_blacklist_regex.split(",") if p.strip()
+        )
+        if re.search(pat, name):
+            return False
+    if cfg.table_list is not None and name not in cfg.table_list:
+        return False
+    return True
+
+
 def replay_batch(
     lake: Lake,
     segment_paths: list[str],
@@ -337,6 +370,11 @@ def replay_batch(
         _info["deferred"] = plan.ack is None or plan.n_candidate_events < plan.n_seen_events
     if plan.ack is None:
         return base
+
+    # a TRUNCATE of an UNSUBSCRIBED table (F1-F3 filters) must not wipe
+    # this consumer's state — drop it like any other filtered event
+    if plan.truncates:
+        plan.truncates = [t for t in plan.truncates if _table_subscribed(cfg, t[2] if len(t) > 2 else None)]
 
     if plan.truncates and base.tables is not None:
         # per-table TRUNCATE (multi-table lakes): the window (hwm, t]
@@ -383,6 +421,7 @@ def replay_batch(
             new_ddls=ddls_before,
             metrics={"truncate": t_table},
             truncate=t_table if (t_table in tables_meta) else False,
+            new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())
@@ -402,11 +441,12 @@ def replay_batch(
         lake.commit_batch(
             base,
             batch_id=batch_id,
-            new_hwm=t,
+            new_hwm=(t[0], t[1]),
             touched={},
             new_ddls=ddls_before,
             metrics={"truncate": True},
             truncate=True,
+            new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())

@@ -164,17 +164,30 @@ def journal_renames(ddls: list[dict[str, Any]]) -> dict[str, str]:
 RENAMES_META_KEY = b"ccr_renames"
 
 
+def reverse_renames_from_metadata(schema: pa.Schema) -> dict[str, list[str]]:
+    """Parse the rename map riding a target schema's metadata:
+    final name -> [old physical names] (reverse-mapped — see
+    attach_renames)."""
+    if schema.metadata and RENAMES_META_KEY in schema.metadata:
+        return json.loads(schema.metadata[RENAMES_META_KEY])
+    return {}
+
+
 def attach_renames(schema: pa.Schema, ddls: list[dict[str, Any]]) -> pa.Schema:
     """Stamp the journal's rename map onto a target schema so every
     ``upcast_table`` call against it resolves renamed columns in old
     files — no signature changes anywhere in the merge path. The map
-    rides schema metadata; upcast_table strips it from its OUTPUT (a
-    schema with metadata is unhashable and would disable Ray's block
-    schema dedup)."""
+    rides schema metadata REVERSE-mapped ({final: [old names]}) so
+    multi-table unions can merge maps without old-name key collisions;
+    upcast_table strips it from its OUTPUT (a schema with metadata is
+    unhashable and would disable Ray's block schema dedup)."""
     renames = journal_renames(ddls)
     if not renames:
         return schema
-    return schema.with_metadata({RENAMES_META_KEY: json.dumps(renames)})
+    rev: dict[str, list[str]] = {}
+    for old, new in renames.items():
+        rev.setdefault(new, []).append(old)
+    return schema.with_metadata({RENAMES_META_KEY: json.dumps(rev)})
 
 
 def lake_schema(ddls: list[dict[str, Any]]) -> pa.Schema:
@@ -196,10 +209,22 @@ def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
     it, and per-table down-casts drop any cross-table spillover."""
     fields: dict[str, pa.Field] = {}
     order: list[str] = []
-    renames: dict[str, str] = {}
+    renames: dict[str, list[str]] = {}
     for s in schemas:
-        if s.metadata and RENAMES_META_KEY in s.metadata:
-            renames.update(json.loads(s.metadata[RENAMES_META_KEY]))
+        for new, olds in reverse_renames_from_metadata(s).items():
+            cur_olds = renames.setdefault(new, [])
+            for o in olds:
+                if o not in cur_olds:
+                    cur_olds.append(o)
+            if len(cur_olds) > 1:
+                # two tables renamed DIFFERENT physical columns to the
+                # same target — per-row resolution over the shared
+                # physical layout is ambiguous; refuse rather than
+                # guess (compact, or pick distinct target names)
+                raise SchemaEvolutionError(
+                    f"ambiguous cross-table rename target {new!r}: "
+                    f"sources {cur_olds}"
+                )
         for f in s:
             cur = fields.get(f.name)
             if cur is None:
@@ -232,21 +257,18 @@ def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     carries no metadata (a schema with metadata is unhashable and
     disables Ray's block-schema dedup).
     """
-    renames: dict[str, str] = {}
-    if target.metadata and RENAMES_META_KEY in target.metadata:
-        renames = json.loads(target.metadata[RENAMES_META_KEY])
+    rev = reverse_renames_from_metadata(target)
     out_schema = pa.schema(list(target))  # metadata stripped
     cols = []
     n = len(table)
     for f in target:
         i = table.schema.get_field_index(f.name)
-        if i == -1 and renames:
+        if i == -1 and rev:
             # a file written before the rename holds the old name
-            for old, new in renames.items():
-                if new == f.name:
-                    i = table.schema.get_field_index(old)
-                    if i != -1:
-                        break
+            for old in rev.get(f.name, []):
+                i = table.schema.get_field_index(old)
+                if i != -1:
+                    break
         if i == -1:
             cols.append(pa.nulls(n, f.type))
         else:

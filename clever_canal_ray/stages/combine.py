@@ -96,15 +96,11 @@ def make_combine_fn(
     payload_names = [f.name for f in target_payload]
     # rename_column: events physically carry the ORIGINAL column name
     # (their epoch's layout); resolve target names through the
-    # journal's rename map (schema.attach_renames on target_payload)
-    import json as _json
+    # journal's rename map (schema.attach_renames on target_payload;
+    # already reverse-mapped {final: [old names]})
+    from clever_canal_ray.schema import reverse_renames_from_metadata
 
-    from clever_canal_ray.schema import RENAMES_META_KEY
-
-    _rev_renames: dict[str, list[str]] = {}
-    if target_payload.metadata and RENAMES_META_KEY in target_payload.metadata:
-        for _old, _new in _json.loads(target_payload.metadata[RENAMES_META_KEY]).items():
-            _rev_renames.setdefault(_new, []).append(_old)
+    _rev_renames = reverse_renames_from_metadata(target_payload)
     # F5 column projection: tuple = global keep-list; dict = PER-TABLE
     # keep-lists {table: (cols...)} (parseFieldFilterMap analog,
     # AbstractEventParser.java:667-682) — tables absent from the dict

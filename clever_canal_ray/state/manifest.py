@@ -524,6 +524,17 @@ class Lake:
         # O(1)-scrape running totals (prometheus_metrics reads these
         # instead of replaying the whole ledger sidecar)
         totals = dict(cur.metrics)
+        if "events_applied_total" not in totals and cur.last_batch_id >= 0:
+            # first commit on a pre-running-totals lake: seed from the
+            # full ledger once so history isn't undercounted forever
+            hist = self.full_ledger()
+            totals["events_applied_total"] = sum(r.get("events_in", 0) for r in hist)
+            totals["rows_upserted_total"] = sum(r.get("rows_upserted", 0) for r in hist)
+            totals["rows_deleted_total"] = sum(r.get("rows_deleted", 0) for r in hist)
+            totals["batches_committed_total"] = len(hist)
+            totals["last_execute_ts_ms"] = max(
+                (r.get("max_execute_ts", 0) for r in hist), default=0
+            )
         totals["events_applied_total"] = int(totals.get("events_applied_total", 0)) + events_in
         totals["rows_upserted_total"] = int(totals.get("rows_upserted_total", 0)) + rows_upserted
         totals["rows_deleted_total"] = int(totals.get("rows_deleted_total", 0)) + rows_deleted

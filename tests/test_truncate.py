@@ -66,3 +66,50 @@ def test_truncate_everything_at_end(ray_session, tmp_path):
     final = lake.read_table()
     assert_tables_equal(final, oracle)
     assert final.num_rows <= 2  # at most the tail events after truncate
+
+
+def test_unsubscribed_table_truncate_does_not_wipe(ray_session, tmp_path):
+    """A TRUNCATE event for a table outside the F1-F3 subscription
+    filters must NOT wipe the subscribed state (code-review
+    regression: it previously truncated the whole lake)."""
+    import pyarrow.compute as pc
+
+    from clever_canal_ray.oracle import apply_events_serial
+
+    spec = EventLogSpec(
+        seed=53, n_initial_docs=150, n_events=1000, n_segments=4,
+        truncates=((0.5, "other.stream"),),  # not ours
+    )
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    cfg = ReplayConfig(
+        num_partitions=4, segments_per_batch=2,
+        table_whitelist_regex=r"lake\.sequences",
+    )
+    replay(lake, info["segment_paths"], cfg)
+    # expected: every row event applied, the foreign truncate ignored
+    segs, _ = generate_events(spec)
+    no_t = [t.filter(pc.invert(pc.equal(t["op"], "T"))) for t in segs]
+    oracle = apply_events_serial(generate_lake(spec), no_t)
+    assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_truncate_commit_advances_gtid_watermark(ray_session, tmp_path):
+    """The truncate commit itself must advance txn_hwm over its window
+    (code-review regression: a failover right after a truncate-ended
+    commit re-applied the window's transactions)."""
+    spec = EventLogSpec(
+        seed=59, n_initial_docs=100, n_events=800, n_segments=4, truncates=((0.5,),)
+    )
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seen = []
+    cfg = ReplayConfig(
+        num_partitions=4, segments_per_batch=2, gtid_dedup=True,
+        after_commit=lambda m: seen.append(m.txn_hwm),
+    )
+    replay(lake, info["segment_paths"], cfg)
+    # every commit (including the truncate one) carries a monotone,
+    # non-negative watermark once the first window commits
+    assert all(w >= 0 for w in seen)
+    assert seen == sorted(seen)

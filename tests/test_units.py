@@ -141,3 +141,27 @@ def test_minhash_simhash_batch_kernels_match_per_doc():
         maj = votes.sum(axis=0) * 2 >= len(words)
         expected[i] = np.bitwise_or.reduce(np.where(maj, np.uint64(1) << bits, np.uint64(0)))
     assert np.array_equal(expected, simhash_u64(texts))
+
+
+def test_widen_union_rename_map_merge_rules():
+    """Cross-table rename maps merge reverse-keyed: the same source
+    renamed to different targets in different tables is fine (each
+    table's down-cast drops the spillover); different sources renamed
+    to the SAME target is ambiguous and rejected (code-review
+    regression: maps silently clobbered each other)."""
+    from clever_canal_ray.schema import (
+        SchemaEvolutionError,
+        lake_schema,
+        reverse_renames_from_metadata,
+        widen_union,
+    )
+
+    s_a = lake_schema([{"op": "rename_column", "from": "source", "to": "origin"}])
+    s_b = lake_schema([{"op": "rename_column", "from": "source", "to": "provenance"}])
+    u = widen_union([s_a, s_b])
+    rev = reverse_renames_from_metadata(u)
+    assert rev == {"origin": ["source"], "provenance": ["source"]}
+
+    s_c = lake_schema([{"op": "rename_column", "from": "n_tok", "to": "origin"}])
+    with pytest.raises(SchemaEvolutionError):
+        widen_union([s_a, s_c])  # origin <- {source, n_tok}: ambiguous

@@ -554,8 +554,8 @@ def segment_plan_metadata(t: pa.Table) -> str:
             # logical txn-id bounds — the GTID-set building block: txn
             # ids survive re-segmentation (mirror/archive sources), file
             # positions don't
-            "max_txn": int(t["txn_id"].to_numpy(zero_copy_only=False).max()) if len(t) else None,
-            "min_txn": int(t["txn_id"].to_numpy(zero_copy_only=False).min()) if len(t) else None,
+            "max_txn": int(txn.max()) if len(t) else None,
+            "min_txn": int(txn.min()) if len(t) else None,
         }
     )
 

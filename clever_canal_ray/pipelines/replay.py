@@ -321,23 +321,18 @@ def _table_subscribed(cfg: ReplayConfig, name) -> bool:
     """Does a table name pass the F1-F3 subscription filters? (Used to
     decide whether a TRUNCATE control event applies to this consumer —
     an unsubscribed table's truncate must never wipe subscribed state.)
-    A None name (legacy plan metadata) counts as subscribed."""
-    import re
+    A None name (legacy plan metadata) counts as subscribed. Pattern
+    construction is shared with the row path (combine._anchor_regex);
+    note the row path evaluates via Arrow RE2 while this single-name
+    check uses Python re — stick to the common regex subset."""
+    from clever_canal_ray.stages.combine import _anchor_regex
 
     if name is None:
         return True
-    if cfg.table_whitelist_regex:
-        pat = "|".join(
-            f"(?:^{p.strip()}$)" for p in cfg.table_whitelist_regex.split(",") if p.strip()
-        )
-        if not re.search(pat, name):
-            return False
-    if cfg.table_blacklist_regex:
-        pat = "|".join(
-            f"(?:^{p.strip()}$)" for p in cfg.table_blacklist_regex.split(",") if p.strip()
-        )
-        if re.search(pat, name):
-            return False
+    if cfg.table_whitelist_regex and not _anchor_regex(cfg.table_whitelist_regex).search(name):
+        return False
+    if cfg.table_blacklist_regex and _anchor_regex(cfg.table_blacklist_regex).search(name):
+        return False
     if cfg.table_list is not None and name not in cfg.table_list:
         return False
     return True
@@ -371,10 +366,18 @@ def replay_batch(
     if plan.ack is None:
         return base
 
-    # a TRUNCATE of an UNSUBSCRIBED table (F1-F3 filters) must not wipe
-    # this consumer's state — drop it like any other filtered event
+    # a filtered-out TRUNCATE must not wipe this consumer's state —
+    # drop it like any other filtered event: F1-F3 table filters AND
+    # the F6 event-class filter (drop_ops containing "T")
     if plan.truncates:
-        plan.truncates = [t for t in plan.truncates if _table_subscribed(cfg, t[2] if len(t) > 2 else None)]
+        if "T" in cfg.drop_ops:
+            plan.truncates = []
+        else:
+            plan.truncates = [
+                t
+                for t in plan.truncates
+                if _table_subscribed(cfg, t[2] if len(t) > 2 else None)
+            ]
 
     if plan.truncates and base.tables is not None:
         # per-table TRUNCATE (multi-table lakes): the window (hwm, t]

@@ -212,19 +212,17 @@ def widen_union(schemas: list[pa.Schema]) -> pa.Schema:
     renames: dict[str, list[str]] = {}
     for s in schemas:
         for new, olds in reverse_renames_from_metadata(s).items():
-            cur_olds = renames.setdefault(new, [])
-            for o in olds:
-                if o not in cur_olds:
-                    cur_olds.append(o)
-            if len(cur_olds) > 1:
-                # two tables renamed DIFFERENT physical columns to the
-                # same target — per-row resolution over the shared
-                # physical layout is ambiguous; refuse rather than
-                # guess (compact, or pick distinct target names)
+            # a single table's rename CHAIN (a->b->c gives c: [a, b]) is
+            # unambiguous — a file holds at most one of the chain names.
+            # Only a CONFLICT across tables (same target, different
+            # source sets) is ambiguous: per-row resolution over a
+            # shared physical layout could pick another table's column.
+            if new in renames and renames[new] != olds:
                 raise SchemaEvolutionError(
                     f"ambiguous cross-table rename target {new!r}: "
-                    f"sources {cur_olds}"
+                    f"sources {renames[new]} vs {olds}"
                 )
+            renames[new] = list(olds)
         for f in s:
             cur = fields.get(f.name)
             if cur is None:

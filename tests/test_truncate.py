@@ -103,13 +103,24 @@ def test_truncate_commit_advances_gtid_watermark(ray_session, tmp_path):
     )
     info = write_fixture(spec, str(tmp_path / "fx"))
     lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
-    seen = []
+    commits = []
     cfg = ReplayConfig(
         num_partitions=4, segments_per_batch=2, gtid_dedup=True,
-        after_commit=lambda m: seen.append(m.txn_hwm),
+        after_commit=lambda m: commits.append((m.ledger[-1].get("truncate"), m.txn_hwm)),
     )
     replay(lake, info["segment_paths"], cfg)
-    # every commit (including the truncate one) carries a monotone,
-    # non-negative watermark once the first window commits
-    assert all(w >= 0 for w in seen)
-    assert seen == sorted(seen)
+    # the truncate's own txn id, from the plan sidecar
+    from clever_canal_ray.sources.segments import load_segment_plan
+
+    t_entries = [
+        tp for p in info["segment_paths"] for tp in load_segment_plan(p)["truncates"]
+    ]
+    assert t_entries and t_entries[0][3] is not None
+    t_txn = int(t_entries[0][3])
+    # the TRUNCATE COMMIT ITSELF carries the watermark over its window
+    # (not just some later commit): without new_txn_hwm on the truncate
+    # path this reads the pre-window value
+    trunc_hwms = [w for is_t, w in commits if is_t]
+    assert trunc_hwms and trunc_hwms[0] >= t_txn
+    hwms = [w for _, w in commits]
+    assert hwms == sorted(hwms)

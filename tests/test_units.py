@@ -165,3 +165,17 @@ def test_widen_union_rename_map_merge_rules():
     s_c = lake_schema([{"op": "rename_column", "from": "n_tok", "to": "origin"}])
     with pytest.raises(SchemaEvolutionError):
         widen_union([s_a, s_c])  # origin <- {source, n_tok}: ambiguous
+
+    # a single table's rename CHAIN is legal (a file holds at most one
+    # chain name) — must NOT be flagged as a cross-table conflict
+    s_chain = lake_schema(
+        [
+            {"op": "rename_column", "from": "source", "to": "src2"},
+            {"op": "rename_column", "from": "src2", "to": "src3"},
+        ]
+    )
+    u2 = widen_union([s_chain, lake_schema([])])
+    assert sorted(reverse_renames_from_metadata(u2)["src3"]) == ["source", "src2"]
+    # identical rename journals across tables are not a conflict either
+    u3 = widen_union([s_a, lake_schema([{"op": "rename_column", "from": "source", "to": "origin"}])])
+    assert reverse_renames_from_metadata(u3) == {"origin": ["source"]}

@@ -352,8 +352,15 @@ def replay_batch(
     ack (incomplete trailing txn) were left for the next batch."""
     import ray.data as rd
 
+    import dataclasses
+
     cfg = cfg or ReplayConfig()
     base = lake.current()
+    # the lake's partition count is authoritative: routing with a
+    # mismatched config would write rows into pids the readers filter
+    # out (invisible data) and strand stale images in old pids
+    if base.tables is None and cfg.num_partitions != base.num_partitions:
+        cfg = dataclasses.replace(cfg, num_partitions=base.num_partitions)
     if batch_id is None:
         batch_id = base.last_batch_id + 1
     if batch_id <= base.last_batch_id:
@@ -552,22 +559,50 @@ def follow(
         _time.sleep(poll_interval)
 
 
+def _files_past_position(group: list[str], pos: tuple[int, int]) -> list[str]:
+    """Files of ``group`` that may still hold events ABOVE ``pos`` —
+    the deferred-transaction tail carried into the next micro-batch.
+    Uses plan metadata (max_pos) when available; files without it are
+    kept conservatively (the position filter makes re-reads cheap).
+    A transaction tail may span SEVERAL files, so the carry must be
+    position-based, not a fixed one-file overlap."""
+    from clever_canal_ray.sources.segments import load_segment_plan
+
+    p64 = int(pack_position(pos[0], pos[1])) if pos[0] >= 0 else -1
+    out = []
+    for p in group:
+        meta = load_segment_plan(p)
+        if meta is None or meta.get("max_pos") is None:
+            out.append(p)
+        elif int(pack_position(meta["max_pos"][0], meta["max_pos"][1])) > p64:
+            out.append(p)
+    return out
+
+
 def _replay_serial(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
     n = cfg.segments_per_batch
     m = lake.current()
     i = 0
-    info: dict = {}
+    pending: list[str] = []  # files that may hold events above the HWM
     while i < len(paths):
-        group = paths[max(0, i - 1) : i + n]  # overlap one file for deferred txn tails
-        info = {}
-        m = replay_batch(lake, group, cfg, _info=info)
+        group = pending + paths[i : i + n]
         i += n
-    # final pass over the trailing files only if the last batch left a
-    # deferred (incomplete-txn) tail behind its ack
-    if len(paths) > 1 and info.get("deferred", False):
-        m2 = replay_batch(lake, paths[-min(len(paths), n) :], cfg)
+        m2 = replay_batch(lake, group, cfg)
         if m2.version != m.version:
-            m = m2
+            pending = _files_past_position(group, m2.hwm)
+        else:
+            # no txn boundary in this window yet: the WHOLE group stays
+            # pending (a txn may span many files — a one-file overlap
+            # would orphan its middle files)
+            pending = group
+        m = m2
+    # drain any committable tail left pending
+    while pending:
+        m2 = replay_batch(lake, pending, cfg)
+        if m2.version == m.version:
+            break
+        m = m2
+        pending = _files_past_position(pending, m2.hwm)
     return m
 
 
@@ -585,9 +620,12 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
     the commits replaces the reducer-side auto-compact (which would
     act on a stale file-list snapshot under concurrency).
     """
+    import dataclasses
     from concurrent.futures import ThreadPoolExecutor
 
     base = lake.current()
+    if base.tables is None and cfg.num_partitions != base.num_partitions:
+        cfg = dataclasses.replace(cfg, num_partitions=base.num_partitions)
     n = cfg.segments_per_batch
 
     # --- upfront plan chain -------------------------------------------
@@ -621,7 +659,9 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
         journal.extend(plan.new_ddls)
         tm = tm_next
         hwm = plan.ack
-        pending = [group[-1]]  # overlap one file for deferred txn tails
+        # carry every file that may hold events above the ack — a
+        # deferred txn tail can span several files
+        pending = _files_past_position(group, plan.ack)
     # events past the final ack belong to an incomplete trailing
     # transaction: they are deliberately NOT committable (ack-at-txn-
     # boundary rule) and will be picked up when their commit arrives.

@@ -260,18 +260,27 @@ def upcast_table(table: pa.Table, target: pa.Schema) -> pa.Table:
     cols = []
     n = len(table)
     for f in target:
-        i = table.schema.get_field_index(f.name)
-        if i == -1 and rev:
-            # a file written before the rename holds the old name
-            for old in rev.get(f.name, []):
-                i = table.schema.get_field_index(old)
-                if i != -1:
-                    break
-        if i == -1:
+        # a renamed column COALESCES over [new name, old names]: a block
+        # that passed through an engine schema-unification step (e.g.
+        # Ray's groupby) may carry the new name as an all-null column
+        # ALONGSIDE the old physical column — preferring the first
+        # present name alone would null the pre-rename values
+        candidates = [f.name] + rev.get(f.name, [])
+        present = [
+            table.column(i)
+            for i in (table.schema.get_field_index(c) for c in candidates)
+            if i != -1
+        ]
+        if not present:
             cols.append(pa.nulls(n, f.type))
+            continue
+        casted = [c if c.type == f.type else c.cast(f.type) for c in present]
+        if len(casted) == 1:
+            cols.append(casted[0])
         else:
-            c = table.column(i)
-            cols.append(c if c.type == f.type else c.cast(f.type))
+            import pyarrow.compute as _pc
+
+            cols.append(_pc.coalesce(*[c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in casted]))
     return pa.Table.from_arrays(cols, schema=out_schema)
 
 

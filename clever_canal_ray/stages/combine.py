@@ -54,15 +54,18 @@ def filter_mask(batch: pa.Table, cfg: ReplayConfig) -> pa.ChunkedArray | pa.Arra
     mask = pc.invert(pc.is_in(batch["op"], value_set=pa.array(list(cfg.drop_ops) or ["__none__"])))
     tbl = batch["table"] if "table" in batch.column_names else None
     if cfg.table_whitelist_regex:
-        pat = "|".join(
-            f"(?:^{p.strip()}$)" for p in cfg.table_whitelist_regex.split(",") if p.strip()
+        # pattern construction shared with the driver-side truncate
+        # subscription check (replay._table_subscribed) — keep in sync
+        mask = pc.and_(
+            mask, pc.match_substring_regex(tbl, _anchor_regex(cfg.table_whitelist_regex).pattern)
         )
-        mask = pc.and_(mask, pc.match_substring_regex(tbl, pat))
     if cfg.table_blacklist_regex:
-        pat = "|".join(
-            f"(?:^{p.strip()}$)" for p in cfg.table_blacklist_regex.split(",") if p.strip()
+        mask = pc.and_(
+            mask,
+            pc.invert(
+                pc.match_substring_regex(tbl, _anchor_regex(cfg.table_blacklist_regex).pattern)
+            ),
         )
-        mask = pc.and_(mask, pc.invert(pc.match_substring_regex(tbl, pat)))
     if cfg.table_list is not None:
         mask = pc.and_(mask, pc.is_in(tbl, value_set=pa.array(list(cfg.table_list))))
     if cfg.predicate is not None:
@@ -244,10 +247,14 @@ def make_combine_fn(
             p_arr = np.array([routing[t][1] for t in tuniq], dtype=np.uint64)
             local = (stable_hash(doc) % p_arr[tcodes]).astype(np.int64)
             pids = (base_arr[tcodes] + local).astype(np.int32)
+            if cfg.salt_factor > 1:  # same formula as salted_partition_ids, on global pids
+                pids = (pids.astype(np.int64) * cfg.salt_factor + (pos % cfg.salt_factor)).astype(np.int32)
+        elif cfg.salt_factor > 1:
+            from clever_canal_ray.state.partitioning import salted_partition_ids
+
+            pids = salted_partition_ids(doc, cfg.num_partitions, cfg.salt_factor, pos)
         else:
             pids = partition_ids(doc, cfg.num_partitions)
-        if cfg.salt_factor > 1:
-            pids = (pids.astype(np.int64) * cfg.salt_factor + (pos % cfg.salt_factor)).astype(np.int32)
         is_del = pc.equal(batch["op"], "D")
         if isinstance(is_del, pa.ChunkedArray):
             is_del = is_del.combine_chunks()

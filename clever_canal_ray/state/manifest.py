@@ -734,7 +734,7 @@ class Lake:
             merge, batch_format="pyarrow"
         )
 
-    def gc(self, keep_manifests: int = 2) -> dict:
+    def gc(self, keep_manifests: int = 2, min_age_sec: float = 900.0) -> dict:
         """Garbage-collect data files no manifest in the retained window
         references (compacted-away deltas, orphans from failed tasks).
 
@@ -744,7 +744,14 @@ class Lake:
         retained as JSON but their exclusive files are gone — the
         snapshot-expiry analog (DatabaseTableMeta 360h expiry).
         Run after compaction at the operator's cadence.
+
+        ``min_age_sec``: unreferenced files younger than this are
+        spared — an IN-FLIGHT batch's phase-1 files are by design
+        unreferenced until their phase-2 commit, so deleting fresh
+        files would corrupt a concurrent replay. Pass 0 only when no
+        replay can be running.
         """
+        import time as _time
         cur = self.current()
         live: set[str] = set()
         for v in range(max(0, cur.version - keep_manifests + 1), cur.version + 1):
@@ -757,6 +764,8 @@ class Lake:
                 live.update(info["files"])
         removed = 0
         freed = 0
+        spared = 0
+        now = _time.time()
         for d in os.listdir(self.dir):
             if not d.startswith("part="):
                 continue
@@ -764,10 +773,18 @@ class Lake:
                 rel = f"{d}/{name}"
                 if rel not in live:
                     p = os.path.join(self.dir, rel)
+                    if now - os.path.getmtime(p) < min_age_sec:
+                        spared += 1  # possibly an in-flight batch's phase-1 file
+                        continue
                     freed += os.path.getsize(p)
                     os.remove(p)
                     removed += 1
-        return {"files_removed": removed, "bytes_freed": freed, "files_live": len(live)}
+        return {
+            "files_removed": removed,
+            "bytes_freed": freed,
+            "files_live": len(live),
+            "files_spared_young": spared,
+        }
 
     def prometheus_metrics(self) -> str:
         """Render engine counters in Prometheus text exposition format —
@@ -877,6 +894,13 @@ class Lake:
             results = [compact_one(p, fs) for p, fs in todo]
         for pid_s, rel, rows in results:
             parts[pid_s] = {"files": [rel], "rows": rows}
+        # surface the single-writer race the same way commit_batch does:
+        # a commit that landed while we compacted must not be clobbered
+        latest = self.current()
+        if latest.version != cur.version:
+            raise CommitConflictError(
+                f"manifest moved {cur.version} -> {latest.version} during compact()"
+            )
         m = Manifest(
             version=cur.version + 1,
             num_partitions=cur.num_partitions,

@@ -91,7 +91,7 @@ def test_gc_removes_compacted_deltas(ray_session, fx, tmp_path):
         )
 
     before = count_files()
-    stats = lake.gc(keep_manifests=1)
+    stats = lake.gc(keep_manifests=1, min_age_sec=0)
     assert stats["files_removed"] > 0
     assert count_files() == before - stats["files_removed"]
     # state intact after gc

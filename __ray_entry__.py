@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q.embedding_dups,
         "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN
         "events_windowed": q.events_windowed,  # oracle: tumbling windows in SQL
+        # corpus-level stats / training-set assembly
+        "corpus_token_histogram": q.corpus_token_histogram,
+        "corpus_hash_sample": q.corpus_hash_sample,
+        "corpus_topk_per_source": q.corpus_topk_per_source,
+        "corpus_token_quantiles": q.corpus_token_quantiles,
+        "corpus_pack_sequences": q.corpus_pack_sequences,
         # analytic parity (aggregate / sort-limit / joins)
         "q1_pricing": q.q1_pricing,
         "top_orders_by_revenue": q.top_orders_by_revenue,
@@ -324,6 +330,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
             FROM events GROUP BY 1, 2
+        """,
+        "corpus_token_histogram": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+            c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+            SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100
+        """,
+        "corpus_hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
+        """,
+        "corpus_topk_per_source": """
+            SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY length(text) DESC, doc_id) <= 5
+        """,
+        "corpus_token_quantiles": """
+            WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents)
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS value FROM t
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) FROM t
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE),
+                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) FROM t
+        """,
+        "corpus_pack_sequences": """
+            WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(COALESCE(sum(n_tokens) OVER (
+                             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS tok_offset
+                  FROM t)
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 2048 AS first_window,
+                   (tok_offset + greatest(n_tokens, 1) - 1) // 2048 AS last_window
+            FROM c
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

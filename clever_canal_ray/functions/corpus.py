@@ -1,0 +1,230 @@
+"""Corpus-level statistics and training-set assembly operators.
+
+These are the "whole-corpus" training-data ops a 100 TB pipeline needs
+beyond per-document transforms (functions/text.py): vocabulary
+statistics, deterministic sampling, group-wise selection, exact
+distribution quantiles, and sequence packing (the concat-and-chunk step
+that turns a tokenized corpus into fixed-length LM training windows).
+
+Design rules (SURVEY.md §4):
+- every per-batch body is vectorized pandas/numpy;
+- every wide step pre-aggregates inside ``map_batches`` before its one
+  bucketed shuffle (stages/agg.bucketed_groupby), so shuffle volume is
+  O(distinct keys per batch), never O(rows);
+- driver-side state is bounded (top-k candidates, bucket partial sums,
+  distinct histogram values) — never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from clever_canal_ray.stages.agg import bucketed_groupby
+
+
+def token_histogram(ds, text_col: str = "text", top_n: int = 100, num_buckets: int = 32):
+    """Corpus vocabulary: top-``top_n`` whitespace tokens by frequency.
+
+    Partial-aggregation topology: per-batch ``value_counts`` (rows out
+    ≤ distinct words per batch) → one bucketed shuffle on the word →
+    per-bucket vectorized sum + LOCAL top-n → driver-side final top-n
+    over ≤ num_buckets × top_n candidate rows. A word's global rank can
+    only be ≥ its in-bucket rank, so per-bucket top-n never drops a
+    global top-n word.
+
+    Tie-break: count desc, word asc (mirrors the SQL oracle's
+    ``ORDER BY n DESC, word LIMIT top_n``).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df[text_col].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": counts.index.to_numpy(dtype=object), "n": counts.to_numpy()})
+
+    def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sums = df.groupby("word", sort=False)["n"].sum().reset_index()
+        return sums.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(top_n)
+
+    cand = bucketed_groupby(ds, ["word"], partial, merge_partials, num_buckets=num_buckets)
+    out = (
+        cand.to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def hash_sample(ds, id_col: str, denom: int, select_rem: int = 0):
+    """Deterministic hash sampling: keep rows where
+    ``md5_u64_lower(str(id)) % denom == select_rem``.
+
+    The hash is the little-endian low 8 bytes of md5 — exactly DuckDB's
+    ``md5_number_lower(CAST(id AS VARCHAR))`` — so the sample is
+    reproducible across engines, runs, and cluster sizes (no RNG state,
+    no seed shipping; the id IS the seed). Embarrassingly parallel:
+    pure per-batch filter, no shuffle.
+    """
+    denom_u = np.uint64(denom)
+    rem_u = np.uint64(select_rem)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+                for v in df[id_col]
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        return df[(h % denom_u) == rem_u]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def topk_per_group(
+    ds,
+    group_col: str,
+    score_col: str,
+    k: int,
+    tie_col: str,
+    num_buckets: int = 32,
+):
+    """Group-wise top-k selection (e.g. k best-quality docs per source).
+
+    Per-batch local top-k per group (rows out ≤ groups-in-batch × k) →
+    one bucketed shuffle on the group → per-bucket final top-k. Order:
+    ``score_col`` desc, ``tie_col`` asc — deterministic under ties.
+    """
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values([score_col, tie_col], ascending=[False, True], kind="mergesort")
+        return s.groupby(group_col, sort=False).head(k)
+
+    return bucketed_groupby(ds, [group_col], local_topk, local_topk, num_buckets=num_buckets)
+
+
+def exact_quantiles(ds, col: str, qs: list[float], num_buckets: int = 16) -> pd.DataFrame:
+    """EXACT distribution quantiles via a distributed value histogram.
+
+    Scale assumption (documented per the custom-operator rule): the
+    column's DISTINCT-value count is bounded (ints, scores, lengths —
+    token counts at 100 TB still have ~10^5 distinct values), so the
+    merged (value, count) histogram fits the driver even when the row
+    count does not. Topology: per-batch ``value_counts`` partial → one
+    bucketed shuffle on value → per-bucket sum → driver merge + scan.
+
+    Quantile rule = SQL ``percentile_disc``: the smallest value whose
+    cumulative fraction ≥ q.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df[col].value_counts()
+        return pd.DataFrame({"value": counts.index.to_numpy(), "n": counts.to_numpy()})
+
+    def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("value", sort=False)["n"].sum().reset_index()
+
+    hist = (
+        bucketed_groupby(ds, ["value"], partial, merge_partials, num_buckets=num_buckets)
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    rows = []
+    for q in qs:
+        # smallest value with cum_count/total >= q  (ceil with float guard)
+        threshold = math.ceil(q * total - 1e-9)
+        idx = int(np.searchsorted(cum, threshold, side="left"))
+        rows.append((float(q), hist["value"].iloc[idx]))
+    return pd.DataFrame(rows, columns=["q", "value"])
+
+
+def pack_sequences(
+    ds,
+    order_col: str,
+    n_tok_col: str,
+    ctx: int,
+    bucket_size: int = 65_536,
+):
+    """Sequence packing (concat-and-chunk): lay the corpus's token
+    streams end-to-end in ``order_col`` order and cut fixed ``ctx``-size
+    training windows; emit each row's global token offset and the
+    window range it lands in.
+
+    This is the LM-training assembly step: window w holds tokens
+    [w*ctx, (w+1)*ctx); a document spans windows first_window..
+    last_window (documents are split across window boundaries, as
+    training pipelines do after packing).
+
+    Distributed prefix sum, no global sort:
+      1. range-bucket rows by ``order_col // bucket_size`` and sum
+         ``n_tok_col`` per bucket (one bucketed shuffle, ≤ N/bucket_size
+         partial rows);
+      2. exclusive-scan the per-bucket totals on the driver (tiny) and
+         broadcast the base offsets;
+      3. per-bucket: sort locally by ``order_col``, local cumsum + base.
+
+    Partitioning assumption: ``order_col`` is an integer key whose
+    range buckets are reasonably balanced (dense ids are ideal); each
+    bucket (≤ bucket_size distinct ids) must fit one worker. Offsets
+    are exact regardless of balance.
+    """
+    import ray
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return (vals // bucket_size).astype("int64")
+
+    def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df[order_col].to_numpy())
+        return (
+            pd.DataFrame({"bucket": b, "n": df[n_tok_col].to_numpy()})
+            .groupby("bucket", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    def merge_sums(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", sort=False)["n"].sum().reset_index()
+
+    totals = (
+        bucketed_groupby(ds, ["bucket"], partial_sums, merge_sums, num_buckets=8)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    base = {}
+    acc = 0
+    for b, n in zip(totals["bucket"], totals["n"]):
+        base[int(b)] = acc
+        acc += int(n)
+    base_ref = ray.put(base)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = bucket_of(df[order_col].to_numpy())
+        return df
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        bases = ray.get(base_ref)
+        g = group.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        n = g[n_tok_col].to_numpy().astype("int64")
+        start = np.int64(bases[int(g["__bucket"].iloc[0])])
+        excl = start + np.concatenate(([0], np.cumsum(n)[:-1]))
+        out = g.drop(columns="__bucket")
+        out["tok_offset"] = excl
+        out["first_window"] = excl // ctx
+        out["last_window"] = (excl + np.maximum(n, 1) - 1) // ctx
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(offsets, batch_format="pandas")
+    )

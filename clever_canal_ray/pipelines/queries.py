@@ -30,9 +30,16 @@ from clever_canal_ray.functions.text import (
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # strip the writer's pandas metadata: Ray's block-schema dedup can't
+    # hash schemas with dict-valued metadata, which would re-ship the
+    # schema with every block at scale (and spam the logs)
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _with_op(batch: pd.DataFrame) -> pd.DataFrame:
@@ -589,6 +596,87 @@ def multimodal_features(sf_dir: str):
         int(round(float(f[0]) * n)) for f, n in zip(out["features"], out["n_bytes"])
     ]
     return out[["media_id", "n_bytes", "f0_count"]]
+
+
+# --- corpus-level statistics / training-set assembly ---------------------
+
+
+def corpus_token_histogram(sf_dir: str):
+    """Corpus vocabulary top-100: per-batch value_counts partial, one
+    bucketed shuffle, per-bucket local top-n, bounded driver final."""
+    from clever_canal_ray.functions.corpus import token_histogram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return token_histogram(ds, top_n=100)
+
+
+def corpus_hash_sample(sf_dir: str):
+    """Deterministic 1-in-20 hash sample (md5_number_lower % 20 == 0):
+    reproducible across engines and cluster sizes, zero shuffle."""
+    from clever_canal_ray.functions.corpus import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = hash_sample(ds, id_col="doc_id", denom=20)
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
+    )
+
+
+def corpus_topk_per_source(sf_dir: str):
+    """Group-wise top-k: the 5 longest documents per source
+    (n_chars desc, doc_id asc)."""
+    from clever_canal_ray.functions.corpus import topk_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def measure(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "n_chars": df["text"].str.len().astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(measure, batch_format="pandas")
+    return topk_per_group(prepped, group_col="source", score_col="n_chars", k=5, tie_col="doc_id")
+
+
+def corpus_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles (percentile_disc semantics) via the
+    distributed value-histogram merge."""
+    from clever_canal_ray.functions.corpus import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_counts, batch_format="pandas"
+    )
+    out = exact_quantiles(ds, col="n_tokens", qs=[0.5, 0.9, 0.99])
+    return out.astype({"q": "float64", "value": "int64"})
+
+
+def corpus_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-and-chunk into 2048-token windows) via
+    the distributed prefix sum — every document's global token offset
+    and spanned window range."""
+    from clever_canal_ray.functions.corpus import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_counts, batch_format="pandas"
+    )
+    out = pack_sequences(ds, order_col="doc_id", n_tok_col="n_tokens", ctx=2048)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype(
+            {
+                "doc_id": "int64",
+                "n_tokens": "int64",
+                "tok_offset": "int64",
+                "first_window": "int64",
+                "last_window": "int64",
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
 
 
 # --- analytic parity (aggregate / sort / join coverage) ------------------

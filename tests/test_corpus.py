@@ -1,0 +1,116 @@
+"""Corpus-level operator tests (functions/corpus.py): vocabulary
+histogram, deterministic hash sampling, group-wise top-k, exact
+quantiles, and sequence packing — each checked against a serial
+pandas/numpy oracle on seeded data, with the edge cases that the
+sf-table driver gate can't reach (bucket-boundary prefix sums, tied
+scores, ragged value domains)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clever_canal_ray.functions.corpus import (
+    exact_quantiles,
+    hash_sample,
+    pack_sequences,
+    token_histogram,
+    topk_per_group,
+)
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(4)
+
+
+def test_token_histogram_counts_and_tiebreak(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(200)]
+    out = token_histogram(_ds(pd.DataFrame({"text": texts})), top_n=10)
+
+    exploded = pd.Series(" ".join(texts).split(" "))
+    expect = exploded.value_counts().rename_axis("word").reset_index(name="n")
+    expect = expect.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(10)
+    assert list(out["word"]) == list(expect["word"])
+    assert list(out["n"]) == list(expect["n"])
+
+
+def test_hash_sample_matches_md5_rule(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(1000), "source": "s"})
+    out = hash_sample(_ds(df), id_col="doc_id", denom=7, select_rem=3).to_pandas()
+
+    def h(v):
+        return int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+
+    expect = sorted(v for v in range(1000) if h(v) % 7 == 3)
+    assert sorted(out["doc_id"]) == expect
+    assert 1000 / 7 * 0.5 < len(out) < 1000 / 7 * 2  # sanity: rate ~1/7
+
+
+def test_topk_per_group_with_ties(ray_session):
+    # many tied scores: deterministic tie-break on id must hold
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c"], 40),
+            "score": np.tile([5, 5, 3, 1], 30),
+            "id": np.arange(120),
+        }
+    )
+    out = (
+        topk_per_group(_ds(df), group_col="g", score_col="score", k=4, tie_col="id")
+        .to_pandas()
+        .sort_values(["g", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    expect = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+        .sort_values(["g", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["g", "score", "id"]], expect[["g", "score", "id"]])
+
+
+def test_exact_quantiles_percentile_disc_rule(ray_session):
+    # percentile_disc: smallest value with cumulative fraction >= q
+    vals = np.array([1, 2, 3, 4], dtype="int64")
+    out = exact_quantiles(_ds(pd.DataFrame({"x": vals})), col="x", qs=[0.25, 0.5, 0.75, 1.0])
+    assert list(out["value"]) == [1, 2, 3, 4]
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 50, size=5000).astype("int64")
+    out2 = exact_quantiles(_ds(pd.DataFrame({"x": big})), col="x", qs=[0.5, 0.9, 0.99])
+    s = np.sort(big)
+    for q, v in zip(out2["q"], out2["value"]):
+        # oracle: ceil(q*N)-th order statistic (1-based)
+        k = int(np.ceil(q * len(s) - 1e-9))
+        assert v == s[k - 1], (q, v, s[k - 1])
+
+
+@pytest.mark.parametrize("bucket_size", [8, 64, 1000])
+def test_pack_sequences_prefix_sum_across_buckets(ray_session, bucket_size):
+    # ids NOT dense (gaps) and n_tok varied: offsets must equal the
+    # serial cumsum in id order regardless of bucket granularity
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(np.arange(0, 700), size=300, replace=False)).astype("int64")
+    ntok = rng.integers(1, 97, size=300).astype("int64")
+    df = pd.DataFrame({"doc_id": ids, "n_tok": ntok})
+    out = (
+        pack_sequences(_ds(df.sample(frac=1, random_state=5)), "doc_id", "n_tok", ctx=100,
+                       bucket_size=bucket_size)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    excl = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert (out["tok_offset"].to_numpy() == excl).all()
+    assert (out["first_window"].to_numpy() == excl // 100).all()
+    assert (out["last_window"].to_numpy() == (excl + ntok - 1) // 100).all()
+    # windows tile the token stream: every token index 0..total-1 covered
+    total = int(ntok.sum())
+    assert out["last_window"].max() == (total - 1) // 100

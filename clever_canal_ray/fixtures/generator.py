@@ -67,6 +67,13 @@ class EventLogSpec:
     # first segment_id of this journal (chained journals / soak runs use
     # disjoint ascending ranges so positions keep increasing)
     segment_base: int = 0
+    # fraction of U events that are PRIMARY-KEY-CHANGE updates (the row
+    # moves from doc_id to a fresh new_doc_id; apply = delete+insert —
+    # LogEventConvert.parseOneRow key-diff analog). New keys come from a
+    # disjoint id range and are never re-targeted, so before-image
+    # chains stay exact for all other keys; the rekey event's own
+    # before-image is the old key's image (correct).
+    rekey_frac: float = 0.0
 
     def doc_id(self, i: int) -> str:
         return f"doc{i:012d}"
@@ -258,7 +265,7 @@ def generate_events(spec: EventLogSpec):
     (bench-scale logs; different rng stream than the general path —
     each spec is self-consistent with its oracle either way).
     """
-    if not spec.include_before and not spec.ddls and not spec.truncates:
+    if not spec.include_before and not spec.ddls and not spec.truncates and spec.rekey_frac == 0:
         return _generate_events_fast(spec)
     rng = np.random.default_rng(spec.seed + 1)
     n = spec.n_events
@@ -281,6 +288,16 @@ def generate_events(spec: EventLogSpec):
     )
     key_idx[~is_ins] = ud_targets
 
+    # PK-change updates: a rekey_frac slice of U events moves its row to
+    # a fresh key from a disjoint range (never re-targeted by U/D)
+    newkey_idx = np.full(n, -1, dtype=np.int64)
+    if spec.rekey_frac > 0:
+        upd = np.where(ops == "U")[0]
+        n_rk = int(round(len(upd) * spec.rekey_frac))
+        if n_rk:
+            rk = rng.choice(upd, size=n_rk, replace=False)
+            newkey_idx[rk] = 2_000_000 + np.arange(n_rk)
+
     # ---- inject DDL / TRUNCATE rows at fixed fractional positions -------
     trunc_entries = [
         (tuple(t) + (None,))[:2] if isinstance(t, (tuple, list)) else (t, None)
@@ -294,6 +311,7 @@ def generate_events(spec: EventLogSpec):
     total = n + len(injections)
     op_all = np.empty(total, dtype=object)
     key_all = np.full(total, -1, dtype=np.int64)
+    newkey_all = np.full(total, -1, dtype=np.int64)
     ddl_all = np.full(total, None, dtype=object)
     tbl_override = np.full(total, None, dtype=object)  # per-table TRUNCATE targets
     sv_all = np.zeros(total, dtype=np.int32)  # schema_version per event
@@ -317,6 +335,7 @@ def generate_events(spec: EventLogSpec):
         else:
             op_all[out_pos] = ops[src_pos]
             key_all[out_pos] = key_idx[src_pos]
+            newkey_all[out_pos] = newkey_idx[src_pos]
             sv_all[out_pos] = version
             src_pos += 1
     # logical final schema (all DDLs; registry verbs live at the
@@ -455,13 +474,23 @@ def generate_events(spec: EventLogSpec):
     doc_ids = np.full(total, None, dtype=object)
     m = key_all >= 0
     doc_ids[m] = np.array([spec.doc_id(int(k)) for k in key_all[m]], dtype=object)
+    new_doc_ids = np.full(total, None, dtype=object)
+    m_rk = newkey_all >= 0
+    if m_rk.any():
+        new_doc_ids[m_rk] = np.array(
+            [spec.doc_id(int(k)) for k in newkey_all[m_rk]], dtype=object
+        )
 
     tok_type = physical_payload.field("tokens").type
     ntok_type = physical_payload.field("n_tok").type
 
-    def payload_arrays(tokens_obj, source_obj, ntok_np, valid, extra):
+    # the AFTER image's key is the post-image pk: the NEW key on a
+    # rekey row (RowData.afterColumns semantics); before keeps the old
+    after_ids = np.where(m_rk, new_doc_ids, doc_ids)
+
+    def payload_arrays(tokens_obj, source_obj, ntok_np, valid, extra, ids=doc_ids):
         arrays = {
-            "doc_id": pa.array(np.where(valid, doc_ids, None), pa.string()),
+            "doc_id": pa.array(np.where(valid, ids, None), pa.string()),
             "tokens": _object_tokens_to_list_array(tokens_obj, valid, tok_type),
             "n_tok": pa.array(
                 np.where(valid, ntok_np, 0), ntok_type
@@ -475,7 +504,9 @@ def generate_events(spec: EventLogSpec):
         return arrays
 
     after_struct = _payload_struct(
-        physical_payload, payload_arrays(after_tokens_obj, after_source, lengths, has_after, extra_vals), has_after
+        physical_payload,
+        payload_arrays(after_tokens_obj, after_source, lengths, has_after, extra_vals, ids=after_ids),
+        has_after,
     )
     before_struct = _payload_struct(
         physical_payload,
@@ -483,32 +514,32 @@ def generate_events(spec: EventLogSpec):
         has_before,
     )
 
-    ev_schema = event_schema(physical_payload)
-    full = pa.Table.from_arrays(
-        [
-            pa.array(segment_id, pa.int32()),
-            pa.array(offset, pa.int64()),
-            pa.array(txn_id, pa.int64()),
-            pa.array(seq_in_txn, pa.int32()),
-            pa.array(txn_commit, pa.bool_()),
-            pa.array(ts, pa.timestamp("ms")),
-            pa.array(op_all, pa.string()),
-            pa.array(
-                np.where(
-                    tbl_override != None,  # noqa: E711 — elementwise
-                    tbl_override,
-                    np.full(total, "lake.sequences", dtype=object),
-                ),
-                pa.string(),
+    include_rekey = bool(m_rk.any())
+    ev_schema = event_schema(physical_payload, include_rekey=include_rekey)
+    arrays = [
+        pa.array(segment_id, pa.int32()),
+        pa.array(offset, pa.int64()),
+        pa.array(txn_id, pa.int64()),
+        pa.array(seq_in_txn, pa.int32()),
+        pa.array(txn_commit, pa.bool_()),
+        pa.array(ts, pa.timestamp("ms")),
+        pa.array(op_all, pa.string()),
+        pa.array(
+            np.where(
+                tbl_override != None,  # noqa: E711 — elementwise
+                tbl_override,
+                np.full(total, "lake.sequences", dtype=object),
             ),
-            pa.array(doc_ids, pa.string()),
-            pa.array(sv_all, pa.int32()),
-            pa.array(ddl_all, pa.string()),
-            before_struct,
-            after_struct,
-        ],
-        schema=ev_schema,
-    )
+            pa.string(),
+        ),
+        pa.array(doc_ids, pa.string()),
+        pa.array(sv_all, pa.int32()),
+        pa.array(ddl_all, pa.string()),
+    ]
+    if include_rekey:
+        arrays.append(pa.array(new_doc_ids, pa.string()))
+    arrays += [before_struct, after_struct]
+    full = pa.Table.from_arrays(arrays, schema=ev_schema)
     segments = [
         full.filter(pa.compute.equal(full["segment_id"], s + spec.segment_base))
         for s in range(spec.n_segments)

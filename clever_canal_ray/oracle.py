@@ -57,7 +57,13 @@ def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) ->
             state.pop(key, None)
         else:  # I or U -> upsert the after image
             after = ev["after"]
-            state[key] = {k: after[k] for k in after}
+            img = {k: after[k] for k in after}
+            new_key = ev.get("new_doc_id")
+            if new_key is not None:  # PK-change: delete(old) + insert(new)
+                state.pop(key, None)
+                key = new_key
+                img["doc_id"] = new_key
+            state[key] = img
 
     final_schema = lake_schema(ddls)
     renames = journal_renames(ddls)  # old physical name -> final name

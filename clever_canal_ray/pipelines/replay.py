@@ -279,8 +279,13 @@ def _execute_batch(
                 or routing is not None
                 or isinstance(cfg.column_projection, dict)
             )
+            # PK-change streams carry new_doc_id; one footer read on the
+            # first file decides (all files of one journal share a schema)
+            import pyarrow.parquet as pq
+
+            need_rekey = "new_doc_id" in pq.read_schema(segment_paths[0]).names
             columns = combine_read_columns(
-                need_table_col=need_table, need_txn=cfg.gtid_dedup
+                need_table_col=need_table, need_txn=cfg.gtid_dedup, need_rekey=need_rekey
             )
             ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
         else:

@@ -312,15 +312,24 @@ EVENT_META_FIELDS = [
 ]
 
 
-def event_schema(payload: pa.Schema) -> pa.Schema:
+def event_schema(payload: pa.Schema, include_rekey: bool = False) -> pa.Schema:
     """Event-log schema for a given lake payload schema version.
 
     ``before``/``after`` are struct columns over the payload fields
     (RowData.beforeColumns/afterColumns analog, EntryProtocol.proto:154-161):
     before is null for I, after is null for D, both null for DDL.
+
+    ``include_rekey`` adds the optional ``new_doc_id`` column: on an
+    UPDATE whose primary key changed (``Column.isKey`` + before/after
+    key diff, LogEventConvert.parseOneRow:536-802), ``doc_id`` holds
+    the OLD key and ``new_doc_id`` the NEW one; apply = delete(old) +
+    upsert(new) — how a Canal client applies a PK-change row. Null on
+    every other event.
     """
     payload_struct = pa.struct(list(payload))
     fields = [pa.field(n, t) for n, t in EVENT_META_FIELDS]
+    if include_rekey:
+        fields.append(pa.field("new_doc_id", pa.string()))
     fields.append(pa.field("before", payload_struct))
     fields.append(pa.field("after", payload_struct))
     return pa.schema(fields)

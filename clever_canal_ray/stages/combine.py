@@ -152,6 +152,29 @@ def make_combine_fn(
         if batch.num_rows == 0:
             return _empty_combined(target_payload)
 
+        # 1a. PK-change expansion: a row with non-null new_doc_id is an
+        # UPDATE whose primary key changed (LogEventConvert.parseOneRow
+        # key-diff analog) — it becomes TWO logical rows at the same
+        # position: a tombstone at the old key and an upsert at the new
+        # key (how a Canal client applies the change). Both count as
+        # applied row changes in events_in.
+        if "new_doc_id" in batch.column_names:
+            nd = batch["new_doc_id"]
+            if isinstance(nd, pa.ChunkedArray):
+                nd = nd.combine_chunks()
+            rk = pc.is_valid(nd).to_numpy(zero_copy_only=False)
+            if rk.any():
+                rk_arr = pa.array(rk)
+                moved = batch.filter(rk_arr)
+                op_i = moved.schema.get_field_index("op")
+                doc_i = moved.schema.get_field_index("doc_id")
+                dels = moved.set_column(
+                    op_i, "op", pa.array(np.full(moved.num_rows, "D", dtype=object), pa.string())
+                )
+                ups = moved.set_column(doc_i, "doc_id", moved["new_doc_id"])
+                batch = pa.concat_tables([batch.filter(pc.invert(rk_arr)), dels, ups])
+                pos = np.concatenate([pos[~rk], pos[rk], pos[rk]])
+
         # 1b. multi-table routing: factorize the (low-cardinality)
         # table column; drop unregistered tables (unsubscribed
         # destinations never enter the apply path).
@@ -274,7 +297,10 @@ def make_combine_fn(
 # columns the combine stage actually needs — passed to read_parquet so
 # the (large, unused) `before` struct never leaves storage
 def combine_read_columns(
-    need_table_col: bool = True, need_ts: bool = False, need_txn: bool = False
+    need_table_col: bool = True,
+    need_ts: bool = False,
+    need_txn: bool = False,
+    need_rekey: bool = False,
 ) -> list[str]:
     cols = ["segment_id", "offset", "op", "doc_id", "after"]
     if need_table_col:
@@ -283,6 +309,8 @@ def combine_read_columns(
         cols.append("execute_ts")
     if need_txn:
         cols.append("txn_id")
+    if need_rekey:
+        cols.append("new_doc_id")
     return cols
 
 

@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC / engine family (SURVEY.md §2: O9, O7, A1-A4, D3, F1-F7, FlatMessage)
         "cdc_upsert_lake": q.cdc_upsert_lake,
         "cdc_multi_table": q.cdc_multi_table,
+        "cdc_rekey": q.cdc_rekey,
         "cdc_consumer_drain": q.cdc_consumer_drain,
         "cdc_lww_state": q.cdc_lww_state,
         "cdc_live_rows": q.cdc_live_rows,
@@ -126,6 +127,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tok, source,
                    'lake.t' || CAST(CAST(substr(doc_id, 4) AS BIGINT) % 2 AS VARCHAR) AS tbl
             FROM final
+        """,
+        "cdc_rekey": f"""
+            WITH ev AS (
+              SELECT event_id, {op_case} AS op,
+                     CASE WHEN event_type = 'signup'
+                          THEN printf('doc%012d', 1000000 + event_id)
+                          ELSE printf('doc%012d', (user_id*7919 + event_id*31) % (SELECT count(*) FROM documents))
+                     END AS doc_id,
+                     CAST(16 + event_id % 64 AS BIGINT) AS n_tok
+              FROM events),
+            exp AS (
+              SELECT event_id,
+                     CASE WHEN op = 'U' AND event_id % 10 = 3 THEN 'D' ELSE op END AS op,
+                     doc_id, n_tok
+              FROM ev
+              UNION ALL
+              SELECT event_id, 'U' AS op,
+                     printf('doc%012d', 100000000 + event_id) AS doc_id, n_tok
+              FROM ev WHERE op = 'U' AND event_id % 10 = 3),
+            w AS (SELECT doc_id, op, n_tok,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY event_id DESC) AS rn
+                  FROM exp),
+            winners AS (SELECT doc_id, op, n_tok FROM w WHERE rn = 1),
+            base AS (SELECT printf('doc%012d', doc_id) AS doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                            source
+                     FROM documents)
+            SELECT b.doc_id, b.n_tok, b.source
+            FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM winners)
+            UNION ALL
+            SELECT doc_id, n_tok, 'cdc' AS source FROM winners WHERE op <> 'D'
         """,
         "cdc_consumer_drain": f"""
             SELECT event_id, {op_case} AS op, CAST(epoch_ms(ts) AS BIGINT) AS es

@@ -117,6 +117,76 @@ def cdc_multi_table(sf_dir: str):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+# disjoint from base doc indices (< n_docs) and insert ids
+# (flagship.NEW_ID_BASE + event_id) — a rekey target key is fresh and
+# never re-targeted by any other event
+REKEY_BASE = 100_000_000
+
+
+def cdc_rekey(sf_dir: str):
+    """Primary-key-change apply (Column.isKey before/after diff,
+    LogEventConvert.parseOneRow analog): the flagship stream where every
+    U event with event_id %% 10 == 3 moves its row to a fresh key —
+    applied by the engine as delete(old) + upsert(new) at one position
+    via the ``new_doc_id`` event column."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq_
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.pipelines.flagship import derive_change_events, tokenize_documents
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.schema import LAKE_SCHEMA_V0, event_schema
+    from clever_canal_ray.state.manifest import Lake
+
+    work = os.path.join("/tmp", f"ccr_rekey_{uuid.uuid4().hex}")
+    os.makedirs(work)
+    try:
+        lake_tbl = tokenize_documents(sf_dir)
+        events = derive_change_events(sf_dir, lake_tbl.num_rows)
+        eid = events["offset"].to_numpy() - 1  # offset = event_id + 1
+        op = np.asarray(events["op"].to_numpy(zero_copy_only=False), dtype=object)
+        rk = (op == "U") & (eid % 10 == 3)
+        new_ids = np.full(len(eid), None, dtype=object)
+        new_ids[rk] = np.array(
+            [f"doc{int(e) + REKEY_BASE:012d}" for e in eid[rk]], dtype=object
+        )
+        new_arr = pa.array(new_ids, pa.string())
+        # after.doc_id carries the post-image key on a rekey row
+        # (RowData.afterColumns semantics)
+        after = events["after"].combine_chunks()
+        kids = {f.name: pc.struct_field(after, f.name) for f in LAKE_SCHEMA_V0}
+        kids["doc_id"] = pc.if_else(pa.array(rk), new_arr, kids["doc_id"])
+        after2 = pa.StructArray.from_arrays(
+            [kids[f.name] for f in LAKE_SCHEMA_V0],
+            fields=list(LAKE_SCHEMA_V0),
+            mask=pc.is_null(after).combine_chunks()
+            if isinstance(pc.is_null(after), pa.ChunkedArray)
+            else pc.is_null(after),
+        )
+        sch = event_schema(LAKE_SCHEMA_V0, include_rekey=True)
+        arrays = [
+            new_arr if f.name == "new_doc_id" else after2 if f.name == "after" else events[f.name]
+            for f in sch
+        ]
+        seg_path = os.path.join(work, "segment-00000.parquet")
+        pq_.write_table(pa.Table.from_arrays(arrays, schema=sch), seg_path)
+        lake = Lake.create(os.path.join(work, "lake"), lake_tbl, num_partitions=8)
+        replay(lake, [seg_path], ReplayConfig(num_partitions=8, sink_mode="delta", pipeline_depth=2))
+        lake.compact()
+        t = lake.read_table()
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_pylist(),
+                "n_tok": t["n_tok"].to_numpy(zero_copy_only=False).astype("int64"),
+                "source": t["source"].to_pylist(),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def cdc_consumer_drain(sf_dir: str):
     """The Canal get/ack consumer protocol end-to-end: the flagship
     stream written as a journal, drained batch-by-batch via

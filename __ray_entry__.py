@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN
         "events_windowed": q.events_windowed,  # oracle: tumbling windows in SQL
         # corpus-level stats / training-set assembly
+        "text_repetition": q.text_repetition,  # Gopher repetition filters
+        "corpus_decontaminate": q.corpus_decontaminate,  # eval-set n-gram overlap
+        "corpus_mix_sample": q.corpus_mix_sample,  # domain mixing weights
         "corpus_token_histogram": q.corpus_token_histogram,
         "corpus_hash_sample": q.corpus_hash_sample,
         "corpus_topk_per_source": q.corpus_topk_per_source,
@@ -362,6 +365,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
             FROM events GROUP BY 1, 2
+        """,
+        "text_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            bg AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+                   FROM t WHERE len(s) >= 2),
+            bc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+            b AS (SELECT doc_id,
+                         CAST(floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) AS BIGINT) AS top_bigram_e6
+                  FROM bc GROUP BY doc_id),
+            tg AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                          for i in range(1, len(s)-1)]) AS g
+                   FROM t WHERE len(s) >= 3),
+            tr AS (SELECT doc_id,
+                          CAST(floor((1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)) * 1000000 + 0.5) AS BIGINT) AS dup_trigram_e6
+                   FROM tg GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(b.top_bigram_e6, 0) AS top_bigram_e6,
+                   COALESCE(tr.dup_trigram_e6, 0) AS dup_trigram_e6
+            FROM t LEFT JOIN b USING (doc_id) LEFT JOIN tr USING (doc_id)
+        """,
+        "corpus_decontaminate": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(s) < 5 THEN [array_to_string(s, ' ')]
+                              ELSE list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                                                  || ' ' || s[i+3] || ' ' || s[i+4]
+                                                  for i in range(1, len(s)-3)])
+                         END AS grams
+                  FROM t),
+            eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+            h AS (SELECT doc_id, count(*) AS n_hits
+                  FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+            SELECT g.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+            FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 97 <> 0
+        """,
+        "corpus_mix_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source) % 1000
+                  < 100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200
         """,
         "corpus_token_histogram": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -86,6 +86,113 @@ def hash_sample(ds, id_col: str, denom: int, select_rem: int = 0):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+class Decontaminator:
+    """Train/eval decontamination: flag training documents sharing any
+    word ``n``-gram with a (small) benchmark/eval set.
+
+    The eval side is broadcast: the driver collects the eval docs'
+    distinct n-grams ONCE (eval sets are small by definition — a
+    benchmark is KBs–MBs, not the corpus), ``ray.put``s the frozenset,
+    and every actor pulls it once in ``__init__`` (never re-shipped per
+    batch). The training side is a pure per-batch map — no shuffle, no
+    all-pairs; the corpus streams.
+
+    A doc with fewer than ``n`` tokens contributes its whole text as
+    one gram (mirrors the MinHash shingle rule).
+    """
+
+    def __init__(self, eval_grams_ref, n: int = 5):
+        import ray
+
+        self.eval_grams = ray.get(eval_grams_ref)
+        self.n = n
+
+    @staticmethod
+    def build_eval_grams(texts, n: int = 5) -> frozenset:
+        """Distinct n-grams of the eval texts (driver-side, small)."""
+        from clever_canal_ray.functions.text import _flat_tokens, _ngrams
+
+        s = pd.Series(list(texts), dtype=object)
+        codes, flat = _flat_tokens(s)
+        _, grams = _ngrams(codes, flat, n)
+        short = {t for t in s if len(t.split(" ")) < n}
+        return frozenset(grams.tolist()) | short
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from clever_canal_ray.functions.text import _flat_tokens, _ngrams
+
+        batch = batch.reset_index(drop=True)
+        codes, flat = _flat_tokens(batch["text"])
+        gdoc, grams = _ngrams(codes, flat, self.n)
+        hits = np.zeros(len(batch), dtype=np.int64)
+        if len(grams):
+            df = pd.DataFrame({"d": gdoc, "g": grams}).drop_duplicates()
+            hit = df["g"].isin(self.eval_grams)
+            agg = df.loc[hit].groupby("d", sort=False).size()
+            hits[agg.index.to_numpy()] = agg.to_numpy()
+        # short docs: whole text is the single gram
+        n_tok = batch["text"].str.split(" ").str.len().to_numpy()
+        short = n_tok < self.n
+        if short.any():
+            hits[short] = batch["text"][short].isin(self.eval_grams).to_numpy().astype(np.int64)
+        out = batch[["doc_id"]].copy()
+        out["n_hits"] = hits
+        out["contaminated"] = (hits > 0).astype("int32")
+        return out
+
+
+def decontaminate(ds, eval_texts, n: int = 5, concurrency: int = 4):
+    """Decontamination pipeline: broadcast the eval-set n-grams, then an
+    actor-pool ``map_batches`` marks each training doc with its distinct
+    eval-gram hit count. Returns (doc_id, n_hits, contaminated).
+
+    The pool is clamped to cluster_CPUs - 1: Ray 2.49's streaming
+    executor deadlocks when a fixed actor pool claims every CPU (the
+    non-actor stages can never schedule).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
+    concurrency = max(1, min(concurrency, cpus - 1))
+    ref = ray.put(Decontaminator.build_eval_grams(eval_texts, n))
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_args=(ref, n),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def stratified_sample(ds, rates_permille: dict, source_col: str, id_col: str):
+    """Domain-mixing sampler: keep each row with a per-source rate
+    (permille), decided by a deterministic salted hash of the row id —
+    ``md5_u64_lower(f"{id}:{source}") % 1000 < rate``. DuckDB mirror:
+    ``md5_number_lower(CAST(id AS VARCHAR) || ':' || source) % 1000``.
+
+    The rate table is a tiny dict in the task closure (broadcast once
+    per task by Ray); the op is a pure per-batch filter — no shuffle,
+    no RNG state, reproducible at any parallelism. Sources absent from
+    the table default to rate 0 (dropped), the conservative choice for
+    an unknown domain.
+    """
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{i}:{s}".encode()).digest()[8:16], "little"
+                )
+                for i, s in zip(df[id_col], df[source_col])
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        rates = df[source_col].map(rates_permille).fillna(0).to_numpy(dtype=np.int64)
+        return df[(h % np.uint64(1000)).astype(np.int64) < rates]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def topk_per_group(
     ds,
     group_col: str,

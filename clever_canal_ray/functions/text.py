@@ -95,6 +95,65 @@ def rolling_fingerprints(batch: pd.DataFrame, k: int = 8, window: int = 16) -> p
     return out
 
 
+def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-explode a batch: (doc_row_index, flat token array).
+    One explode, no per-token Python in the caller."""
+    toks = texts.str.split(" ")
+    flat = toks.explode()
+    return flat.index.to_numpy(), np.asarray(flat.to_numpy(), dtype=object)
+
+
+def _ngrams(doc_codes: np.ndarray, flat: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Space-joined n-grams over the flat token stream; grams crossing a
+    document boundary are masked out. Elementwise object-array concat
+    (C loop over the batch, no Python-level row loop)."""
+    if len(flat) < n:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    m = len(flat) - n + 1
+    g = flat[:m].copy()
+    for j in range(1, n):
+        g = g + " "
+        g = g + flat[j : m + j]
+    same_doc = doc_codes[:m] == doc_codes[n - 1 :]
+    return doc_codes[:m][same_doc], g[same_doc]
+
+
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style intra-document repetition filters: the fraction of
+    bigrams taken by the single most frequent bigram, and the fraction
+    of duplicate trigrams. Both scaled to integers (×1e6, half-up) so
+    the SQL mirror is exact (no float-rounding ties).
+
+    Docs with <2 (resp. <3) tokens score 0 — nothing can repeat.
+    """
+    batch = batch.reset_index(drop=True)  # doc codes are row positions
+    codes, flat = _flat_tokens(batch["text"])
+    out = batch[["doc_id"]].copy()
+    n_rows = len(batch)
+
+    bi_doc, bi = _ngrams(codes, flat, 2)
+    top = np.zeros(n_rows, dtype=np.int64)
+    if len(bi):
+        bc = pd.DataFrame({"d": bi_doc, "g": bi}).groupby(["d", "g"], sort=False).size()
+        per_doc = bc.groupby(level=0)
+        mx = per_doc.max()
+        tot = per_doc.sum()
+        frac = mx.to_numpy() / tot.to_numpy()
+        top[mx.index.to_numpy()] = np.floor(frac * 1_000_000 + 0.5).astype(np.int64)
+    out["top_bigram_e6"] = top
+
+    tri_doc, tri = _ngrams(codes, flat, 3)
+    dup = np.zeros(n_rows, dtype=np.int64)
+    if len(tri):
+        tc = pd.DataFrame({"d": tri_doc, "g": tri})
+        tot3 = tc.groupby("d", sort=False).size()
+        uniq3 = tc.drop_duplicates().groupby("d", sort=False).size()
+        frac = 1.0 - uniq3.to_numpy() / tot3.to_numpy()
+        dup[tot3.index.to_numpy()] = np.floor(frac * 1_000_000 + 0.5).astype(np.int64)
+    out["dup_trigram_e6"] = dup
+    return out
+
+
 # --- language ID (n-gram/function-word heuristic, rows-only check) -------
 
 _LANG_MARKERS = {

@@ -749,6 +749,57 @@ def corpus_pack_sequences(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def text_repetition(sf_dir: str):
+    """Gopher repetition filters: top-bigram fraction and duplicate-
+    trigram fraction per doc, as exact ×1e6 integers."""
+    from clever_canal_ray.functions.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pandas").map_batches(
+        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
+    )
+
+
+def corpus_decontaminate(sf_dir: str):
+    """Train/eval decontamination: docs with doc_id % 97 == 0 form the
+    'benchmark'; every other doc is flagged if it shares any word
+    5-gram with it. Eval grams broadcast once (ray.put), training side
+    is a pure streaming map."""
+    import pyarrow.parquet as pq_
+
+    from clever_canal_ray.functions.corpus import decontaminate
+
+    t = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_numpy()
+    eval_texts = t.filter(pa.array(ids % 97 == 0))["text"].to_pylist()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    out = decontaminate(ds, eval_texts, n=5)
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": "int64", "n_hits": "int64"}),
+        batch_format="pandas",
+    )
+
+
+# domain-mixing rates: srcN keeps (100 + (N % 5) * 200) permille
+MIX_RATES = {f"src{n}": 100 + (n % 5) * 200 for n in range(64)}
+
+
+def corpus_mix_sample(sf_dir: str):
+    """Stratified per-source sampling (domain mixing weights): each
+    source keeps a deterministic hash-chosen fraction of its docs."""
+    from clever_canal_ray.functions.corpus import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = stratified_sample(ds, MIX_RATES, source_col="source", id_col="doc_id")
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
+    )
+
+
 # --- analytic parity (aggregate / sort / join coverage) ------------------
 
 

@@ -1,0 +1,123 @@
+"""Round-2 text/corpus ops: Gopher repetition stats, train/eval
+decontamination (broadcast eval-gram set), and stratified per-source
+sampling — edge cases the sf-table gate can't reach (single-token docs,
+fully repeated docs, boundary-straddling n-grams, unknown sources)."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from clever_canal_ray.functions.corpus import Decontaminator, decontaminate, stratified_sample
+from clever_canal_ray.functions.text import repetition_stats
+
+
+def _ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(3)
+
+
+def _e6(x: float) -> int:
+    return int(np.floor(x * 1_000_000 + 0.5))
+
+
+def test_repetition_stats_exact():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a b a b",  # bigrams: ab ba ab ba ab -> top 3/5; tris: aba bab aba bab -> dup 1/2
+                "x",  # too short: 0, 0
+                "p q",  # one bigram -> top 1/1; no trigram -> 0
+                "u v w z",  # all distinct
+            ],
+        }
+    )
+    out = repetition_stats(df)
+    assert out["top_bigram_e6"].tolist() == [_e6(3 / 5), 0, _e6(1.0), _e6(1 / 3)]
+    assert out["dup_trigram_e6"].tolist() == [_e6(1 / 2), 0, 0, 0]
+
+
+def test_repetition_no_cross_doc_grams():
+    # doc boundary: "a b" + "b a" must NOT create the bigram "b b"
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b a"]})
+    out = repetition_stats(df)
+    assert out["top_bigram_e6"].tolist() == [_e6(1.0), _e6(1.0)]
+
+
+def test_repetition_matches_serial_oracle():
+    rng = np.random.default_rng(5)
+    vocab = list("abcdefgh")
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30))) for _ in range(300)]
+    out = repetition_stats(pd.DataFrame({"doc_id": range(300), "text": texts}))
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        bi = [f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)]
+        tri = [f"{w[j]} {w[j+1]} {w[j+2]}" for j in range(len(w) - 2)]
+        want_top = _e6(max(Counter(bi).values()) / len(bi)) if bi else 0
+        want_dup = _e6(1 - len(set(tri)) / len(tri)) if tri else 0
+        assert out["top_bigram_e6"].iloc[i] == want_top, (i, t)
+        assert out["dup_trigram_e6"].iloc[i] == want_dup, (i, t)
+
+
+def test_decontaminator_hand_cases(ray_session):
+    eval_texts = ["the quick brown fox jumps over", "tiny"]
+    # grams: "the quick brown fox jumps", "quick brown fox jumps over", "tiny"
+    train = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "z the quick brown fox jumps y",  # contains gram 1 -> 1 hit
+                "the quick brown fox jumps over x",  # grams 1+2 -> 2 hits
+                "totally clean text with no overlap at all",
+                "tiny",  # short doc == eval short text -> 1 hit
+            ],
+        }
+    )
+    out = decontaminate(_ds(train), eval_texts, n=5, concurrency=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_hits"].tolist() == [1, 2, 0, 1]
+    assert out["contaminated"].tolist() == [1, 1, 0, 1]
+
+
+def test_decontaminator_distinct_hits_counted_once(ray_session):
+    # the same eval gram appearing twice in one doc counts once
+    eval_texts = ["a b c d e"]
+    train = pd.DataFrame({"doc_id": [0], "text": ["a b c d e z a b c d e"]})
+    out = decontaminate(_ds(train), eval_texts, n=5).to_pandas()
+    assert out["n_hits"].tolist() == [1]
+
+
+def test_build_eval_grams_short_and_long():
+    g = Decontaminator.build_eval_grams(["a b", "p q r s t u"], n=5)
+    assert "a b" in g  # short text as one gram
+    assert "p q r s t" in g and "q r s t u" in g
+    assert len(g) == 3
+
+
+def test_stratified_sample_rule_and_determinism(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000),
+            "source": np.tile(["a", "b", "unknown"], 667)[:2000],
+        }
+    )
+    rates = {"a": 1000, "b": 250}  # a: keep all, b: ~quarter, unknown: drop
+    out = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
+    assert (out[out["source"] == "a"].shape[0]) == (df["source"] == "a").sum()
+    assert (out["source"] == "unknown").sum() == 0
+    nb = (out["source"] == "b").sum()
+    total_b = (df["source"] == "b").sum()
+    assert 0.1 * total_b < nb < 0.45 * total_b
+
+    def h(i, s):
+        return int.from_bytes(hashlib.md5(f"{i}:{s}".encode()).digest()[8:16], "little")
+
+    expect_b = {
+        int(i)
+        for i, s in zip(df["doc_id"], df["source"])
+        if s == "b" and h(i, s) % 1000 < 250
+    }
+    assert set(out[out["source"] == "b"]["doc_id"]) == expect_b

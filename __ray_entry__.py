@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q.text_repetition,  # Gopher repetition filters
         "corpus_decontaminate": q.corpus_decontaminate,  # eval-set n-gram overlap
         "corpus_mix_sample": q.corpus_mix_sample,  # domain mixing weights
+        "corpus_shard_assign": q.corpus_shard_assign,  # distributed row_number
+        "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
         "corpus_token_histogram": q.corpus_token_histogram,
         "corpus_hash_sample": q.corpus_hash_sample,
         "corpus_topk_per_source": q.corpus_topk_per_source,
@@ -407,6 +409,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source) % 1000
                   < 100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200
+        """,
+        "corpus_shard_assign": """
+            WITH t AS (SELECT doc_id,
+                              md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(h % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM t
+        """,
+        "cdc_props_decode": """
+            SELECT event_type,
+                   CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "corpus_token_histogram": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -241,3 +241,28 @@ def flat_message(ds, database: str, table: str, pk_col: str, op_col: str, ts_col
         return out
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def extract_json_int(ds, col: str, field: str, out_col: str):
+    """Decode one integer field out of a JSON-string payload column —
+    the semi-structured row-image decode step (the reference parses
+    typed column values out of serialized row payloads,
+    LogEventConvert row-data → typed columns; FlatMessage consumers do
+    the same on the JSON side).
+
+    Vectorized: one compiled-regex ``str.extract`` per batch (pandas'
+    C regex loop), no per-row json.loads. Handles ``{"f": 123}`` /
+    ``{"f": -4}`` with arbitrary whitespace; a row whose payload lacks
+    the field (or isn't valid in that shape) yields null — mirrors
+    DuckDB ``CAST(json_extract_string(col, '$.f') AS BIGINT)``.
+    """
+    import re
+
+    pat = re.compile(r'"%s"\s*:\s*(-?\d+)\s*[,}]' % re.escape(field))
+
+    def ext(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = df[col].str.extract(pat, expand=False).astype("Int64")
+        return df
+
+    return ds.map_batches(ext, batch_format="pandas")

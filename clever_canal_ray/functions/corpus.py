@@ -59,31 +59,95 @@ def token_histogram(ds, text_col: str = "text", top_n: int = 100, num_buckets: i
     return out
 
 
+def _md5_u64(values) -> np.ndarray:
+    """Little-endian low 8 bytes of md5(str(v)) — exactly DuckDB's
+    ``md5_number_lower(CAST(v AS VARCHAR))`` — as a uint64 vector."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
 def hash_sample(ds, id_col: str, denom: int, select_rem: int = 0):
     """Deterministic hash sampling: keep rows where
     ``md5_u64_lower(str(id)) % denom == select_rem``.
 
-    The hash is the little-endian low 8 bytes of md5 — exactly DuckDB's
-    ``md5_number_lower(CAST(id AS VARCHAR))`` — so the sample is
-    reproducible across engines, runs, and cluster sizes (no RNG state,
-    no seed shipping; the id IS the seed). Embarrassingly parallel:
-    pure per-batch filter, no shuffle.
+    The hash matches DuckDB's ``md5_number_lower`` (see ``_md5_u64``),
+    so the sample is reproducible across engines, runs, and cluster
+    sizes (no RNG state, no seed shipping; the id IS the seed).
+    Embarrassingly parallel: pure per-batch filter, no shuffle.
     """
     denom_u = np.uint64(denom)
     rem_u = np.uint64(select_rem)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
-                for v in df[id_col]
-            ),
-            dtype=np.uint64,
-            count=len(df),
-        )
-        return df[(h % denom_u) == rem_u]
+        return df[(_md5_u64(df[id_col]) % denom_u) == rem_u]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def shard_positions(ds, id_col: str, num_shards: int = 16, num_buckets: int = 64):
+    """Deterministic training-shard assignment with exact within-shard
+    positions — a distributed ``row_number() OVER (PARTITION BY shard
+    ORDER BY h, id)`` (the op behind writing globally-shuffled training
+    shards where every row needs its slot).
+
+    ``shard = md5_u64(id) % num_shards``; within a shard rows are
+    totally ordered by ``(h, id)``. Two passes, both scale-safe:
+
+    1. count pass — per-batch ``(shard, coarse_bucket)`` counts, where
+       ``coarse_bucket`` is the top ``log2(num_buckets)`` bits of ``h``
+       (so buckets partition the ``(h, id)`` order). Only the
+       ``num_shards × num_buckets`` count matrix reaches the driver,
+       never rows; prefix sums per shard give each bucket's base rank.
+    2. rank pass — shuffle by coarse bucket (bounded group count),
+       local sort + per-shard cumcount + the tiny broadcast offset
+       table merged in vectorized.
+
+    The input is re-read for pass 2 (Dataset lineage re-executes); the
+    hash is recomputed rather than materializing pass-1 output.
+    """
+    shift_bits = 64 - int(np.log2(num_buckets))
+    if 1 << (64 - shift_bits) != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+    shift = np.uint64(shift_bits)
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = _md5_u64(df[id_col])
+        df["__h"] = h
+        df["__shard"] = (h % np.uint64(num_shards)).astype(np.int64)
+        df["__bucket"] = (h >> shift).astype(np.int64)
+        return df
+
+    annotated = ds.map_batches(annotate, batch_format="pandas")
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["__shard", "__bucket"], sort=False).size().reset_index(name="n")
+        )
+
+    cnt = annotated.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    if len(cnt):
+        cnt = cnt.groupby(["__shard", "__bucket"], sort=True)["n"].sum().reset_index()
+        cnt["__base"] = cnt.groupby("__shard")["n"].cumsum() - cnt["n"]
+    else:
+        cnt["__base"] = pd.Series([], dtype="int64")
+    offsets = cnt[["__shard", "__bucket", "__base"]]  # ≤ shards×buckets rows
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__shard", "__h", id_col]).reset_index(drop=True)
+        g["pos"] = g.groupby("__shard", sort=False).cumcount()
+        g = g.merge(offsets, on=["__shard", "__bucket"], how="left")
+        g["pos"] = (g["pos"] + g["__base"]).astype("int64")
+        g["shard"] = g["__shard"].astype("int64")
+        return g.drop(columns=["__h", "__bucket", "__shard", "__base"])
+
+    return annotated.groupby("__bucket").map_groups(rank_bucket, batch_format="pandas")
 
 
 class Decontaminator:

@@ -800,6 +800,57 @@ def corpus_mix_sample(sf_dir: str):
     )
 
 
+def corpus_shard_assign(sf_dir: str):
+    """Deterministic training-shard assignment with exact within-shard
+    positions: distributed row_number over (shard, hash-order)."""
+    from clever_canal_ray.functions.corpus import shard_positions
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = shard_positions(ds, "doc_id", num_shards=16, num_buckets=64)
+    return out.map_batches(
+        lambda df: df[["doc_id", "shard", "pos"]].astype(
+            {"doc_id": "int64", "shard": "int64", "pos": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def cdc_props_decode(sf_dir: str):
+    """Semi-structured payload decode: pull the integer field `k` out of
+    the JSON `props` column, then aggregate per event_type."""
+    from clever_canal_ray.functions.cdc_ops import extract_json_int
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    out = extract_json_int(ds, "props", "k", "k")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["k"]
+        return pd.DataFrame(
+            {
+                "event_type": g.count().index,
+                "n_k": g.count().to_numpy(),
+                "sum_k": g.sum().to_numpy(),
+                "max_k": g.max().to_numpy(),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = pd.DataFrame(
+            {
+                "event_type": g["n_k"].sum().index,
+                "n_k": g["n_k"].sum().to_numpy(dtype=np.int64),
+                "sum_k": g["sum_k"].sum().to_numpy(dtype=np.int64),
+                "max_k": g["max_k"].max().to_numpy(dtype=np.int64),
+            }
+        )
+        return out
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    return bucketed_groupby(out, ["event_type"], partial, final, num_buckets=8)
+
+
 # --- analytic parity (aggregate / sort / join coverage) ------------------
 
 

@@ -1,0 +1,90 @@
+"""Distributed row_number (shard_positions) and JSON payload decode
+(extract_json_int) — edge cases beyond the sf-table gate: cross-bucket
+rank continuity, duplicate hash ordering, empty input, missing /
+negative / whitespace JSON fields."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from clever_canal_ray.functions.cdc_ops import extract_json_int
+from clever_canal_ray.functions.corpus import _md5_u64, shard_positions
+
+
+def _ds(df: pd.DataFrame, parts: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+def _h(v) -> int:
+    return int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
+
+
+def test_md5_u64_matches_reference():
+    vals = [0, 1, 42, "x"]
+    assert _md5_u64(pd.Series(vals)).tolist() == [_h(v) for v in vals]
+
+
+def test_shard_positions_serial_oracle(ray_session):
+    n, shards = 3000, 8
+    df = pd.DataFrame({"doc_id": np.arange(n)})
+    out = (
+        shard_positions(_ds(df), "doc_id", num_shards=shards, num_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # serial oracle: per shard, order by (h, id), 0-based rank
+    ref = pd.DataFrame({"doc_id": np.arange(n)})
+    ref["h"] = [_h(i) for i in ref["doc_id"]]
+    ref["shard"] = [h % shards for h in ref["h"]]
+    ref = ref.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+    ref["pos"] = ref.groupby("shard").cumcount()
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    assert out["shard"].tolist() == ref["shard"].tolist()
+    assert out["pos"].tolist() == ref["pos"].tolist()
+    # positions are a permutation of 0..count-1 within every shard
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_shard_positions_single_shard_is_global_rank(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(200)})
+    out = shard_positions(_ds(df), "doc_id", num_shards=1, num_buckets=4).to_pandas()
+    assert sorted(out["pos"]) == list(range(200))
+    assert (out["shard"] == 0).all()
+
+
+def test_shard_positions_rejects_bad_buckets(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2]})
+    try:
+        shard_positions(_ds(df, 1), "doc_id", num_buckets=48)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_extract_json_int_edge_cases(ray_session):
+    df = pd.DataFrame(
+        {
+            "i": range(6),
+            "props": [
+                '{"k": 87}',
+                '{"k":-4,"z":1}',
+                '{ "k" :  12 }',
+                '{"z": 9}',  # field absent -> null
+                "not json",  # -> null
+                '{"kk": 5}',  # different key -> null
+            ],
+        }
+    )
+    out = (
+        extract_json_int(_ds(df, 2), "props", "k", "k")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist()[:3] == [87, -4, 12]
+    assert out["k"].isna().tolist() == [False, False, False, True, True, True]

@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix_sample": q.corpus_mix_sample,  # domain mixing weights
         "corpus_shard_assign": q.corpus_shard_assign,  # distributed row_number
         "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
+        "cdc_mq_routing": q.cdc_mq_routing,  # pk-hash MQ partition routing
         "corpus_token_histogram": q.corpus_token_histogram,
         "corpus_hash_sample": q.corpus_hash_sample,
         "corpus_topk_per_source": q.corpus_topk_per_source,
@@ -426,6 +427,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "cdc_mq_routing": """
+            SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 8 AS BIGINT) AS mq_partition,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+            FROM events GROUP BY 1
         """,
         "corpus_token_histogram": """
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -851,6 +851,37 @@ def cdc_props_decode(sf_dir: str):
     return bucketed_groupby(out, ["event_type"], partial, final, num_buckets=8)
 
 
+def cdc_mq_routing(sf_dir: str):
+    """MQ partition routing summary: route every change by pk hash into
+    8 partitions, then per-partition event and distinct-key counts
+    (all changes of one key provably land in one partition)."""
+    from clever_canal_ray.functions.cdc_ops import mq_partition
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    routed = mq_partition(ds, "user_id", 8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["mq_partition", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        per_key = df.groupby(["mq_partition", "user_id"], sort=False)["n"].sum().reset_index()
+        g = per_key.groupby("mq_partition", sort=False)
+        return pd.DataFrame(
+            {
+                "mq_partition": g["n"].sum().index.astype("int64"),
+                "n_events": g["n"].sum().to_numpy(dtype=np.int64),
+                "n_keys": g.size().to_numpy(dtype=np.int64),
+            }
+        )
+
+    return bucketed_groupby(routed, ["mq_partition"], partial, final, num_buckets=8)
+
+
 # --- analytic parity (aggregate / sort / join coverage) ------------------
 
 

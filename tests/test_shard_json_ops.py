@@ -88,3 +88,22 @@ def test_extract_json_int_edge_cases(ray_session):
     )
     assert out["k"].tolist()[:3] == [87, -4, 12]
     assert out["k"].isna().tolist() == [False, False, False, True, True, True]
+
+
+def test_mq_partition_keys_stay_together(ray_session):
+    from clever_canal_ray.functions.cdc_ops import mq_partition
+
+    df = pd.DataFrame(
+        {"event_id": np.arange(1000), "user_id": np.arange(1000) % 37}
+    )
+    out = mq_partition(_ds(df), "user_id", 8).to_pandas()
+    # every key maps to exactly one partition, and the map is the md5 rule
+    per_key = out.groupby("user_id")["mq_partition"].nunique()
+    assert (per_key == 1).all()
+    for uid in range(37):
+        assert (
+            out[out["user_id"] == uid]["mq_partition"].iloc[0]
+            == _h(uid) % 8
+        )
+    # no partition empty at this key count (sanity of the spread)
+    assert out["mq_partition"].nunique() == 8

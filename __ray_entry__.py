@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_decontaminate": q.corpus_decontaminate,  # eval-set n-gram overlap
         "corpus_mix_sample": q.corpus_mix_sample,  # domain mixing weights
         "corpus_shard_assign": q.corpus_shard_assign,  # distributed row_number
+        "corpus_span_dedup": q.corpus_span_dedup,  # C4-style span dedup
         "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
         "cdc_mq_routing": q.cdc_mq_routing,  # pk-hash MQ partition routing
         "corpus_token_histogram": q.corpus_token_histogram,
@@ -427,6 +428,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "corpus_span_dedup": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            sp0 AS (SELECT doc_id,
+                           unnest([{'i': i, 'sp': array_to_string(s[i*10+1 : i*10+10], ' ')}
+                                   for i in range(0, CAST(ceil(len(s) / 10.0) AS BIGINT))]) AS u
+                    FROM t),
+            sp AS (SELECT doc_id, u.i AS span_idx, u.sp AS span FROM sp0)
+            SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                   CAST(CASE WHEN row_number() OVER (PARTITION BY span
+                                                     ORDER BY doc_id, span_idx) = 1
+                             THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM sp
         """,
         "cdc_mq_routing": """
             SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 8 AS BIGINT) AS mq_partition,

@@ -257,6 +257,60 @@ def stratified_sample(ds, rates_permille: dict, source_col: str, id_col: str):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def span_dedup(ds, id_col: str = "doc_id", text_col: str = "text", span_tokens: int = 10, num_buckets: int = 64):
+    """C4/RefinedWeb-style span-level dedup decision: cut each document
+    into non-overlapping ``span_tokens``-token windows (the last window
+    may be short); across the WHOLE corpus the first occurrence of each
+    span text — min ``(doc_id, span_idx)`` — is kept, every later
+    occurrence is flagged duplicate. Returns one row per span:
+    ``(doc_id, span_idx, kept)``.
+
+    Topology: spans (≈ tokens/span_tokens rows, ~10× smaller than the
+    token stream) shuffle ONCE, bucketed by span text; the
+    first-occurrence decision is a vectorized stable sort +
+    ``duplicated`` per bucket. No all-pairs, no driver materialization
+    — the per-doc rebuild (drop duplicate spans, re-join) is a second
+    shuffle by doc_id if a caller wants the filtered text.
+    """
+    from clever_canal_ray.functions.text import _flat_tokens
+
+    def explode_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        codes, flat = _flat_tokens(df[text_col])
+        if len(flat) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "span_idx": pd.Series([], dtype="int64"),
+                 "span": pd.Series([], dtype=object)}
+            )
+        n = len(flat)
+        idx = np.arange(n)
+        new_doc = np.r_[True, codes[1:] != codes[:-1]]
+        run_starts = idx[new_doc]
+        start = np.repeat(run_starts, np.diff(np.r_[run_starts, n]))
+        span_idx = (idx - start) // span_tokens
+        sp = pd.DataFrame({"__row": codes, "span_idx": span_idx, "tok": flat})
+        spans = (
+            sp.groupby(["__row", "span_idx"], sort=False)["tok"]
+            .agg(" ".join)
+            .reset_index(name="span")
+        )
+        spans["doc_id"] = df[id_col].to_numpy()[spans["__row"].to_numpy()]
+        return spans[["doc_id", "span_idx", "span"]].astype(
+            {"doc_id": "int64", "span_idx": "int64"}
+        )
+
+    def first_occurrence(df: pd.DataFrame) -> pd.DataFrame:
+        order = df.sort_values(["span", "doc_id", "span_idx"], kind="mergesort")
+        order["kept"] = (~order.duplicated("span")).astype("int32")
+        return order[["doc_id", "span_idx", "kept"]]
+
+    spans_ds = ds.map_batches(explode_spans, batch_format="pandas")
+    return bucketed_groupby(
+        spans_ds, ["span"], lambda df: df, first_occurrence, num_buckets=num_buckets
+    )
+
+
 def topk_per_group(
     ds,
     group_col: str,

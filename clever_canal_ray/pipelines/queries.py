@@ -851,6 +851,19 @@ def cdc_props_decode(sf_dir: str):
     return bucketed_groupby(out, ["event_type"], partial, final, num_buckets=8)
 
 
+def corpus_span_dedup(sf_dir: str):
+    """C4-style span dedup decision: 10-token windows, global
+    first-occurrence kept, later occurrences flagged."""
+    from clever_canal_ray.functions.corpus import span_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = span_dedup(ds, span_tokens=10)
+    return out.map_batches(
+        lambda df: df.astype({"doc_id": "int64", "span_idx": "int64", "kept": "int32"}),
+        batch_format="pandas",
+    )
+
+
 def cdc_mq_routing(sf_dir: str):
     """MQ partition routing summary: route every change by pk hash into
     8 partitions, then per-partition event and distinct-key counts

@@ -107,3 +107,56 @@ def test_mq_partition_keys_stay_together(ray_session):
         )
     # no partition empty at this key count (sanity of the spread)
     assert out["mq_partition"].nunique() == 8
+
+
+def test_span_dedup_hand_case(ray_session):
+    from clever_canal_ray.functions.corpus import span_dedup
+
+    # spans of 3 tokens; doc 0 and doc 2 share span "a b c"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d e",  # spans: "a b c", "d e"
+                "x y z",  # span: "x y z"
+                "a b c",  # duplicate of doc 0 span 0
+            ],
+        }
+    )
+    out = (
+        span_dedup(_ds(df, 3), span_tokens=3)
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[["doc_id", "span_idx"]].values.tolist() == [[0, 0], [0, 1], [1, 0], [2, 0]]
+    assert out["kept"].tolist() == [1, 1, 1, 0]
+
+
+def test_span_dedup_serial_oracle(ray_session):
+    from collections import defaultdict
+
+    from clever_canal_ray.functions.corpus import span_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = list("abcd")
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25))) for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    out = (
+        span_dedup(_ds(df), span_tokens=5)
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    seen = {}
+    want = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(0, (len(w) + 4) // 5):
+            span = " ".join(w[j * 5 : j * 5 + 5])
+            kept = 1 if span not in seen else 0
+            seen.setdefault(span, (i, j))
+            want.append([i, j, kept])
+    assert out[["doc_id", "span_idx", "kept"]].values.tolist() == want

@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_span_dedup": q.corpus_span_dedup,  # C4-style span dedup
         "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
         "cdc_mq_routing": q.cdc_mq_routing,  # pk-hash MQ partition routing
+        "cdc_payload_mask": q.cdc_payload_mask,  # PII-style payload scrub
         "corpus_token_histogram": q.corpus_token_histogram,
         "corpus_hash_sample": q.corpus_hash_sample,
         "corpus_topk_per_source": q.corpus_topk_per_source,
@@ -441,6 +442,12 @@ def oracle_sql() -> dict[str, str]:
                                                      ORDER BY doc_id, span_idx) = 1
                              THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM sp
+        """,
+        "cdc_payload_mask": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+            FROM events
         """,
         "cdc_mq_routing": """
             SELECT CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 8 AS BIGINT) AS mq_partition,

@@ -188,3 +188,45 @@ class LangId:
             preds.append(best if scores[best] > 0 else "en")
         out["pred_lang"] = preds
         return out
+
+
+# --- PII-style redaction (pluggable compiled-pattern scrub) --------------
+
+# default pattern set: the common PII shapes a training-data pipeline
+# scrubs before the corpus ships. Compiled once at import; each entry is
+# (name, compiled pattern, replacement token).
+PII_PATTERNS = [
+    ("email", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+"), "<EMAIL>"),
+    ("ipv4", re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), "<IP>"),
+    ("phone", re.compile(r"\+?\d[\d\s().-]{7,}\d"), "<PHONE>"),
+    ("digits", re.compile(r"\d+"), "#"),
+]
+
+
+def redact(ds, col: str, patterns=None, out_col: str | None = None, count_col: str | None = None):
+    """Scrub a text column with an ordered compiled-pattern list —
+    the redaction/masking step of a privacy pass. Pure per-batch
+    vectorized ``str.replace`` chain (pandas' C regex loop), no
+    shuffle; patterns are compiled once at module import (or supplied
+    pre-compiled), never per batch.
+
+    ``count_col``: if set, also emit the number of matches of the
+    FIRST pattern before scrubbing (the auditable redaction count).
+    Earlier patterns win on overlapping text (email before digits),
+    mirroring sequential ``regexp_replace`` application in SQL.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out_col = out_col or col
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        s = df[col]
+        if count_col:
+            # null text -> 0 matches (str.count yields NaN on nulls)
+            df[count_col] = s.str.count(pats[0][1]).fillna(0).astype("int64")
+        for _, pat, repl in pats:
+            s = s.str.replace(pat, repl, regex=True)
+        df[out_col] = s
+        return df
+
+    return ds.map_batches(scrub, batch_format="pandas")

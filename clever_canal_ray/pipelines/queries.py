@@ -864,6 +864,30 @@ def corpus_span_dedup(sf_dir: str):
     )
 
 
+def cdc_payload_mask(sf_dir: str):
+    """Privacy scrub of event payloads: mask every digit run in the
+    JSON props string and count the redactions (the auditable PII-pass
+    mechanism; the pattern set is pluggable — see text.PII_PATTERNS)."""
+    import re as re_
+
+    from clever_canal_ray.functions.text import redact
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    out = redact(
+        ds,
+        "props",
+        patterns=[("digits", re_.compile(r"\d+"), "#")],
+        out_col="props_masked",
+        count_col="n_masked",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "props_masked", "n_masked"]].astype(
+            {"event_id": "int64", "n_masked": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def cdc_mq_routing(sf_dir: str):
     """MQ partition routing summary: route every change by pk hash into
     8 partitions, then per-partition event and distinct-key counts

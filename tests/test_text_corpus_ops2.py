@@ -121,3 +121,35 @@ def test_stratified_sample_rule_and_determinism(ray_session):
         if s == "b" and h(i, s) % 1000 < 250
     }
     assert set(out[out["source"] == "b"]["doc_id"]) == expect_b
+
+
+def test_redact_pii_shapes(ray_session):
+    from clever_canal_ray.functions.text import redact
+
+    df = pd.DataFrame(
+        {
+            "i": range(4),
+            "t": [
+                "mail me at bob.smith+x@example.co.uk today",
+                "server 192.168.0.1 rebooted",
+                "call +1 (555) 123-4567 now",
+                "order 1234 shipped 5 units",
+            ],
+        }
+    )
+    import ray.data as rd
+
+    out = (
+        redact(rd.from_pandas(df).repartition(2), "t", out_col="masked", count_col="n_first")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert out["masked"].tolist() == [
+        "mail me at <EMAIL> today",
+        "server <IP> rebooted",
+        "call <PHONE> now",
+        "order # shipped # units",
+    ]
+    # count_col counts the FIRST pattern (email) matches
+    assert out["n_first"].tolist() == [1, 0, 0, 0]

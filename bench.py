@@ -34,11 +34,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench workload shape (same event mix / skew profile as the 10^10
-# target, scaled down; FIXTURES.md §2 defaults)
+# target, scaled down; FIXTURES.md §2 defaults). CCR_BENCH_EVENTS
+# scales the stream (initial docs / segments scale with it) — used by
+# the scaling criterion to run a longer job where per-micro-batch
+# fixed costs amortize as they would at cluster scale; the driver's
+# per-round bench keeps the 16M default.
 BENCH_SEED = 42
-N_INITIAL = 1_600_000
-N_EVENTS = 16_000_000
-N_SEGMENTS = 32
+N_EVENTS = int(os.environ.get("CCR_BENCH_EVENTS", str(16_000_000)))
+N_INITIAL = N_EVENTS // 10
+N_SEGMENTS = max(1, N_EVENTS // 500_000)
 NUM_PARTITIONS = 64
 SEGMENTS_PER_BATCH = 8  # 4 micro-batches; pipelined in delta mode
 PIPELINE_DEPTH = 4

@@ -97,24 +97,28 @@ def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float
 
     lake_dir = os.path.join("/tmp", f"ccr_bench_lake_{os.getpid()}_{sink_mode}")
     shutil.rmtree(lake_dir, ignore_errors=True)
-    lake_tbl = pq.read_table(meta["initial_lake"])
-    lake = Lake.create(lake_dir, lake_tbl, num_partitions=NUM_PARTITIONS)
-    cfg = ReplayConfig(
-        num_partitions=NUM_PARTITIONS,
-        segments_per_batch=SEGMENTS_PER_BATCH,
-        batch_size=131_072,
-        sink_mode=sink_mode,
-        pipeline_depth=PIPELINE_DEPTH if sink_mode == "delta" else 1,
-    )
-    t0 = time.time()
-    m = replay(lake, meta["segment_paths"], cfg)
-    dt = time.time() - t0
-    t0 = time.time()
-    if compact_after:
-        lake.compact()
-    dt_compact = time.time() - t0
-    applied = sum(r["events_in"] for r in lake.full_ledger())
-    shutil.rmtree(lake_dir, ignore_errors=True)
+    try:
+        lake_tbl = pq.read_table(meta["initial_lake"])
+        lake = Lake.create(lake_dir, lake_tbl, num_partitions=NUM_PARTITIONS)
+        cfg = ReplayConfig(
+            num_partitions=NUM_PARTITIONS,
+            segments_per_batch=SEGMENTS_PER_BATCH,
+            batch_size=131_072,
+            sink_mode=sink_mode,
+            pipeline_depth=PIPELINE_DEPTH if sink_mode == "delta" else 1,
+        )
+        t0 = time.time()
+        m = replay(lake, meta["segment_paths"], cfg)
+        dt = time.time() - t0
+        t0 = time.time()
+        if compact_after:
+            lake.compact()
+        dt_compact = time.time() - t0
+        applied = sum(r["events_in"] for r in lake.full_ledger())
+    finally:
+        # always reclaim the lake dir — a crashed leg must not orphan
+        # tens of GB on this ~90 GB-usable VM disk
+        shutil.rmtree(lake_dir, ignore_errors=True)
     return dt, dt_compact, applied
 
 
@@ -171,9 +175,18 @@ def run_once() -> dict:
     # compact-sink reference reported alongside. This VM has ±3x
     # multi-minute throttle phases — when the two reps disagree badly
     # the window probably spanned a phase edge, so take one more.
-    replay_sec_1, compact_sec, applied = bench_replay(meta, sink_mode="delta", compact_after=True)
-    replay_sec_2, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
-    reps = [replay_sec_1, replay_sec_2]
+    # scaling subruns skip compaction: it isn't part of the scaling
+    # number and doubling live lake bytes can exceed this VM's disk at
+    # the larger CCR_BENCH_EVENTS sizes
+    replay_sec_1, compact_sec, applied = bench_replay(
+        meta, sink_mode="delta", compact_after=not HEADLINE_ONLY
+    )
+    reps = [replay_sec_1]
+    # CCR_BENCH_REPS=1 skips the in-run repetition (used by long
+    # scaling legs, where the 3x-longer window itself averages noise)
+    if int(os.environ.get("CCR_BENCH_REPS", "2")) > 1:
+        replay_sec_2, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
+        reps.append(replay_sec_2)
     if max(reps) / min(reps) > 1.4:
         replay_sec_3, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
         reps.append(replay_sec_3)

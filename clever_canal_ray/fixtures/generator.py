@@ -296,7 +296,13 @@ def generate_events(spec: EventLogSpec):
         n_rk = int(round(len(upd) * spec.rekey_frac))
         if n_rk:
             rk = rng.choice(upd, size=n_rk, replace=False)
-            newkey_idx[rk] = 2_000_000 + np.arange(n_rk)
+            # rekey target base must be disjoint from the insert key
+            # range [r0, r0 + n_inserts) and from the initial ids [0, r0)
+            # — derived, so bench-scale specs (millions of inserts)
+            # cannot silently collide with the 'fresh, never
+            # re-targeted' invariant
+            rk_base = max(2_000_000, r0 + int(is_ins.sum()))
+            newkey_idx[rk] = rk_base + np.arange(n_rk)
 
     # ---- inject DDL / TRUNCATE rows at fixed fractional positions -------
     trunc_entries = [
@@ -435,18 +441,24 @@ def generate_events(spec: EventLogSpec):
                 "key": key_all[row_ev],
                 "op": op_all[row_ev],
                 "pos": pos64[row_ev],
+                # a rekey U VACATES its old key (delete+insert): the next
+                # event at the old key must see NO image there
+                "rk": newkey_all[row_ev] >= 0,
             }
         ).sort_values(["key", "pos"], kind="stable")
         g = df.groupby("key", sort=False)
         prev_i = g["i"].shift(1)
         prev_op = g["op"].shift(1)
+        prev_rk = g["rk"].shift(1)
         cur_i = df["i"].to_numpy()
         cur_op = df["op"].to_numpy()
         cur_key = df["key"].to_numpy()
         pi = prev_i.to_numpy()
         po = prev_op.to_numpy()
-        # case 1: previous event set an image
-        m1 = pd.notna(pi) & ((po == "I") | (po == "U")) & (cur_op != "I")
+        prk = prev_rk.to_numpy()
+        # case 1: previous event set an image at THIS key (a rekey U
+        # behaves like a 'D' for the old key — it removed the row)
+        m1 = pd.notna(pi) & ((po == "I") | (po == "U")) & (prk != True) & (cur_op != "I")  # noqa: E712
         src = pi[m1].astype(np.int64)
         dst = cur_i[m1]
         before_tokens_obj[dst] = after_tokens_obj[src]

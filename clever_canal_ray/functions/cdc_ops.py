@@ -255,10 +255,19 @@ def extract_json_int(ds, col: str, field: str, out_col: str):
     ``{"f": -4}`` with arbitrary whitespace; a row whose payload lacks
     the field (or isn't valid in that shape) yields null — mirrors
     DuckDB ``CAST(json_extract_string(col, '$.f') AS BIGINT)``.
+
+    FLAT-OBJECT ASSUMPTION: the payload must be a single-level JSON
+    object (``{"k": 1, ...}``) — the regex requires the key to follow a
+    ``{`` or ``,`` delimiter, which rejects occurrences inside string
+    values, but it cannot distinguish nesting DEPTHS (``{"a":{"k":1}}``
+    would still match ``k``). For nested payloads, decode with a real
+    JSON path (per-row json.loads in an actor stage) instead —
+    mirroring ``$.k`` top-level semantics on non-flat data needs a
+    parser, not a regex.
     """
     import re
 
-    pat = re.compile(r'"%s"\s*:\s*(-?\d+)\s*[,}]' % re.escape(field))
+    pat = re.compile(r'[{,]\s*"%s"\s*:\s*(-?\d+)\s*[,}]' % re.escape(field))
 
     def ext(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

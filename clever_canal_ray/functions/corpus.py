@@ -360,7 +360,10 @@ def exact_quantiles(ds, col: str, qs: list[float], num_buckets: int = 16) -> pd.
         .sort_values("value")
         .reset_index(drop=True)
     )
-    total = int(hist["n"].sum())
+    total = int(hist["n"].sum()) if len(hist) else 0
+    if total == 0:
+        # empty input: no value can satisfy any quantile
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"), "value": pd.Series([], dtype="float64")})
     cum = hist["n"].cumsum().to_numpy()
     rows = []
     for q in qs:

@@ -279,11 +279,22 @@ def _execute_batch(
                 or routing is not None
                 or isinstance(cfg.column_projection, dict)
             )
-            # PK-change streams carry new_doc_id; one footer read on the
-            # first file decides (all files of one journal share a schema)
+            # PK-change streams carry new_doc_id. Every file's footer is
+            # checked (chained journals may mix schemas per journal): a
+            # batch whose files DISAGREE is rejected loudly — projecting
+            # new_doc_id over a file lacking it would error, and skipping
+            # it would silently drop rekey semantics.
             import pyarrow.parquet as pq
 
-            need_rekey = "new_doc_id" in pq.read_schema(segment_paths[0]).names
+            has_rk = ["new_doc_id" in pq.read_schema(p).names for p in segment_paths]
+            need_rekey = any(has_rk)
+            if need_rekey and not all(has_rk):
+                raise ValueError(
+                    "mixed segment schemas in one micro-batch: some files carry "
+                    "new_doc_id and some don't — replay chained journals with "
+                    "uniform schemas (or align segments_per_batch to journal "
+                    f"boundaries); files={segment_paths}"
+                )
             columns = combine_read_columns(
                 need_table_col=need_table, need_txn=cfg.gtid_dedup, need_rekey=need_rekey
             )

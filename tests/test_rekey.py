@@ -127,3 +127,56 @@ def test_rekey_duplicate_replay_noop(ray_session, tmp_path):
     m2 = replay(lake, info["segment_paths"], cfg)
     assert m2.version == m1.version
     assert_tables_equal(lake.read_table(), rows1)
+
+
+def test_before_image_chain_respects_rekey_vacancy():
+    """ADVICE r2 regression: with include_before=True and rekey_frac>0, a
+    rekey U vacates its OLD key — any later event re-targeting that old
+    key must carry NO before-image (the row was removed), and an event
+    at a key whose last writer was a plain I/U must carry exactly that
+    writer's image."""
+    from clever_canal_ray.fixtures.generator import generate_events
+    from clever_canal_ray.schema import pack_position
+
+    spec = EventLogSpec(
+        seed=91, n_initial_docs=40, n_events=1500, n_segments=2,
+        rekey_frac=0.4, include_before=True, p_insert=0.2, p_update=0.6,
+        p_delete=0.2, hot_frac=0.2, hot_mass=0.9,  # heavy re-targeting
+    )
+    segs, _ = generate_events(spec)
+    t = pa.concat_tables(segs)
+    pos = pack_position(
+        t["segment_id"].to_numpy(zero_copy_only=False),
+        t["offset"].to_numpy(zero_copy_only=False),
+    )
+    order = np.argsort(pos)
+    ops = np.asarray(t["op"].to_numpy(zero_copy_only=False), dtype=object)[order]
+    docs = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=object)[order]
+    newdocs = np.asarray(t["new_doc_id"].to_numpy(zero_copy_only=False), dtype=object)[order]
+    before_valid = pa.compute.is_valid(t["before"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )[order]
+    n_rekey = int(sum(v is not None for v in newdocs))
+    assert n_rekey > 20  # the fixture exercises the path
+
+    # walk the stream keeping the live image state per key
+    live: dict = {}  # doc -> True if an image exists at that key
+    checked_vacated = 0
+    for op, d, nd, bv in zip(ops, docs, newdocs, before_valid):
+        if op not in ("I", "U", "D"):
+            continue
+        expect_before = live.get(d, d.startswith("doc0000000000"))  # initial keys < 40
+        if op != "I":
+            if not expect_before:
+                assert not bv, f"stale before-image at vacated/missing key {d}"
+                checked_vacated += 1
+            else:
+                assert bv, f"missing before-image at live key {d}"
+        if nd is not None:  # rekey: old key vacated, new key live
+            live[d] = False
+            live[nd] = True
+        elif op == "D":
+            live[d] = False
+        else:
+            live[d] = True
+    assert checked_vacated > 0  # at least one re-targeted vacated key

@@ -277,22 +277,24 @@ def extract_json_int(ds, col: str, field: str, out_col: str):
     return ds.map_batches(ext, batch_format="pandas")
 
 
-def mq_partition(ds, pk_col: str, num_partitions: int, out_col: str = "mq_partition"):
+def mq_partition(ds, pk_col: str, num_partitions: int, out_col: str = "mq_partition", mirror: bool = False):
     """MQ partition routing (MQMessageUtils.messagePartition analog:
     canal hashes each row's pk to pick the MQ partition so ALL changes
     of one key land in one partition and per-key order survives the
-    fan-out). Hash = md5_u64 of the stringified pk (DuckDB
-    ``md5_number_lower``) so routing is reproducible across engines and
-    cluster sizes. Pure per-batch map — no shuffle; the downstream
-    writer groups by ``out_col``.
+    fan-out). Default hash = C-speed ``_fast_u64`` (deterministic
+    across runs/cluster sizes); ``mirror=True`` = md5 of the
+    stringified pk (DuckDB ``md5_number_lower``) so an external SQL
+    engine can recompute the exact routing — the oracle-gate mode.
+    Pure per-batch map — no shuffle; the downstream writer groups by
+    ``out_col``.
     """
-    from clever_canal_ray.functions.corpus import _md5_u64
+    from clever_canal_ray.functions.corpus import _hash_u64
 
     npart = np.uint64(num_partitions)
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df[out_col] = (_md5_u64(df[pk_col]) % npart).astype(np.int64)
+        df[out_col] = (_hash_u64(df[pk_col], mirror) % npart).astype(np.int64)
         return df
 
     return ds.map_batches(route, batch_format="pandas")

@@ -61,7 +61,10 @@ def token_histogram(ds, text_col: str = "text", top_n: int = 100, num_buckets: i
 
 def _md5_u64(values) -> np.ndarray:
     """Little-endian low 8 bytes of md5(str(v)) — exactly DuckDB's
-    ``md5_number_lower(CAST(v AS VARCHAR))`` — as a uint64 vector."""
+    ``md5_number_lower(CAST(v AS VARCHAR))`` — as a uint64 vector.
+    Per-row Python hashing (~1 µs/row): the cross-engine MIRROR kernel,
+    used only when ``mirror=True`` (oracle-checked gates); full-corpus
+    passes default to ``_fast_u64``."""
     return np.fromiter(
         (
             int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
@@ -72,32 +75,65 @@ def _md5_u64(values) -> np.ndarray:
     )
 
 
-def hash_sample(ds, id_col: str, denom: int, select_rem: int = 0):
-    """Deterministic hash sampling: keep rows where
-    ``md5_u64_lower(str(id)) % denom == select_rem``.
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — pure numpy uint64 ops (wraparound
+    multiply), full-avalanche 64-bit mix; the integer-id fast hash."""
+    x = np.asarray(x).astype(np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
-    The hash matches DuckDB's ``md5_number_lower`` (see ``_md5_u64``),
-    so the sample is reproducible across engines, runs, and cluster
-    sizes (no RNG state, no seed shipping; the id IS the seed).
-    Embarrassingly parallel: pure per-batch filter, no shuffle.
+
+def _fast_u64(values) -> np.ndarray:
+    """C-speed deterministic 64-bit hash: numpy splitmix64 for integer
+    ids, pandas ``util.hash_array`` (fixed default hash key) for
+    strings — both stable across processes, runs, and cluster sizes.
+    NOT DuckDB-mirrorable; the default kernel for full-corpus
+    deterministic sampling/routing (BASELINE.md microbench: ~170×
+    ``_md5_u64`` on 1M int ids, ~13× on 1M short strings)."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+    with np.errstate(over="ignore"):
+        return _splitmix64(arr)
+
+
+def _hash_u64(values, mirror: bool) -> np.ndarray:
+    return _md5_u64(values) if mirror else _fast_u64(values)
+
+
+def hash_sample(ds, id_col: str, denom: int, select_rem: int = 0, mirror: bool = False):
+    """Deterministic hash sampling: keep rows where
+    ``hash(id) % denom == select_rem``.
+
+    No RNG state, no seed shipping; the id IS the seed — reproducible
+    across runs and cluster sizes at any parallelism. ``mirror=True``
+    switches the hash to DuckDB's ``md5_number_lower`` (see
+    ``_md5_u64``) so an external SQL engine can reproduce the exact
+    sample — the oracle-gate mode; the default is the C-speed
+    ``_fast_u64``. Embarrassingly parallel: pure per-batch filter, no
+    shuffle.
     """
     denom_u = np.uint64(denom)
     rem_u = np.uint64(select_rem)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[(_md5_u64(df[id_col]) % denom_u) == rem_u]
+        return df[(_hash_u64(df[id_col], mirror) % denom_u) == rem_u]
 
     return ds.map_batches(keep, batch_format="pandas")
 
 
-def shard_positions(ds, id_col: str, num_shards: int = 16, num_buckets: int = 64):
+def shard_positions(ds, id_col: str, num_shards: int = 16, num_buckets: int = 64, mirror: bool = False):
     """Deterministic training-shard assignment with exact within-shard
     positions — a distributed ``row_number() OVER (PARTITION BY shard
     ORDER BY h, id)`` (the op behind writing globally-shuffled training
     shards where every row needs its slot).
 
-    ``shard = md5_u64(id) % num_shards``; within a shard rows are
-    totally ordered by ``(h, id)``. Two passes, both scale-safe:
+    ``shard = hash(id) % num_shards`` (``mirror=True`` = the DuckDB
+    md5 hash for oracle gates, default = C-speed ``_fast_u64``); within
+    a shard rows are totally ordered by ``(h, id)``. Two passes, both
+    scale-safe:
 
     1. count pass — per-batch ``(shard, coarse_bucket)`` counts, where
        ``coarse_bucket`` is the top ``log2(num_buckets)`` bits of ``h``
@@ -118,7 +154,7 @@ def shard_positions(ds, id_col: str, num_shards: int = 16, num_buckets: int = 64
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        h = _md5_u64(df[id_col])
+        h = _hash_u64(df[id_col], mirror)
         df["__h"] = h
         df["__shard"] = (h % np.uint64(num_shards)).astype(np.int64)
         df["__bucket"] = (h >> shift).astype(np.int64)
@@ -227,30 +263,26 @@ def decontaminate(ds, eval_texts, n: int = 5, concurrency: int = 4):
     )
 
 
-def stratified_sample(ds, rates_permille: dict, source_col: str, id_col: str):
+def stratified_sample(ds, rates_permille: dict, source_col: str, id_col: str, mirror: bool = False):
     """Domain-mixing sampler: keep each row with a per-source rate
     (permille), decided by a deterministic salted hash of the row id —
-    ``md5_u64_lower(f"{id}:{source}") % 1000 < rate``. DuckDB mirror:
-    ``md5_number_lower(CAST(id AS VARCHAR) || ':' || source) % 1000``.
+    ``hash(f"{id}:{source}") % 1000 < rate``. ``mirror=True`` = DuckDB
+    mirror hash: ``md5_number_lower(CAST(id AS VARCHAR) || ':' ||
+    source) % 1000`` (the oracle-gate mode; default = C-speed hash).
 
     The rate table is a tiny dict in the task closure (broadcast once
     per task by Ray); the op is a pure per-batch filter — no shuffle,
     no RNG state, reproducible at any parallelism. Sources absent from
     the table default to rate 0 (dropped), the conservative choice for
-    an unknown domain.
+    an unknown domain. The salt key is built with vectorized pandas
+    string concat; only the mirror path pays per-row md5.
     """
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(f"{i}:{s}".encode()).digest()[8:16], "little"
-                )
-                for i, s in zip(df[id_col], df[source_col])
-            ),
-            dtype=np.uint64,
-            count=len(df),
+        keys = (
+            df[id_col].astype(str).str.cat(df[source_col].astype(str), sep=":").to_numpy(dtype=object)
         )
+        h = _hash_u64(keys, mirror)
         rates = df[source_col].map(rates_permille).fillna(0).to_numpy(dtype=np.int64)
         return df[(h % np.uint64(1000)).astype(np.int64) < rates]
 

@@ -45,11 +45,21 @@ def token_counts_regex(batch: pd.DataFrame) -> pd.DataFrame:
 def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
     """Quality heuristics: length bounds, punctuation ratio, stopword
     ratio. Mirrored in SQL with string_split + list_filter lambdas.
+    Fully columnar: the stopword count is one explode + ``isin`` +
+    ``bincount`` over the batch (no per-row lambda).
     """
+    batch = batch.reset_index(drop=True)
     out = batch[["doc_id"]].copy()
     toks = batch["text"].str.split(" ")
     n_tok = toks.str.len()
-    stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
+    fl = toks.explode()  # ONE split reused for count + stopword pass
+    stop = np.zeros(len(batch), dtype=np.int64)
+    if len(fl):
+        hit = fl.isin(STOPWORDS).to_numpy()
+        if hit.any():
+            stop = np.bincount(
+                fl.index.to_numpy(dtype=np.int64)[hit], minlength=len(batch)
+            ).astype(np.int64)
     out["n_tokens"] = n_tok.astype("int64")
     out["stop_ratio"] = (stop / n_tok).round(6)
     out["n_chars"] = batch["text"].str.len().astype("int64")
@@ -166,26 +176,84 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Actor-pool language-ID stage: marker tables built once per actor
-    (the model-load-in-__init__ pattern); per-batch work is vectorized.
+    """Actor-pool language-ID stage: marker tables (or a real model)
+    built once per actor (the model-load-in-__init__ pattern); per-batch
+    work is fully columnar — one lower+findall pass, one explode, one
+    ``isin`` per language, ``bincount`` per doc; CJK detection is a
+    vectorized codepoint-range count on a 200-char head slice.
+
+    ``model_factory``: optional callable returning a *model* — itself a
+    callable ``texts -> labels`` (e.g. a fastText/langdetect wrapper) —
+    loaded ONCE per actor in ``__init__`` (never per batch / never
+    shipped per task). When present it replaces the marker heuristic
+    entirely; the heuristic stays the dependency-free default (no lang
+    models are vendored in this environment).
     """
 
-    def __init__(self):
+    def __init__(self, model_factory=None):
         self.markers = {k: v for k, v in _LANG_MARKERS.items()}
         self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+        # ascending lang order; ties resolve to the lexicographically
+        # LARGEST language (max((score, name))) — mirrored in SQL
+        self.langs = sorted(k for k, v in self.markers.items() if v)
+        # ONE alternation over all marker words, letter-lookaround
+        # anchored — matches exactly "a maximal [a-zA-Z]+ run equal to a
+        # marker" (what predict_row's set-intersection sees), so only
+        # marker HITS materialize from each batch, never the full token
+        # stream (the explode-everything variant was slower than the row
+        # loop on short docs — BASELINE.md microbench)
+        all_markers = sorted({w for v in self.markers.values() for w in v}, key=len, reverse=True)
+        self.marker_re = re.compile(
+            r"(?<![a-zA-Z])(?:" + "|".join(map(re.escape, all_markers)) + r")(?![a-zA-Z])"
+        )
+        self.model = model_factory() if model_factory is not None else None
+
+    def predict_row(self, t: str) -> str:
+        """Per-row reference implementation (tests assert the batch
+        kernel reproduces it exactly)."""
+        cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
+        if cjk > 5:
+            return "zh"
+        words = set(self.word_re.findall(t.lower()[:500]))
+        scores = {lang: len(words & m) for lang, m in self.markers.items() if m}
+        best = max(scores, key=lambda k: (scores[k], k))
+        return best if scores[best] > 0 else "en"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
-        preds = []
-        for t in batch["text"]:
-            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-            if cjk > 5:
-                preds.append("zh")
-                continue
-            words = set(self.word_re.findall(t.lower()[:500]))
-            scores = {lang: len(words & m) for lang, m in self.markers.items() if m}
-            best = max(scores, key=lambda k: (scores[k], k))
-            preds.append(best if scores[best] > 0 else "en")
+        if self.model is not None:
+            out["pred_lang"] = np.asarray(self.model(batch["text"].to_numpy()), dtype=object)
+            return out
+        s = batch["text"].reset_index(drop=True)
+        n = len(s)
+        cjk = s.str.slice(0, 200).str.count(self.cjk_re).to_numpy()
+        # only marker OCCURRENCES leave the regex (tiny vs the token
+        # stream); dedupe (doc, marker) as int64 pairs, then one
+        # bincount per language
+        hits = s.str.slice(0, 500).str.lower().str.findall(self.marker_re)
+        fl = hits.explode().dropna()
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(fl):
+            w_codes, w_uniq = pd.factorize(fl.to_numpy())
+            d_codes = fl.index.to_numpy(dtype=np.int64)
+            uniq_s = pd.Series(w_uniq)
+            lang_hit = np.stack(
+                [uniq_s.isin(self.markers[lang]).to_numpy() for lang in self.langs]
+            )  # (n_langs, n_uniq_markers)
+            pairs = np.unique(d_codes * np.int64(len(w_uniq)) + w_codes)
+            d_u = pairs // len(w_uniq)
+            w_u = pairs % len(w_uniq)
+            for j in range(len(self.langs)):
+                m = lang_hit[j][w_u]
+                if m.any():
+                    scores[:, j] = np.bincount(d_u[m], minlength=n)
+        # argmax over REVERSED columns = last max in ascending order =
+        # the lexicographically largest language on score ties
+        rev = scores[:, ::-1]
+        best = np.array(self.langs, dtype=object)[::-1][rev.argmax(axis=1)]
+        preds = np.where(rev.max(axis=1) > 0, best, "en").astype(object)
+        preds[cjk > 5] = "zh"
         out["pred_lang"] = preds
         return out
 

@@ -686,7 +686,7 @@ def corpus_hash_sample(sf_dir: str):
     from clever_canal_ray.functions.corpus import hash_sample
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    out = hash_sample(ds, id_col="doc_id", denom=20)
+    out = hash_sample(ds, id_col="doc_id", denom=20, mirror=True)
     return out.map_batches(
         lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
     )
@@ -794,7 +794,7 @@ def corpus_mix_sample(sf_dir: str):
     from clever_canal_ray.functions.corpus import stratified_sample
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    out = stratified_sample(ds, MIX_RATES, source_col="source", id_col="doc_id")
+    out = stratified_sample(ds, MIX_RATES, source_col="source", id_col="doc_id", mirror=True)
     return out.map_batches(
         lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
     )
@@ -806,7 +806,7 @@ def corpus_shard_assign(sf_dir: str):
     from clever_canal_ray.functions.corpus import shard_positions
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-    out = shard_positions(ds, "doc_id", num_shards=16, num_buckets=64)
+    out = shard_positions(ds, "doc_id", num_shards=16, num_buckets=64, mirror=True)
     return out.map_batches(
         lambda df: df[["doc_id", "shard", "pos"]].astype(
             {"doc_id": "int64", "shard": "int64", "pos": "int64"}
@@ -896,7 +896,7 @@ def cdc_mq_routing(sf_dir: str):
     from clever_canal_ray.stages.agg import bucketed_groupby
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
-    routed = mq_partition(ds, "user_id", 8)
+    routed = mq_partition(ds, "user_id", 8, mirror=True)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (

@@ -41,7 +41,7 @@ def test_token_histogram_counts_and_tiebreak(ray_session):
 
 def test_hash_sample_matches_md5_rule(ray_session):
     df = pd.DataFrame({"doc_id": np.arange(1000), "source": "s"})
-    out = hash_sample(_ds(df), id_col="doc_id", denom=7, select_rem=3).to_pandas()
+    out = hash_sample(_ds(df), id_col="doc_id", denom=7, select_rem=3, mirror=True).to_pandas()
 
     def h(v):
         return int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little")
@@ -114,3 +114,16 @@ def test_pack_sequences_prefix_sum_across_buckets(ray_session, bucket_size):
     # windows tile the token stream: every token index 0..total-1 covered
     total = int(ntok.sum())
     assert out["last_window"].max() == (total - 1) // 100
+
+
+def test_hash_sample_fast_default_deterministic(ray_session):
+    """The C-speed default hash: deterministic across runs, ~1/denom
+    rate, and disjoint remainder classes partition the input."""
+    df = pd.DataFrame({"doc_id": np.arange(3000), "source": "s"})
+    a = sorted(hash_sample(_ds(df), id_col="doc_id", denom=8, select_rem=2).to_pandas()["doc_id"])
+    b = sorted(hash_sample(_ds(df), id_col="doc_id", denom=8, select_rem=2).to_pandas()["doc_id"])
+    assert a == b and 3000 / 8 * 0.6 < len(a) < 3000 / 8 * 1.6
+    seen = []
+    for r in range(8):
+        seen += list(hash_sample(_ds(df), id_col="doc_id", denom=8, select_rem=r).to_pandas()["doc_id"])
+    assert sorted(seen) == list(range(3000))

@@ -256,3 +256,62 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     assert (frames["frame_idx"] % 3 == 0).all()
     sizes = frames.groupby("media_id").size()
     assert (sizes >= 1).all()
+
+
+def test_langid_batch_matches_row_reference(ray_session):
+    """The columnar LangId kernel must reproduce the per-row reference
+    implementation exactly (marker overlap, lexicographic tie-break,
+    CJK head-slice gate, zero-score -> en)."""
+    import pandas as pd
+
+    from clever_canal_ray.functions.text import LangId
+
+    texts = [
+        "the quick brown fox and the lazy dog is in town",
+        "der hund und die katze das ist nicht ein problem",
+        "le chat et la maison est une belle pas",
+        "el perro y la casa es una no bueno",
+        "一二三四五六七 " * 3,  # CJK head
+        "xyzzy plugh qwop",  # zero score -> en
+        "la " * 1,  # fr/es tie candidates
+        "",  # empty
+        "the der le el y und et and is ist est es",  # multi-lang mix
+        "LA LE EL the the DER",  # case folding
+        ("und " * 300) + "the and of is to a in that",  # >500 chars: truncation must match
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    li = LangId()
+    got = li(df)["pred_lang"].tolist()
+    want = [li.predict_row(t) for t in texts]
+    assert got == want
+
+
+def test_langid_model_passthrough(ray_session):
+    """model_factory loads once per actor and replaces the heuristic."""
+    import pandas as pd
+
+    from clever_canal_ray.functions.text import LangId
+
+    def stub_factory():
+        def model(texts):
+            return ["xx" for _ in texts]
+
+        return model
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+    out = LangId(model_factory=stub_factory)(df)
+    assert out["pred_lang"].tolist() == ["xx", "xx"]
+
+
+def test_quality_scores_stopword_columnar(ray_session):
+    """Columnar stopword count equals the per-row loop."""
+    import pandas as pd
+
+    from clever_canal_ray.functions.text import STOPWORDS, quality_scores
+
+    texts = ["the a and of to in is", "no stop words here", "", "the the the", "x " * 200]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = quality_scores(df)
+    for t, ratio in zip(texts, out["stop_ratio"]):
+        ws = t.split(" ")
+        assert ratio == round(sum(1 for w in ws if w in STOPWORDS) / len(ws), 6)

@@ -31,7 +31,7 @@ def test_shard_positions_serial_oracle(ray_session):
     n, shards = 3000, 8
     df = pd.DataFrame({"doc_id": np.arange(n)})
     out = (
-        shard_positions(_ds(df), "doc_id", num_shards=shards, num_buckets=16)
+        shard_positions(_ds(df), "doc_id", num_shards=shards, num_buckets=16, mirror=True)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -96,7 +96,9 @@ def test_mq_partition_keys_stay_together(ray_session):
     df = pd.DataFrame(
         {"event_id": np.arange(1000), "user_id": np.arange(1000) % 37}
     )
-    out = mq_partition(_ds(df), "user_id", 8).to_pandas()
+    out = mq_partition(_ds(df), "user_id", 8, mirror=True).to_pandas()
+    out_fast = mq_partition(_ds(df), "user_id", 8).to_pandas()
+    assert (out_fast.groupby("user_id")["mq_partition"].nunique() == 1).all()
     # every key maps to exactly one partition, and the map is the md5 rule
     per_key = out.groupby("user_id")["mq_partition"].nunique()
     assert (per_key == 1).all()

@@ -105,7 +105,7 @@ def test_stratified_sample_rule_and_determinism(ray_session):
         }
     )
     rates = {"a": 1000, "b": 250}  # a: keep all, b: ~quarter, unknown: drop
-    out = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
+    out = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id", mirror=True).to_pandas()
     assert (out[out["source"] == "a"].shape[0]) == (df["source"] == "a").sum()
     assert (out["source"] == "unknown").sum() == 0
     nb = (out["source"] == "b").sum()
@@ -153,3 +153,19 @@ def test_redact_pii_shapes(ray_session):
     ]
     # count_col counts the FIRST pattern (email) matches
     assert out["n_first"].tolist() == [1, 0, 0, 0]
+
+
+def test_stratified_sample_fast_default(ray_session):
+    """Fast-hash default: same rule shape (rate honored, unknown source
+    dropped, deterministic) without the md5 mirror."""
+    df = pd.DataFrame(
+        {"doc_id": np.arange(3000), "source": np.tile(["a", "b", "x"], 1000)}
+    )
+    rates = {"a": 1000, "b": 300}
+    out1 = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
+    out2 = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
+    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+    assert (out1[out1["source"] == "a"].shape[0]) == 1000
+    assert (out1["source"] == "x").sum() == 0
+    nb = (out1["source"] == "b").sum()
+    assert 0.15 * 1000 < nb < 0.45 * 1000

@@ -59,31 +59,92 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets:
     return bucketed_groupby(ds, ["h"], partial, final, num_buckets=num_buckets)
 
 
-def exact_dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64):
+def exact_dedup_survivors(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    broadcast: bool = False,
+):
     """The corpus AFTER exact dedup: keep each text's minimum-id doc,
     drop the other copies — the filtered dataset a training pipeline
     actually consumes (exact_dedup reports the groups; this applies
     them).
 
-    Scale shape: the keeper-id set is (hash, keep_id) pairs from one
-    bucketed shuffle; survivors are selected with a second pass that
-    broadcast-checks membership per batch. The keeper SET is bounded by
-    the number of DISTINCT texts; under heavy duplication it is far
-    smaller than the corpus. For corpora where even that set is huge,
-    flip to the shuffle-join used by minhash_lsh_pairs_verified.
+    DEFAULT (scale path): fully distributed — the keeper-id set (one
+    row per DISTINCT text, i.e. ~the corpus for a mostly-unique crawl)
+    NEVER lands on the driver. Keeper ids and doc rows hash-shuffle
+    into the same id buckets (ONE extra bucketed exchange) and each
+    bucket filters with a zero-copy Arrow semi-join (``pc.is_in``
+    against the bucket's keeper ids). Payloads move once — the same
+    transport cost any shuffle-based dedup pays.
+
+    ``broadcast=True`` (small-corpus fast path): collect the keeper-id
+    set to the driver, ``ray.put`` it once, and filter per batch with
+    no payload shuffle — O(distinct texts) driver memory, only safe
+    when the distinct count is known to be small.
     """
-    import ray
+    import pyarrow.compute as pc
 
     keep = exact_dedup(ds, text_col=text_col, id_col=id_col, num_buckets=num_buckets)
-    keep_ids = keep.select_columns(["keep_id"]).to_pandas()["keep_id"].to_numpy()
-    ref = ray.put(pa.array(np.sort(keep_ids)))  # broadcast once (ray.put), read per task
 
-    def survivors(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if broadcast:
+        import ray
 
-        return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+        keep_ids = keep.select_columns(["keep_id"]).to_pandas()["keep_id"].to_numpy()
+        ref = ray.put(pa.array(np.sort(keep_ids)))  # broadcast once, read per task
 
-    return ds.map_batches(survivors, batch_format="pyarrow")
+        def survivors(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+
+        return ds.map_batches(survivors, batch_format="pyarrow")
+
+    sch = ds.schema()
+    doc_schema = getattr(sch, "base_schema", sch)
+    if not isinstance(doc_schema, pa.Schema):
+        # pandas-block datasets: infer the Arrow schema from one row
+        # (tiny prefix execution, driver-side planning only)
+        doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
+    id_type = doc_schema.field(id_col).type
+    transport = pa.schema(list(doc_schema) + [pa.field("__keep", pa.bool_())])
+
+    def docs_side(t: pa.Table) -> pa.Table:
+        arrays = [t.column(f.name) for f in doc_schema]
+        return pa.Table.from_arrays(
+            arrays + [pa.array(np.zeros(t.num_rows, bool))], schema=transport
+        )
+
+    def keep_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [
+            t["keep_id"].cast(id_type) if f.name == id_col else pa.nulls(n, f.type)
+            for f in doc_schema
+        ]
+        return pa.Table.from_arrays(cols + [pa.array(np.ones(n, bool))], schema=transport)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from clever_canal_ray.functions.corpus import _fast_u64
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (_fast_u64(ids) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        is_keep = t["__keep"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        keep_ids = ids.filter(pa.array(is_keep))
+        mask = pc.and_(pa.array(~is_keep), pc.is_in(ids, value_set=keep_ids))
+        out = t.filter(mask)
+        return out.drop_columns(["__keep", "__bucket"])
+
+    u = ds.map_batches(docs_side, batch_format="pyarrow").union(
+        keep.map_batches(keep_side, batch_format="pyarrow")
+    )
+    return (
+        u.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(semi_join, batch_format="pyarrow")
+    )
 
 
 # --- MinHash + LSH --------------------------------------------------------

@@ -315,3 +315,56 @@ def test_quality_scores_stopword_columnar(ray_session):
     for t, ratio in zip(texts, out["stop_ratio"]):
         ws = t.split(" ")
         assert ratio == round(sum(1 for w in ws if w in STOPWORDS) / len(ws), 6)
+
+
+def test_exact_dedup_survivors_distributed_no_driver_pull(ray_session, monkeypatch):
+    """The default survivors path must be fully distributed: on a
+    corpus of ~100% distinct texts (the keeper set ≈ the corpus), no
+    Dataset may be collected to the driver. to_pandas is patched to
+    raise; the semi-join must still produce the right survivors and
+    preserve Arrow payload types."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import exact_dedup_survivors
+
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"unique text number {i}" for i in range(n - 4)]
+            + ["dup text"] * 4,  # ids n-4..n-1 collapse to n-4
+        }
+    )
+    ds = rd.from_pandas(df)
+
+    monkeypatch.setattr(
+        rd.Dataset,
+        "to_pandas",
+        lambda self, *a, **k: (_ for _ in ()).throw(AssertionError("driver-side to_pandas in survivors path")),
+    )
+    out = exact_dedup_survivors(ds, text_col="text", id_col="doc_id")
+    got = sorted(r["doc_id"] for r in out.take_all())
+    assert got == list(range(n - 3))  # keepers: all uniques + min dup id
+    sch = out.schema()
+    base = getattr(sch, "base_schema", sch)
+    assert base.field("text").type == pa.string()
+
+
+def test_exact_dedup_survivors_broadcast_matches_distributed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import exact_dedup_survivors
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [f"t{i % 90}" for i in range(300)],  # heavy duplication
+        }
+    )
+    ds = rd.from_pandas(df)
+    a = sorted(r["doc_id"] for r in exact_dedup_survivors(ds).take_all())
+    b = sorted(r["doc_id"] for r in exact_dedup_survivors(ds, broadcast=True).take_all())
+    assert a == b == list(range(90))

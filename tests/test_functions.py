@@ -368,3 +368,37 @@ def test_exact_dedup_survivors_broadcast_matches_distributed(ray_session):
     a = sorted(r["doc_id"] for r in exact_dedup_survivors(ds).take_all())
     b = sorted(r["doc_id"] for r in exact_dedup_survivors(ds, broadcast=True).take_all())
     assert a == b == list(range(90))
+
+
+def test_embedding_dup_pairs_triangle_join_exact(ray_session, monkeypatch):
+    """The triangle block-join must equal brute-force all-pairs exactly
+    (every unordered pair lands in exactly ONE group-pair bucket) with
+    no driver-side candidate matrix (to_pandas patched to raise)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    m = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(m)})
+    ds = rd.from_pandas(df)
+    monkeypatch.setattr(
+        rd.Dataset,
+        "to_pandas",
+        lambda self, *a, **k: (_ for _ in ()).throw(AssertionError("driver pull")),
+    )
+    got = pd.DataFrame(embedding_dup_pairs(ds, threshold=0.5, n_groups=5).take_all())
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    iu = np.triu_indices(n, 1)
+    hits = sims[iu] >= 0.5
+    want = sorted(zip(iu[0][hits].tolist(), iu[1][hits].tolist()))
+    assert len(want) > 5  # fixture actually exercises the path
+    assert sorted(zip(got["a"], got["b"])) == want
+    # rounded sims match too
+    want_cs = {(int(a), int(b)): round(float(sims[a, b]), 4) for a, b in want}
+    for a, b, cs in zip(got["a"], got["b"], got["cos_sim"]):
+        assert want_cs[(int(a), int(b))] == cs

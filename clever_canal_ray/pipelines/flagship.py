@@ -60,8 +60,13 @@ def tokenize_documents(sf_dir: str) -> pa.Table:
     )
 
 
-def derive_change_events(sf_dir: str, n_docs: int) -> pa.Table:
-    """events -> one binlog segment of canonical change events."""
+def derive_change_events(sf_dir: str, n_docs: int, with_index_verb: bool = False) -> pa.Table:
+    """events -> one binlog segment of canonical change events.
+
+    ``with_index_verb``: append one CREATE INDEX DDL row at the stream
+    tail (schema no-op; exercised by the flagship gate only — streams
+    consumed by the multi-table / consumer gates keep the plain shape).
+    """
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id", "event_type"])
     df = ev.to_pandas().sort_values("event_id").reset_index(drop=True)
     n = len(df)
@@ -98,7 +103,7 @@ def derive_change_events(sf_dir: str, n_docs: int) -> pa.Table:
     txn = eid // 8
     last_of_txn = np.ones(n, dtype=bool)
     last_of_txn[:-1] = txn[:-1] != txn[1:]
-    return pa.Table.from_arrays(
+    data = pa.Table.from_arrays(
         [
             pa.array(np.zeros(n, np.int32), pa.int32()),
             pa.array(eid + 1, pa.int64()),
@@ -116,6 +121,34 @@ def derive_change_events(sf_dir: str, n_docs: int) -> pa.Table:
         ],
         schema=event_schema(LAKE_SCHEMA_V0),
     )
+    if not with_index_verb:
+        return data
+    # one CREATE INDEX verb (DruidDdlParser C_INDEX analog):
+    # journal-recorded schema NO-OP — the gate oracle is unaffected by
+    # design; this keeps the ignore-verb path exercised in a
+    # hash-checked gate stream (index verbs must not stall replay)
+    import json as _json
+
+    idx_ddl = _json.dumps({"op": "create_index", "name": "idx_source", "columns": ["source"]})
+    ddl_row = pa.Table.from_arrays(
+        [
+            pa.array([0], pa.int32()),
+            pa.array([int(eid.max()) + 2 if n else 1], pa.int64()),
+            pa.array([int(txn.max()) + 1 if n else 0], pa.int64()),
+            pa.array([0], pa.int32()),
+            pa.array([True], pa.bool_()),
+            pa.array([df["ts"].to_numpy().astype("datetime64[ms]").max() if n else np.datetime64(0, "ms")], pa.timestamp("ms")),
+            pa.array(["DDL"], pa.string()),
+            pa.array(["lake.sequences"], pa.string()),
+            pa.array([None], pa.string()),
+            pa.array([0], pa.int32()),
+            pa.array([idx_ddl], pa.string()),
+            pa.nulls(1, payload),
+            pa.nulls(1, payload),
+        ],
+        schema=event_schema(LAKE_SCHEMA_V0),
+    )
+    return pa.concat_tables([data, ddl_row])
 
 
 def run_flagship(sf_dir: str, work_dir: str | None = None, num_partitions: int = 8):
@@ -124,7 +157,7 @@ def run_flagship(sf_dir: str, work_dir: str | None = None, num_partitions: int =
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(work_dir)
     lake_tbl = tokenize_documents(sf_dir)
-    events = derive_change_events(sf_dir, lake_tbl.num_rows)
+    events = derive_change_events(sf_dir, lake_tbl.num_rows, with_index_verb=True)
     seg_path = os.path.join(work_dir, "segment-00000.parquet")
     pq.write_table(events, seg_path)
     lake = Lake.create(os.path.join(work_dir, "lake"), lake_tbl, num_partitions=num_partitions)

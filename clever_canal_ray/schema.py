@@ -34,7 +34,13 @@ _TYPE_FROM_NAME = {
     "string": pa.string(),
     "binary": pa.binary(),
     "bool": pa.bool_(),
+    "timestamp[s]": pa.timestamp("s"),
     "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    # the unsigned-BIGINT promotion endpoint (LogEventConvert.java:694-725
+    # promotes unsigned types one width up; unsigned BIGINT lands in
+    # DECIMAL) — scale 0, max precision
+    "decimal": pa.decimal128(38, 0),
     "list<int32>": pa.list_(pa.int32()),
     "list<int64>": pa.list_(pa.int64()),
     "list<float32>": pa.list_(pa.float32()),
@@ -43,15 +49,27 @@ _TYPE_FROM_NAME = {
 _NAME_FROM_TYPE = {v: k for k, v in _TYPE_FROM_NAME.items()}
 
 # Legal widenings (LogEventConvert.java:694-725 unsigned-promotion analog):
-# each key may widen to any type in its value set.
+# each key may widen to any type in its value set. int*→decimal is the
+# unsigned-BIGINT endpoint; timestamp unit widening is lossless
+# (s → ms → us up-casts multiply, never truncate).
 _WIDEN_OK = {
-    "int8": {"int16", "int32", "int64"},
-    "int16": {"int32", "int64"},
-    "int32": {"int64"},
+    "int8": {"int16", "int32", "int64", "decimal"},
+    "int16": {"int32", "int64", "decimal"},
+    "int32": {"int64", "decimal"},
+    "int64": {"decimal"},
     "float32": {"float64"},
+    "timestamp[s]": {"timestamp[ms]", "timestamp[us]"},
+    "timestamp[ms]": {"timestamp[us]"},
     "list<int32>": {"list<int64>"},
     "list<float32>": {"list<float64>"},
 }
+
+# Verbs a CDC stream carries that do NOT change the row schema — the
+# DruidDdlParser C_INDEX/D_INDEX/DCL classifications (DruidDdlParser
+# .parse:22-160): the journal records them (audit trail) and replay
+# continues; halting on them would stall a real stream on every
+# CREATE INDEX.
+_NOOP_DDL_VERBS = {"create_index", "drop_index", "alter_index", "dcl"}
 
 
 def type_from_name(name: str) -> pa.DataType:
@@ -92,6 +110,8 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None
     the new unrelated column; compact + a fresh name instead.
     """
     op = ddl["op"]
+    if op in _NOOP_DDL_VERBS:
+        return schema  # journal-recorded no-op (index/DCL verbs)
     if op == "add_column":
         name = ddl["name"]
         if schema.get_field_index(name) != -1:

@@ -194,3 +194,90 @@ def test_multi_table_rename_column_keeps_values(ray_session, tmp_path):
     # the renamed column genuinely carries post-rename event values
     t0 = lake.read_table(table="lake.t0")
     assert t0["origin"].null_count < t0.num_rows
+
+
+def test_index_and_dcl_verbs_are_journaled_noops():
+    """CREATE/DROP INDEX and DCL verbs (DruidDdlParser C_INDEX/D_INDEX/
+    DCL) must not change the schema and must not halt journal replay."""
+    from clever_canal_ray.schema import LAKE_SCHEMA_V0, apply_ddl, lake_schema
+
+    s = apply_ddl(LAKE_SCHEMA_V0, {"op": "create_index", "name": "i1", "columns": ["source"]})
+    assert s == LAKE_SCHEMA_V0
+    s = apply_ddl(s, {"op": "drop_index", "name": "i1"})
+    assert s == LAKE_SCHEMA_V0
+    s = apply_ddl(s, {"op": "dcl", "sql": "GRANT SELECT ON lake.sequences TO ro"})
+    assert s == LAKE_SCHEMA_V0
+    # mixed journal: index verbs interleaved with real column DDLs
+    j = [
+        {"op": "create_index", "name": "i1", "columns": ["source"]},
+        {"op": "add_column", "name": "lang", "type": "string"},
+        {"op": "drop_index", "name": "i1"},
+        {"op": "widen_type", "name": "n_tok", "to": "int64"},
+    ]
+    out = lake_schema(j)
+    assert out.field("lang").type == pa.string()
+    assert out.field("n_tok").type == pa.int64()
+
+
+def test_decimal_and_timestamp_widenings():
+    """int64→decimal (unsigned-BIGINT promotion endpoint) and timestamp
+    unit widenings are legal; narrowing / cross-kind stays illegal."""
+    from clever_canal_ray.schema import (
+        LAKE_SCHEMA_V0,
+        SchemaEvolutionError,
+        apply_ddl,
+        upcast_table,
+    )
+
+    s = apply_ddl(LAKE_SCHEMA_V0, {"op": "widen_type", "name": "n_tok", "to": "int64"})
+    s = apply_ddl(s, {"op": "widen_type", "name": "n_tok", "to": "decimal"})
+    assert s.field("n_tok").type == pa.decimal128(38, 0)
+    s = apply_ddl(s, {"op": "add_column", "name": "seen_at", "type": "timestamp[s]"})
+    s = apply_ddl(s, {"op": "widen_type", "name": "seen_at", "to": "timestamp[ms]"})
+    assert s.field("seen_at").type == pa.timestamp("ms")
+    with pytest.raises(SchemaEvolutionError):
+        apply_ddl(s, {"op": "widen_type", "name": "seen_at", "to": "timestamp[s]"})
+    with pytest.raises(SchemaEvolutionError):
+        apply_ddl(s, {"op": "widen_type", "name": "source", "to": "decimal"})
+    # merge-on-read up-cast of a v0 file to the widened schema
+    old = pa.Table.from_pydict(
+        {"doc_id": ["a"], "tokens": [[1, 2]], "n_tok": [2], "source": ["web"]},
+        schema=LAKE_SCHEMA_V0,
+    )
+    up = upcast_table(old, s)
+    assert up["n_tok"].type == pa.decimal128(38, 0)
+    assert up["n_tok"].to_pylist()[0] == 2
+    assert up["seen_at"].null_count == 1
+
+
+def test_replay_green_through_index_verb(ray_session, tmp_path):
+    """A stream carrying a CREATE INDEX event replays end-to-end and
+    converges to the serial oracle (the verb must not stall replay)."""
+    from clever_canal_ray.fixtures.generator import (
+        EventLogSpec,
+        generate_events,
+        generate_lake,
+        write_fixture,
+    )
+    from clever_canal_ray.oracle import apply_events_serial
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+    from tests.util import assert_tables_equal
+
+    spec = EventLogSpec(
+        seed=31, n_initial_docs=80, n_events=900, n_segments=3,
+        include_before=False,
+        ddls=(
+            (0.3, {"op": "create_index", "name": "idx", "columns": ["source"]}),
+            (0.6, {"op": "add_column", "name": "lang", "type": "string"}),
+            (0.8, {"op": "drop_index", "name": "idx"}),
+        ),
+    )
+    info = write_fixture(spec, str(tmp_path / "fx"))
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    from clever_canal_ray.config import ReplayConfig
+
+    m = replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=2))
+    assert len(m.ddl_journal) == 3  # all three verbs journaled
+    segs, _ = generate_events(spec)
+    assert_tables_equal(lake.read_table(), apply_events_serial(generate_lake(spec), segs))

@@ -35,18 +35,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_live_rows": q.cdc_live_rows,
         "cdc_changelog_counts": q.cdc_changelog_counts,
         "cdc_position_bounds": q.cdc_position_bounds,
-        "cdc_txn_summary": q.cdc_txn_summary,
+        "cdc_txn_summary": q.cdc_txn_summary,  # A3/A4 + F7 suppression merged
         "cdc_filter_regex": q.cdc_filter_regex,
         "cdc_filter_list": q.cdc_filter_list,
         "cdc_projection_flat": q.cdc_projection_flat,
         "cdc_dedup_positions": q.cdc_dedup_positions,
         "cdc_kway_merge": q.cdc_kway_merge,
-        "cdc_empty_txn_suppress": q.cdc_empty_txn_suppress,
+        "cdc_xa": q.cdc_xa,  # XA branch commit/rollback framing
         # training-data ops (dedup / text / similarity)
         "dedup_exact_docs": q.dedup_exact_docs,
         "dedup_survivors": q.dedup_survivors,
-        "text_token_count": q.text_token_count,
-        "text_token_count_bpe": q.text_token_count_bpe,
+        "text_token_counts": q.text_token_counts,  # ws + BPE-ish, one gate
         "text_quality": q.text_quality,
         "text_fingerprint": q.text_fingerprint,
         "lang_id": q.lang_id,  # oracle: marker-overlap heuristic in SQL
@@ -80,8 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytic parity (aggregate / sort-limit / joins)
         "q1_pricing": q.q1_pricing,
         "top_orders_by_revenue": q.top_orders_by_revenue,
-        "customer_nation_counts": q.customer_nation_counts,
-        "distinct_part_types": q.distinct_part_types,
+        "analytic_dim_counts": q.analytic_dim_counts,  # broadcast join + distinct
     }
 
 
@@ -97,6 +95,32 @@ def oracle_sql() -> dict[str, str]:
                      END AS doc_id,
                      CAST(16 + event_id % 64 AS BIGINT) AS n_tok
               FROM events),
+            w AS (SELECT doc_id, op, n_tok,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY event_id DESC) AS rn
+                  FROM ev),
+            winners AS (SELECT doc_id, op, n_tok FROM w WHERE rn = 1),
+            base AS (SELECT printf('doc%012d', doc_id) AS doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                            source
+                     FROM documents)
+            SELECT b.doc_id, b.n_tok, b.source
+            FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM winners)
+            UNION ALL
+            SELECT doc_id, n_tok, 'cdc' AS source FROM winners WHERE op <> 'D'
+        """,
+        "cdc_xa": f"""
+            WITH ev AS (
+              SELECT event_id, {op_case} AS op,
+                     CASE WHEN event_type = 'signup'
+                          THEN printf('doc%012d', 1000000 + event_id)
+                          ELSE printf('doc%012d', (user_id*7919 + event_id*31) % (SELECT count(*) FROM documents))
+                     END AS doc_id,
+                     CAST(16 + event_id % 64 AS BIGINT) AS n_tok
+              FROM events
+              -- XA rule: events of rolled-back branches (xa_id %% 3 == 0,
+              -- where xa_id = event_id // 256 for events with
+              -- event_id %% 16 == 5) never apply
+              WHERE NOT (event_id % 16 = 5 AND (event_id // 256) % 3 = 0)),
             w AS (SELECT doc_id, op, n_tok,
                          row_number() OVER (PARTITION BY doc_id ORDER BY event_id DESC) AS rn
                   FROM ev),
@@ -192,9 +216,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id
         """,
-        "cdc_txn_summary": """
-            SELECT event_id // 16 AS txn_id, count(*) AS n_events, max(event_id) AS last_pos
-            FROM events GROUP BY 1
+        "cdc_txn_summary": f"""
+            WITH t AS (SELECT event_id, event_id // 16 AS txn_id, {op_case} AS op FROM events)
+            SELECT txn_id, count(*) AS n_events, max(event_id) AS last_pos,
+                   CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_row_events
+            FROM t GROUP BY txn_id
+            HAVING sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) > 0
         """,
         "cdc_filter_regex": """
             SELECT event_type, count(*) AS n FROM events
@@ -219,11 +246,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_kway_merge": """
             SELECT event_id, user_id, ts FROM events ORDER BY ts, event_id LIMIT 100
         """,
-        "cdc_empty_txn_suppress": """
-            SELECT event_id // 16 AS txn_id, count(*) AS n_rows
-            FROM events WHERE event_type NOT IN ('signup', 'error')
-            GROUP BY 1
-        """,
         "dedup_exact_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text
         """,
@@ -233,11 +255,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rn = 1
         """,
-        "text_token_count": """
-            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
-        """,
-        "text_token_count_bpe": r"""
-            SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_ws,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tok_bpe
             FROM documents
         """,
         "text_quality": f"""
@@ -511,12 +532,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_custkey
             ORDER BY rev_cents DESC, l_orderkey LIMIT 10
         """,
-        "customer_nation_counts": """
-            SELECT n_name, count(*) AS n_customers
+        "analytic_dim_counts": """
+            SELECT n_name, count(*) AS n_customers,
+                   (SELECT count(DISTINCT p_type) FROM part) AS n_part_types
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
-        """,
-        "distinct_part_types": """
-            SELECT p_type, count(*) AS n FROM part GROUP BY p_type
         """,
     }

@@ -584,8 +584,13 @@ def segment_plan_metadata(t: pa.Table) -> str:
     ]
     ack_i = int(np.argmax(np.where(commit, pos, -1))) if commit.any() else None
     ts = t["execute_ts"].to_numpy(zero_copy_only=False)
+    has_xa = bool(
+        ("xa_id" in t.column_names and t["xa_id"].null_count < len(t))
+        or np.isin(op, ["XC", "XR"]).any()
+    )
     return json.dumps(
         {
+            "has_xa": has_xa,  # forces the plan fallback scan (XA fixpoint)
             "n_events": len(t),
             "min_pos": [int(seg[0]), int(off[0])] if len(t) else None,
             "max_pos": [int(seg[-1]), int(off[-1])] if len(t) else None,

@@ -43,6 +43,13 @@ def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) ->
         (events["offset"].to_numpy(zero_copy_only=False), events["segment_id"].to_numpy(zero_copy_only=False))
     )
     cols = events.to_pylist()
+    # XA framing: a branch's events apply only if an op="XC" verdict
+    # exists for its xa_id (XA_ROLLBACK or missing verdict = discard;
+    # the engine's ack never passes an unresolved branch, and the full
+    # log is applied here, so "missing" == never committed)
+    xa_committed = {
+        ev["xa_id"] for ev in cols if ev["op"] == "XC" and ev.get("xa_id") is not None
+    }
     for i in order:
         ev = cols[i]
         op = ev["op"]
@@ -52,6 +59,10 @@ def apply_events_serial(lake_table: pa.Table, segment_tables: list[pa.Table]) ->
         if op == "T":  # TRUNCATE: wipe the table (EventType.TRUNCATE=8)
             state.clear()
             continue
+        if op in ("XC", "XR"):  # XA verdict control rows
+            continue
+        if ev.get("xa_id") is not None and ev["xa_id"] not in xa_committed:
+            continue  # rolled-back (or never-committed) XA branch event
         key = ev["doc_id"]
         if op == "D":
             state.pop(key, None)

@@ -25,7 +25,6 @@ from clever_canal_ray.functions.text import (
     fingerprints,
     quality_scores,
     token_counts,
-    token_counts_regex,
 )
 
 
@@ -273,19 +272,32 @@ def cdc_position_bounds(sf_dir: str):
 
 
 def cdc_txn_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Max
+    """A3/A4 per-txn summary + F7 empty-transaction suppression in ONE
+    gate (merged with the former cdc_empty_txn_suppress — the driver
+    caps correctness rows at 50): event count, last position, and
+    row-change ('U') count per txn; txns carrying NO row changes are
+    suppressed from the output (the EntryEventSink empty-txn filter)."""
+    from ray.data.aggregate import Count, Max, Sum
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"]).map_batches(
+        _with_op, batch_format="pandas"
+    )
 
     def add_txn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["txn_id"] = (df["event_id"] // 16).astype("int64")
-        return df
+        df["is_row"] = (df["op"] == "U").astype("int64")
+        return df[["txn_id", "event_id", "is_row"]]
 
     return (
         ds.map_batches(add_txn, batch_format="pandas")
         .groupby("txn_id")
-        .aggregate(Count(alias_name="n_events"), Max("event_id", alias_name="last_pos"))
+        .aggregate(
+            Count(alias_name="n_events"),
+            Max("event_id", alias_name="last_pos"),
+            Sum("is_row", alias_name="n_row_events"),
+        )
+        .filter(expr="n_row_events > 0")
     )
 
 
@@ -342,26 +354,96 @@ def cdc_kway_merge(sf_dir: str):
     return cdc_ops.kway_merge_head(shards, ts_col="ts", pos_col="event_id", head=100)
 
 
-def cdc_empty_txn_suppress(sf_dir: str):
-    """F7 analog: txns with no row-change ('U') events are suppressed."""
-    from ray.data.aggregate import Count
+def cdc_xa(sf_dir: str):
+    """XA distributed-transaction framing end-to-end (EventType
+    XA_COMMIT=13/XA_ROLLBACK=14, EntryProtocol.proto:26-59;
+    LogEventConvert.java:78-119): the flagship stream where every event
+    with event_id % 16 == 5 joins XA branch event_id // 256; branches
+    with xa_id % 3 == 0 ROLL BACK (their events must not apply), the
+    rest COMMIT. Verdict control rows follow the whole stream (binlog
+    order: XA PREPARE wrote the branch earlier); the stream is split
+    into two segment files so branch events arrive a micro-batch BEFORE
+    their verdicts — the ack-deferral path is exercised, then the
+    second batch applies/discards. Oracle: the cdc_upsert_lake SQL with
+    rolled-back branch events excluded."""
+    import shutil
+    import uuid
 
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"]).map_batches(
-        _with_op, batch_format="pandas"
-    )
+    import pyarrow.parquet as pq_
 
-    def add_txn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["txn_id"] = (df["event_id"] // 16).astype("int64")
-        return df
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.pipelines.flagship import derive_change_events, tokenize_documents
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.schema import LAKE_SCHEMA_V0, event_schema
+    from clever_canal_ray.state.manifest import Lake
 
-    per_txn = (
-        ds.map_batches(add_txn, batch_format="pandas")
-        .map_batches(lambda df: df[df["op"] == "U"], batch_format="pandas")
-        .groupby("txn_id")
-        .aggregate(Count(alias_name="n_rows"))
-    )
-    return per_txn
+    work = os.path.join("/tmp", f"ccr_xa_{uuid.uuid4().hex}")
+    os.makedirs(work)
+    try:
+        lake_tbl = tokenize_documents(sf_dir)
+        events = derive_change_events(sf_dir, lake_tbl.num_rows)
+        n = events.num_rows
+        eid = events["offset"].to_numpy() - 1
+        xa_mask = eid % 16 == 5
+        xa_obj = np.full(n, None, dtype=object)
+        xa_obj[xa_mask] = eid[xa_mask] // 256
+        sch = event_schema(LAKE_SCHEMA_V0, include_xa=True)
+        arrays = [
+            pa.array(xa_obj, pa.int64()) if f.name == "xa_id" else events[f.name]
+            for f in sch
+        ]
+        data = pa.Table.from_arrays(arrays, schema=sch)
+        branches = np.unique(eid[xa_mask] // 256)
+        k = len(branches)
+        base_off = int(events["offset"].to_numpy().max()) + 2
+        base_txn = int(events["txn_id"].to_numpy().max()) + 1
+        payload = pa.struct(list(LAKE_SCHEMA_V0))
+        verdicts = pa.Table.from_arrays(
+            [
+                pa.array(np.zeros(k, np.int32), pa.int32()),
+                pa.array(base_off + np.arange(k), pa.int64()),
+                pa.array(base_txn + np.arange(k), pa.int64()),
+                pa.array(np.zeros(k, np.int32), pa.int32()),
+                pa.array(np.ones(k, bool), pa.bool_()),
+                pa.array(np.full(k, 1_700_000_000_000, np.int64), pa.timestamp("ms")),
+                pa.array(
+                    ["XR" if int(b) % 3 == 0 else "XC" for b in branches], pa.string()
+                ),
+                pa.array(np.full(k, "lake.sequences", dtype=object), pa.string()),
+                pa.array(np.full(k, None, dtype=object), pa.string()),
+                pa.array(np.zeros(k, np.int32), pa.int32()),
+                pa.array(np.full(k, None, dtype=object), pa.string()),
+                pa.array(branches.astype(np.int64), pa.int64()),
+                pa.nulls(k, payload),
+                pa.nulls(k, payload),
+            ],
+            schema=sch,
+        )
+        full = pa.concat_tables([data, verdicts])
+        cut = (full.num_rows * 3) // 5
+        p0 = os.path.join(work, "segment-00000.parquet")
+        p1 = os.path.join(work, "segment-00001.parquet")
+        pq_.write_table(full.slice(0, cut), p0)
+        pq_.write_table(full.slice(cut), p1)
+        lake = Lake.create(os.path.join(work, "lake"), lake_tbl, num_partitions=8)
+        replay(
+            lake,
+            [p0, p1],
+            ReplayConfig(
+                num_partitions=8, sink_mode="delta", pipeline_depth=2, segments_per_batch=1
+            ),
+        )
+        lake.compact()
+        t = lake.read_table()
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_pylist(),
+                "n_tok": t["n_tok"].to_numpy(zero_copy_only=False).astype("int64"),
+                "source": t["source"].to_pylist(),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def asof_latest_order(sf_dir: str):
@@ -454,15 +536,22 @@ def dedup_survivors(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
-def text_token_count(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        token_counts, batch_format="pandas"
-    )
+def text_token_counts(sf_dir: str):
+    """Both tokenization operators in ONE gate (merged from
+    text_token_count + text_token_count_bpe — the driver caps
+    correctness rows at 50): whitespace and BPE-ish regex token counts
+    per document; the underlying operators stay separate
+    (text.token_counts / text.token_counts_regex)."""
+    from clever_canal_ray.functions.text import TOKEN_RE
 
+    def both(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        out["n_tok_ws"] = batch["text"].str.split(" ").str.len().astype("int64")
+        out["n_tok_bpe"] = batch["text"].str.findall(TOKEN_RE).str.len().astype("int64")
+        return out
 
-def text_token_count_bpe(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        token_counts_regex, batch_format="pandas"
+        both, batch_format="pandas"
     )
 
 
@@ -1003,13 +1092,19 @@ def top_orders_by_revenue(sf_dir: str):
     return out.astype({"l_orderkey": "int64", "rev_cents": "int64", "o_custkey": "int64"})
 
 
-def customer_nation_counts(sf_dir: str):
-    """Broadcast (map-side) join: nation is tiny -> ray.put + per-batch merge."""
+def analytic_dim_counts(sf_dir: str):
+    """Broadcast (map-side) join + global distinct aggregate in ONE
+    gate (merged from customer_nation_counts + distinct_part_types —
+    the driver caps correctness rows at 50): nation is tiny -> ray.put
+    + per-batch merge; the corpus-wide distinct part-type count rides
+    every row (the SQL mirror's scalar subquery)."""
+    import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Count
-    import pyarrow.parquet as pq
 
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
     ref = ray.put(nation)
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
@@ -1017,11 +1112,17 @@ def customer_nation_counts(sf_dir: str):
         return df.merge(n, left_on="c_nationkey", right_on="n_nationkey")[["n_name"]]
 
     cust = _read(sf_dir, "customer", columns=["c_nationkey"])
-    return cust.map_batches(join, batch_format="pandas").groupby("n_name").aggregate(Count(alias_name="n_customers"))
-
-
-def distinct_part_types(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    ds = _read(sf_dir, "part", columns=["p_type"])
-    return ds.groupby("p_type").aggregate(Count(alias_name="n"))
+    counts = (
+        cust.map_batches(join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    n_types = (
+        _read(sf_dir, "part", columns=["p_type"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+    counts["n_part_types"] = np.int64(n_types)
+    return counts

@@ -57,6 +57,12 @@ class BatchPlan:
     # TRUNCATE positions in (hwm, ack] (EventType.TRUNCATE=8 analog),
     # ascending; handled by replay_batch as whole-table resets
     truncates: list = field(default_factory=list)
+    # XA branch ids whose XA_COMMIT (op="XC") lies at/below the ack —
+    # their data events apply; rolled-back (op="XR") branch events are
+    # dropped in combine; UNRESOLVED branches never exist at/below the
+    # ack (plan_batch pulls the ack below the first unresolved XA event
+    # — the distributed-txn analog of the ack-at-txn-boundary rule)
+    xa_commits: tuple = ()
 
 
 def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
@@ -73,13 +79,15 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     if fast is not None:
         return fast
     dset = pds.dataset(segment_paths)
+    has_xa = "xa_id" in dset.schema.names
     flt = (pds.field("segment_id") > hwm[0]) | (
         (pds.field("segment_id") == hwm[0]) & (pds.field("offset") > hwm[1])
     )
     meta = dset.to_table(
         columns=[
             "segment_id", "offset", "txn_commit", "op", "ddl", "execute_ts", "txn_id", "table",
-        ],
+        ]
+        + (["xa_id"] if has_xa else []),
         filter=flt,
     )
     if meta.num_rows == 0:
@@ -97,6 +105,45 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     ack_pos = pos[ack_i]
 
     op = np.asarray(meta["op"].to_numpy(zero_copy_only=False), dtype=object)
+    xa_commits: tuple = ()
+    if has_xa:
+        # XA framing (XA_COMMIT=13/XA_ROLLBACK=14 analog): the ack may
+        # not pass a data event whose XA verdict lies ABOVE it — apply
+        # is irreversible, so unresolved branches defer like incomplete
+        # transactions. Fixpoint: lower the ack to the greatest txn
+        # boundary below the first unresolved XA event until every XA
+        # event at/below the ack is resolved at/below it.
+        xa_f = meta["xa_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xa_valid = ~np.isnan(xa_f)
+        is_verdict = (op == "XC") | (op == "XR")
+        data_xa = xa_valid & ~is_verdict
+        verdicts: dict[int, tuple[int, str]] = {}
+        for i in np.where(is_verdict & xa_valid)[0]:
+            b = int(xa_f[i])
+            if b not in verdicts or pos[i] < verdicts[b][0]:
+                verdicts[b] = (int(pos[i]), str(op[i]))
+        commit_pos_sorted = np.sort(pos[commit])
+        while True:
+            m = data_xa & (pos <= ack_pos)
+            unresolved = [
+                int(p)
+                for p, b in zip(pos[m], xa_f[m])
+                if int(b) not in verdicts or verdicts[int(b)][0] > ack_pos
+            ]
+            if not unresolved:
+                break
+            i = int(np.searchsorted(commit_pos_sorted, min(unresolved))) - 1
+            if i < 0:
+                return BatchPlan(
+                    ack=None, new_ddls=[], n_candidate_events=int(meta.num_rows),
+                    n_seen_events=int(meta.num_rows),
+                )
+            ack_pos = int(commit_pos_sorted[i])
+        ack = (int(ack_pos >> 40), int(ack_pos & ((1 << 40) - 1)))
+        xa_commits = tuple(
+            sorted(b for b, (p, k) in verdicts.items() if k == "XC" and p <= ack_pos)
+        )
+
     is_ddl = (op == "DDL") & (pos <= ack_pos)
     ddls = []
     if is_ddl.any():
@@ -123,6 +170,7 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         n_seen_events=int(meta.num_rows),
         truncates=truncates,
         max_txn_at_ack=max_txn,
+        xa_commits=xa_commits,
     )
 
 
@@ -137,6 +185,10 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
     for p in segment_paths:
         m = load_segment_plan(p)
         if m is None:
+            return None
+        if m.get("has_xa"):
+            # XA framing needs the verdict fixpoint over raw positions —
+            # sidecars only mark the presence; fall back to the scan
             return None
         metas.append(m)
         if m["ack"] is not None:
@@ -279,30 +331,41 @@ def _execute_batch(
                 or routing is not None
                 or isinstance(cfg.column_projection, dict)
             )
-            # PK-change streams carry new_doc_id. Every file's footer is
-            # checked (chained journals may mix schemas per journal): a
-            # batch whose files DISAGREE is rejected loudly — projecting
-            # new_doc_id over a file lacking it would error, and skipping
-            # it would silently drop rekey semantics.
+            # PK-change streams carry new_doc_id, XA streams carry
+            # xa_id. Every file's footer is checked (chained journals
+            # may mix schemas per journal): a batch whose files DISAGREE
+            # is rejected loudly — projecting an optional column over a
+            # file lacking it would error, and skipping it would
+            # silently drop rekey/XA semantics.
             import pyarrow.parquet as pq
 
-            has_rk = ["new_doc_id" in pq.read_schema(p).names for p in segment_paths]
-            need_rekey = any(has_rk)
-            if need_rekey and not all(has_rk):
-                raise ValueError(
-                    "mixed segment schemas in one micro-batch: some files carry "
-                    "new_doc_id and some don't — replay chained journals with "
-                    "uniform schemas (or align segments_per_batch to journal "
-                    f"boundaries); files={segment_paths}"
-                )
+            names = [set(pq.read_schema(p).names) for p in segment_paths]
+            need_rekey, need_xa = False, False
+            for col in ("new_doc_id", "xa_id"):
+                has = [col in ns for ns in names]
+                if any(has) and not all(has):
+                    raise ValueError(
+                        f"mixed segment schemas in one micro-batch: some files carry "
+                        f"{col!r} and some don't — replay chained journals with "
+                        "uniform schemas (or align segments_per_batch to journal "
+                        f"boundaries); files={segment_paths}"
+                    )
+                if col == "new_doc_id":
+                    need_rekey = all(has)
+                else:
+                    need_xa = all(has)
             columns = combine_read_columns(
-                need_table_col=need_table, need_txn=cfg.gtid_dedup, need_rekey=need_rekey
+                need_table_col=need_table,
+                need_txn=cfg.gtid_dedup,
+                need_rekey=need_rekey,
+                need_xa=need_xa,
             )
             ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
         else:
             ds = rd.read_parquet(segment_paths, filter=flt)
     combine = make_combine_fn(
-        cfg, target_payload, hwm, plan.ack, routing=routing, txn_hwm=txn_hwm
+        cfg, target_payload, hwm, plan.ack, routing=routing, txn_hwm=txn_hwm,
+        xa_commits=plan.xa_commits,
     )
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_factor > 1:
@@ -433,6 +496,7 @@ def replay_batch(
             ack=(t[0], t[1]),
             new_ddls=ddls_before,
             n_candidate_events=plan.n_candidate_events,
+            xa_commits=plan.xa_commits,
         )
         part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
         touched = _execute_batch(

@@ -332,7 +332,7 @@ EVENT_META_FIELDS = [
 ]
 
 
-def event_schema(payload: pa.Schema, include_rekey: bool = False) -> pa.Schema:
+def event_schema(payload: pa.Schema, include_rekey: bool = False, include_xa: bool = False) -> pa.Schema:
     """Event-log schema for a given lake payload schema version.
 
     ``before``/``after`` are struct columns over the payload fields
@@ -345,11 +345,22 @@ def event_schema(payload: pa.Schema, include_rekey: bool = False) -> pa.Schema:
     the OLD key and ``new_doc_id`` the NEW one; apply = delete(old) +
     upsert(new) — how a Canal client applies a PK-change row. Null on
     every other event.
+
+    ``include_xa`` adds the optional ``xa_id`` column — the
+    distributed-transaction branch id (EntryProtocol.proto:26-59
+    EventType XA_COMMIT=13/XA_ROLLBACK=14; LogEventConvert.java:78-119
+    XA dispatch). A data event with non-null ``xa_id`` belongs to that
+    XA branch and applies ONLY once an ``op="XC"`` (XA_COMMIT) control
+    row for the branch is seen; ``op="XR"`` (XA_ROLLBACK) discards the
+    branch. Binlog-order contract: the verdict row always FOLLOWS every
+    event of its branch (XA PREPARE wrote them earlier in the log).
     """
     payload_struct = pa.struct(list(payload))
     fields = [pa.field(n, t) for n, t in EVENT_META_FIELDS]
     if include_rekey:
         fields.append(pa.field("new_doc_id", pa.string()))
+    if include_xa:
+        fields.append(pa.field("xa_id", pa.int64()))
     fields.append(pa.field("before", payload_struct))
     fields.append(pa.field("after", payload_struct))
     return pa.schema(fields)

@@ -83,6 +83,7 @@ def make_combine_fn(
     ack: tuple[int, int],
     routing: dict[str, tuple[int, int]] | None = None,
     txn_hwm: int = -1,
+    xa_commits: tuple = (),
 ):
     """Build the map_batches body for one micro-batch (closure carries
     only small immutable config — broadcast once per task by Ray).
@@ -137,10 +138,26 @@ def make_combine_fn(
             # source's positions are dropped here (MysqlGtIdSet resume)
             keep &= batch["txn_id"].to_numpy(zero_copy_only=False) > txn_hwm
         op_col = batch["op"]
-        # control rows (DDL / TRUNCATE) never enter the data path —
-        # the driver consumes them from the plan (F9 isolation)
-        is_ctl = pc.is_in(op_col, value_set=pa.array(["DDL", "T"])).to_numpy(zero_copy_only=False)
+        # control rows (DDL / TRUNCATE / XA verdicts) never enter the
+        # data path — the driver consumes them from the plan (F9
+        # isolation; XA fixpoint in plan_batch)
+        is_ctl = pc.is_in(
+            op_col, value_set=pa.array(["DDL", "T", "XC", "XR"])
+        ).to_numpy(zero_copy_only=False)
         keep &= ~is_ctl
+        if "xa_id" in batch.column_names:
+            # XA branch events apply only when their branch COMMITTED at
+            # or below the ack (plan_batch guarantees no branch at/below
+            # the ack is unresolved — so "not committed" == rolled back)
+            xa_f = batch["xa_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+            is_xa = ~np.isnan(xa_f)
+            if is_xa.any():
+                ok = np.isin(
+                    xa_f[is_xa].astype(np.int64), np.asarray(xa_commits, dtype=np.int64)
+                )
+                drop = is_xa.copy()
+                drop[is_xa] = ~ok
+                keep &= ~drop
         if has_filters:
             m = filter_mask(batch, cfg)
             keep &= np.asarray(
@@ -301,6 +318,7 @@ def combine_read_columns(
     need_ts: bool = False,
     need_txn: bool = False,
     need_rekey: bool = False,
+    need_xa: bool = False,
 ) -> list[str]:
     cols = ["segment_id", "offset", "op", "doc_id", "after"]
     if need_table_col:
@@ -311,6 +329,8 @@ def combine_read_columns(
         cols.append("txn_id")
     if need_rekey:
         cols.append("new_doc_id")
+    if need_xa:
+        cols.append("xa_id")
     return cols
 
 

@@ -686,74 +686,16 @@ def _replay_serial(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
     return m
 
 
-def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
-    """Pipelined micro-batches (delta sink only).
-
-    The full plan chain (hwm_k -> ack_k, DDL epochs) is computed
-    upfront — footer-metadata fast when available — so up to
-    ``pipeline_depth`` batch pipelines execute CONCURRENTLY while
-    phase-2 commits stay strictly in batch order (the FIFO-ack rule,
+def _run_chain(lake: Lake, batches: list, cfg: ReplayConfig, start: Manifest) -> Manifest:
+    """Execute one planned chain of micro-batches: concurrent phase-1,
+    strictly in-order phase-2 commits (the FIFO-ack rule,
     MemoryMetaManager.java:236-247, is about commit order, not compute
-    order; phase-1 files are invisible until their commit). Groups
-    whose window holds no transaction boundary are merged into the
-    next group so no events are orphaned. Driver-side compaction after
-    the commits replaces the reducer-side auto-compact (which would
-    act on a stale file-list snapshot under concurrency).
-    """
-    import dataclasses
+    order; phase-1 files are invisible until their commit)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    base = lake.current()
-    if base.tables is None and cfg.num_partitions != base.num_partitions:
-        cfg = dataclasses.replace(cfg, num_partitions=base.num_partitions)
-    n = cfg.segments_per_batch
-
-    # --- upfront plan chain -------------------------------------------
-    batches: list[tuple[list[str], BatchPlan, tuple[int, int], list[dict], dict | None]] = []
-    hwm = base.hwm
-    journal = list(base.ddl_journal)
-    tm = base.tables  # multi-table: per-table journals evolve along the chain
-    i = 0
-    pending: list[str] = []
-    while i < len(paths):
-        group = pending + paths[max(0, i - 1) if not pending else i : i + n]
-        i += n
-        plan = plan_batch(group, hwm)
-        if plan.ack is None:
-            pending = group  # no txn boundary yet: widen the window
-            continue
-        if plan.truncates:
-            # a table-wide reset breaks the concurrent plan chain —
-            # rare control event; the serial path handles the cut
-            return _replay_serial(lake, paths, cfg)
-        if tm is not None and any(
-            e["ddl"]["op"] in ("create_table", "drop_table", "rename_table")
-            for e in plan.new_ddls
-        ):
-            # registry DDLs re-shape the pid space mid-chain (create
-            # needs next_base_pid from the committed manifest) — rare
-            # control events; serial path handles them
-            return _replay_serial(lake, paths, cfg)
-        tm_next = route_ddls(tm, plan.new_ddls) if tm is not None else None
-        batches.append((group, plan, hwm, list(journal), tm_next))
-        journal.extend(plan.new_ddls)
-        tm = tm_next
-        hwm = plan.ack
-        # carry every file that may hold events above the ack — a
-        # deferred txn tail can span several files
-        pending = _files_past_position(group, plan.ack)
-    # events past the final ack belong to an incomplete trailing
-    # transaction: they are deliberately NOT committable (ack-at-txn-
-    # boundary rule) and will be picked up when their commit arrives.
-
-    if not batches:
-        return base
-
-    part_files = {int(pid): info["files"] for pid, info in base.partitions.items()}
-    first_id = base.last_batch_id + 1
-
-    # --- concurrent phase-1, in-order phase-2 -------------------------
-    m = base
+    part_files = {int(pid): info["files"] for pid, info in start.partitions.items()}
+    first_id = start.last_batch_id + 1
+    m = start
     with ThreadPoolExecutor(max_workers=cfg.pipeline_depth) as ex:
         futures = [
             ex.submit(
@@ -768,7 +710,7 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
                 part_files,
                 True,  # force_pure_delta
                 tmk,
-                base.txn_hwm,
+                start.txn_hwm,
             )
             for k, (group, plan, h, j, tmk) in enumerate(batches)
         ]
@@ -788,6 +730,86 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
             )
             if cfg.after_commit is not None:
                 cfg.after_commit(m)
+    return m
+
+
+def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manifest:
+    """Pipelined micro-batches (delta sink only).
+
+    The plan chain (hwm_k -> ack_k, DDL epochs) is computed upfront —
+    footer-metadata fast when available — so up to ``pipeline_depth``
+    batch pipelines execute CONCURRENTLY while phase-2 commits stay
+    strictly in batch order. Groups whose window holds no transaction
+    boundary are merged into the next group so no events are orphaned.
+
+    CONTROL EVENTS (TRUNCATE, registry DDLs like create/drop/rename_
+    table) cannot ride a concurrent chain — a truncate cuts the window
+    and a create_table needs next_base_pid from the COMMITTED manifest.
+    Instead of collapsing the whole replay to serial (one create_table
+    in a 10^10-event stream would serialize everything), the chain is
+    SPLIT at the control group: batches before it run pipelined, the
+    control group itself runs through the serial ``replay_batch``
+    semantics, then planning resumes pipelined from the refreshed
+    manifest — each SIDE of a control event keeps full overlap.
+
+    Driver-side compaction after the commits replaces the reducer-side
+    auto-compact (which would act on a stale file-list snapshot under
+    concurrency).
+    """
+    import dataclasses
+
+    base = lake.current()
+    if base.tables is None and cfg.num_partitions != base.num_partitions:
+        cfg = dataclasses.replace(cfg, num_partitions=base.num_partitions)
+    n = cfg.segments_per_batch
+
+    m = base
+    i = 0
+    pending: list[str] = []
+    while i < len(paths):
+        # --- plan one chain segment: up to a control event or the end
+        batches: list[tuple[list[str], BatchPlan, tuple[int, int], list[dict], dict | None]] = []
+        hwm = m.hwm
+        journal = list(m.ddl_journal)
+        tm = m.tables  # multi-table: per-table journals evolve along the chain
+        control_group: list[str] | None = None
+        while i < len(paths):
+            group = pending + paths[max(0, i - 1) if not pending else i : i + n]
+            i += n
+            plan = plan_batch(group, hwm)
+            if plan.ack is None:
+                pending = group  # no txn boundary yet: widen the window
+                continue
+            if plan.truncates or (
+                tm is not None
+                and any(
+                    e["ddl"]["op"] in ("create_table", "drop_table", "rename_table")
+                    for e in plan.new_ddls
+                )
+            ):
+                control_group = group
+                break
+            tm_next = route_ddls(tm, plan.new_ddls) if tm is not None else None
+            batches.append((group, plan, hwm, list(journal), tm_next))
+            journal.extend(plan.new_ddls)
+            tm = tm_next
+            hwm = plan.ack
+            # carry every file that may hold events above the ack — a
+            # deferred txn tail can span several files
+            pending = _files_past_position(group, plan.ack)
+        # events past the final ack belong to an incomplete trailing
+        # transaction: they are deliberately NOT committable (ack-at-
+        # txn-boundary rule) and are picked up when their commit arrives.
+
+        if batches:
+            m = _run_chain(lake, batches, cfg, m)
+        if control_group is not None:
+            # serial cut: replay_batch applies the window up to (and
+            # through) the control event(s), committing via the same
+            # two-phase manifest path; recursion inside replay_batch
+            # drains the rest of the group
+            m = replay_batch(lake, control_group, cfg)
+            pending = _files_past_position(control_group, m.hwm)
 
     # driver-side compaction for partitions past the threshold
     over = [int(p) for p, info in m.partitions.items() if len(info["files"]) > cfg.compact_threshold]

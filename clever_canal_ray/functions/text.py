@@ -164,6 +164,49 @@ def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+class Tokenize:
+    """Actor-pool tokenization stage with a REAL-tokenizer pass-through.
+
+    ``tokenizer_factory``: optional callable returning a tokenizer —
+    itself a callable ``list[str] -> list[list[int]]`` (e.g. a
+    HuggingFace ``AutoTokenizer`` wrapper: ``lambda texts:
+    tok(texts)["input_ids"]``) — loaded ONCE per actor in ``__init__``
+    (the model-load pattern; never per batch, never shipped per task).
+    Without it, the dependency-free default applies the BPE-ish
+    ``TOKEN_RE`` regex and hashes each piece into ``vocab`` — a
+    deterministic stand-in with the same output layout
+    (doc_id, tokens:list<int32>, n_tokens).
+
+    Use with ``ds.map_batches(Tokenize, fn_constructor_kwargs={...},
+    concurrency=N, batch_size=B)``.
+    """
+
+    def __init__(self, tokenizer_factory=None, vocab: int = 50257):
+        self.tokenizer = tokenizer_factory() if tokenizer_factory is not None else None
+        self.vocab = vocab
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        out = batch[["doc_id"]].copy()
+        if self.tokenizer is not None:
+            ids = self.tokenizer(list(batch["text"]))
+            out["tokens"] = [np.asarray(t, dtype=np.int32) for t in ids]
+            out["n_tokens"] = np.array([len(t) for t in ids], dtype=np.int64)
+            return out
+        pieces = batch["text"].str.findall(TOKEN_RE)
+        counts = pieces.str.len().fillna(0).astype(np.int64).to_numpy()
+        fl = pieces.explode().dropna()
+        if len(fl):
+            h = (
+                pd.util.hash_array(fl.to_numpy(), categorize=False) % np.uint64(self.vocab)
+            ).astype(np.int32)
+        else:
+            h = np.array([], dtype=np.int32)
+        out["tokens"] = np.split(h, np.cumsum(counts)[:-1]) if len(counts) else []
+        out["n_tokens"] = counts
+        return out
+
+
 # --- language ID (n-gram/function-word heuristic, rows-only check) -------
 
 _LANG_MARKERS = {

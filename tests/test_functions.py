@@ -402,3 +402,41 @@ def test_embedding_dup_pairs_triangle_join_exact(ray_session, monkeypatch):
     want_cs = {(int(a), int(b)): round(float(sims[a, b]), 4) for a, b in want}
     for a, b, cs in zip(got["a"], got["b"], got["cos_sim"]):
         assert want_cs[(int(a), int(b))] == cs
+
+
+def test_tokenize_stage_default_and_passthrough(ray_session):
+    """Tokenize actor stage: default regex-hash path is deterministic
+    with the lake payload layout; a real tokenizer callable loads once
+    in __init__ and replaces it (import-gated pattern)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.text import Tokenize
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hello, world", "a b", ""]})
+    out = Tokenize()(df)
+    assert out["n_tokens"].tolist() == [3, 2, 0]  # hello , world | a b |
+    out2 = Tokenize()(df)
+    assert [t.tolist() for t in out["tokens"]] == [t.tolist() for t in out2["tokens"]]
+    assert all(t.dtype == np.int32 for t in out["tokens"])
+
+    loads = []
+
+    def factory():
+        loads.append(1)  # once per actor, not per batch
+        return lambda texts: [[7] * len(t.split()) for t in texts]
+
+    stage = Tokenize(tokenizer_factory=factory)
+    a = stage(df)
+    b = stage(df)
+    assert loads == [1]
+    assert a["n_tokens"].tolist() == [2, 2, 0]
+    assert [t.tolist() for t in a["tokens"]][0] == [7, 7]
+    # through the actor-pool map_batches path
+    ds = rd.from_pandas(df)
+    got = ds.map_batches(
+        Tokenize, fn_constructor_kwargs={"vocab": 101}, batch_format="pandas", concurrency=1
+    ).to_pandas()
+    assert got["n_tokens"].tolist() == [3, 2, 0]
+    assert max((max(t) for t in got["tokens"] if len(t)), default=0) < 101

@@ -298,3 +298,41 @@ def mq_partition(ds, pk_col: str, num_partitions: int, out_col: str = "mq_partit
         return df
 
     return ds.map_batches(route, batch_format="pandas")
+
+
+def mq_topic(ds, table_col: str, rules, default_topic: str, out_col: str = "mq_topic"):
+    """MQ TOPIC routing (MQMessageUtils.messageTopics / matchTopics
+    analog: canal's ``dynamicTopic`` maps ``schema.table`` names to MQ
+    topics through an ordered ``topic:regex`` rule list; the first
+    matching rule wins, unmatched tables fall through to the static
+    default topic).
+
+    ``rules``: ordered ``[(topic, regex_str), ...]`` — each regex is
+    ``^…$``-anchored like the table filters (AviaterRegexFilter
+    semantics). Vectorized: one RE2 ``match_substring_regex`` pass per
+    rule over the (low-cardinality, dictionary-friendly) table column;
+    no shuffle — the downstream writer groups by ``(out_col,
+    mq_partition)``. Compose with ``mq_partition`` for the full
+    topic+partition fan-out.
+    """
+    from clever_canal_ray.stages.combine import _anchor_regex
+
+    compiled = [(topic, _anchor_regex(rx).pattern) for topic, rx in rules]
+
+    def route(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        out = np.full(n, default_topic, dtype=object)
+        unassigned = np.ones(n, dtype=bool)
+        tbl = t[table_col]
+        for topic, pattern in compiled:
+            if not unassigned.any():
+                break
+            m = pc.match_substring_regex(tbl, pattern).to_numpy(zero_copy_only=False)
+            hit = unassigned & np.asarray(m, dtype=bool)
+            out[hit] = topic
+            unassigned &= ~hit
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(route, batch_format="pyarrow")

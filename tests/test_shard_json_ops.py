@@ -162,3 +162,33 @@ def test_span_dedup_serial_oracle(ray_session):
             seen.setdefault(span, (i, j))
             want.append([i, j, kept])
     assert out[["doc_id", "span_idx", "kept"]].values.tolist() == want
+
+
+def test_mq_topic_routing_first_match_wins(ray_session):
+    """dynamicTopic analog: ordered topic:regex rules, first match wins,
+    default topic for unmatched tables (MQMessageUtils.matchTopics)."""
+    from clever_canal_ray.functions.cdc_ops import mq_topic
+
+    df = pd.DataFrame(
+        {
+            "table": [
+                "shop.orders", "shop.users", "logs.clicks", "logs.errors",
+                "misc.other", "shop.orders_archive",
+            ]
+        }
+    )
+    rules = [
+        ("t_orders", r"shop\.orders"),          # exact: must NOT catch orders_archive
+        ("t_shop", r"shop\..*"),
+        ("t_logs", r"logs\.clicks,logs\.errors"),  # comma alternation form
+    ]
+    out = mq_topic(_ds(df), "table", rules, default_topic="t_default").to_pandas()
+    got = dict(zip(out["table"], out["mq_topic"]))
+    assert got == {
+        "shop.orders": "t_orders",
+        "shop.users": "t_shop",
+        "shop.orders_archive": "t_shop",
+        "logs.clicks": "t_logs",
+        "logs.errors": "t_logs",
+        "misc.other": "t_default",
+    }

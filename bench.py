@@ -43,7 +43,7 @@ BENCH_SEED = 42
 N_EVENTS = int(os.environ.get("CCR_BENCH_EVENTS", str(16_000_000)))
 N_INITIAL = N_EVENTS // 10
 N_SEGMENTS = max(1, N_EVENTS // 500_000)
-NUM_PARTITIONS = 64
+NUM_PARTITIONS = int(os.environ.get("CCR_BENCH_PARTITIONS", "64"))
 # 4 micro-batches at ANY event count (pipeline shape held constant so
 # weak-scaling legs with different N_EVENTS see the same batch count /
 # fixed-cost structure); default 16M -> 32 segments -> 8 per batch
@@ -106,7 +106,7 @@ def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float
         cfg = ReplayConfig(
             num_partitions=NUM_PARTITIONS,
             segments_per_batch=SEGMENTS_PER_BATCH,
-            batch_size=131_072,
+            batch_size=int(os.environ.get("CCR_COMBINE_BATCH", "131072")),
             sink_mode=sink_mode,
             pipeline_depth=PIPELINE_DEPTH if sink_mode == "delta" else 1,
         )

@@ -613,7 +613,7 @@ def follow(
     """
     import time as _time
 
-    from clever_canal_ray.sources.segments import SegmentQueue
+    from clever_canal_ray.sources.segments import SegmentQueue, settled_prefix
 
     cfg = cfg or ReplayConfig()
     q = SegmentQueue([journal_dirs] if isinstance(journal_dirs, str) else list(journal_dirs))
@@ -621,7 +621,9 @@ def follow(
     rounds = 0
     idle = 0
     while True:
-        pending = q.pending(hwm_segment_id=m.hwm[0])
+        # consume only the settled prefix: a segment observed mid-write
+        # is deferred (with everything after it) to the next poll
+        pending = settled_prefix(q.pending(hwm_segment_id=m.hwm[0]))
         if pending:
             m2 = replay(lake, pending, cfg)
             if m2.version != m.version:

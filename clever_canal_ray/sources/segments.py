@@ -58,6 +58,29 @@ def load_segment_plan(path: str) -> dict | None:
     return None
 
 
+def settled_prefix(paths: list[str]) -> list[str]:
+    """Longest prefix of ``paths`` whose parquet footers are complete.
+
+    A tail-follow poll can observe a segment mid-write (the publisher's
+    ``write_table`` is not atomic). Reading a truncated file would crash
+    the replay, and skipping *just* that file would break position
+    ordering if a later segment is already complete — so consumption
+    stops at the first unsettled file and retries it next poll. This is
+    the binlog tailer's wait-for-flushed-bytes rule
+    (LocalBinLogConnection.java:75-120 tail-wait analog).
+    """
+    import pyarrow.parquet as pq
+
+    out: list[str] = []
+    for p in paths:
+        try:
+            pq.read_metadata(p)
+        except Exception:
+            break
+        out.append(p)
+    return out
+
+
 def find_start_position(paths_or_dirs, ts_ms: int) -> tuple[int, int]:
     """Timestamp-positioned start (MysqlEventParser
     .findStartPositionInternal:466-547 rewind-by-timestamp analog):

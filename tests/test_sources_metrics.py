@@ -144,6 +144,29 @@ def test_before_commit_abort_blocks_batch(ray_session, fx, tmp_path):
     assert_tables_equal(lake.read_table(), lake_tbl)
 
 
+def test_settled_prefix_stops_at_inflight_file(fx, tmp_path):
+    """A half-written segment (truncated footer) halts consumption at
+    that file — later complete segments are deferred too, preserving
+    position order across the retry."""
+    from clever_canal_ray.sources.segments import settled_prefix
+
+    spec, segs, _, _ = fx
+    d = str(tmp_path / "j")
+    os.makedirs(d)
+    paths = []
+    for i, s in enumerate(segs[:3]):
+        p = os.path.join(d, f"segment-{i:05d}.parquet")
+        pq.write_table(s, p)
+        paths.append(p)
+    # truncate the MIDDLE file to simulate an in-flight write
+    with open(paths[1], "r+b") as f:
+        f.truncate(os.path.getsize(paths[1]) // 2)
+    assert settled_prefix(paths) == paths[:1]
+    # once the writer finishes, the whole list settles
+    pq.write_table(segs[1], paths[1])
+    assert settled_prefix(paths) == paths
+
+
 def test_follow_tail_mode(ray_session, fx, tmp_path):
     """Tail-follow: segments appearing between polls are picked up;
     stops when idle (LocalBinLogConnection tail-wait analog)."""

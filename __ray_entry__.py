@@ -46,8 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q.dedup_exact_docs,
         "dedup_survivors": q.dedup_survivors,
         "text_token_counts": q.text_token_counts,  # ws + BPE-ish, one gate
-        "text_quality": q.text_quality,
-        "text_fingerprint": q.text_fingerprint,
+        "text_quality": q.text_quality,  # quality heuristics + md5 fingerprint, merged
         "lang_id": q.lang_id,  # oracle: marker-overlap heuristic in SQL
         "minhash_pairs": q.minhash_pairs,  # rows-only (LSH banding)
         "minhash_verified": q.minhash_verified,  # oracle: exact all-pairs jaccard
@@ -62,17 +61,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q.embedding_dups,
         "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN
         "events_windowed": q.events_windowed,  # oracle: tumbling windows in SQL
+        "events_hopping": q.events_hopping,  # oracle: generate_series window explode
+        "events_sessionized": q.events_sessionized,  # oracle: lag/gap window functions
         # corpus-level stats / training-set assembly
         "text_repetition": q.text_repetition,  # Gopher repetition filters
         "corpus_decontaminate": q.corpus_decontaminate,  # eval-set n-gram overlap
-        "corpus_mix_sample": q.corpus_mix_sample,  # domain mixing weights
+        "corpus_samples": q.corpus_samples,  # hash + domain-mix sampling, merged
         "corpus_shard_assign": q.corpus_shard_assign,  # distributed row_number
         "corpus_span_dedup": q.corpus_span_dedup,  # C4-style span dedup
         "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
         "cdc_mq_routing": q.cdc_mq_routing,  # pk-hash MQ partition routing
         "cdc_payload_mask": q.cdc_payload_mask,  # PII-style payload scrub
         "corpus_token_histogram": q.corpus_token_histogram,
-        "corpus_hash_sample": q.corpus_hash_sample,
         "corpus_topk_per_source": q.corpus_topk_per_source,
         "corpus_token_quantiles": q.corpus_token_quantiles,
         "corpus_pack_sequences": q.corpus_pack_sequences,
@@ -271,11 +271,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) >= 100 AND length(text) <= 2000
                         AND round(CAST(len(list_filter(string_split(text, ' '),
                                                        x -> list_contains({STOPLIST_SQL}, x))) AS DOUBLE)
-                                  / len(string_split(text, ' ')), 6) > 0.02 AS INTEGER) AS is_quality
+                                  / len(string_split(text, ' ')), 6) > 0.02 AS INTEGER) AS is_quality,
+                   md5(lower(text)) AS fp
             FROM documents
-        """,
-        "text_fingerprint": """
-            SELECT doc_id, md5(lower(text)) AS fp FROM documents
         """,
         "lang_id": r"""
             WITH d AS (SELECT doc_id, lower(substr(text,1,500)) AS head,
@@ -392,6 +390,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_cents
             FROM events GROUP BY 1, 2
         """,
+        "events_hopping": """
+            WITH e AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS tms, event_type,
+                              CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+                       FROM events),
+            w AS (SELECT e.*, unnest(generate_series(
+                      (tms // 900000) * 900000 - 2700000,
+                      (tms // 900000) * 900000,
+                      900000)) AS window_start
+                  FROM e)
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(vc) AS BIGINT) AS sum_val_cents
+            FROM w GROUP BY 1, 2
+        """,
+        "events_sessionized": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+                            - CAST(epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS BIGINT)
+                          > 3600000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+                  FROM x)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
         "text_repetition": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
             bg AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
@@ -429,8 +456,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
             FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 97 <> 0
         """,
-        "corpus_mix_sample": """
-            SELECT doc_id, source FROM documents
+        "corpus_samples": """
+            SELECT doc_id, source, 'hash' AS sampler FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
+            UNION ALL
+            SELECT doc_id, source, 'mix' AS sampler FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || source) % 1000
                   < 100 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200
         """,
@@ -480,10 +510,6 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
             c AS (SELECT word, count(*) AS n FROM w GROUP BY word)
             SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100
-        """,
-        "corpus_hash_sample": """
-            SELECT doc_id, source FROM documents
-            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0
         """,
         "corpus_topk_per_source": """
             SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars

@@ -91,6 +91,113 @@ def asof_join(
     )
 
 
+def session_windows(ds, key_col: str, ts_col: str, gap_ms: int):
+    """Gap-based sessionization: a key's events sorted by event time are
+    cut into sessions wherever the gap to the previous event exceeds
+    ``gap_ms``. Returns one row per (key, session): ``session_id``
+    (0-based per key), ``session_start``, ``session_end``, ``n_events``.
+
+    Scale design: ONE bucketed hash shuffle on the key (a key's events
+    land in one bucket group), then a fully vectorized per-bucket pass —
+    sort by (key, ts), diff, cumsum of break flags, groupby agg. No
+    driver materialization; skew is bounded by the bucket granularity.
+    Partitioning assumption (documented, same as asof_join): one key's
+    events fit a bucket group.
+
+    Determinism under ts ties: equal timestamps can never exceed the
+    gap, so session membership and (start, end, count) are independent
+    of tie order.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col, ts_col]].copy()
+        out[ts_col] = pd.to_datetime(out[ts_col])
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=[key_col, "session_id", "session_start", "session_end", "n_events"]
+            )
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        ts = g[ts_col].astype("datetime64[ms]").astype("int64").to_numpy()
+        key = g[key_col].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        brk = np.empty(len(g), dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = ((ts[1:] - ts[:-1]) > gap_ms) & ~new_key[1:]
+        # session_id restarts at 0 per key: global cumsum of (new_key|brk)
+        # minus the value at the key's first row
+        sid_global = np.cumsum(new_key | (brk > 0))
+        first_of_key = np.where(new_key)[0]
+        key_base = sid_global[first_of_key]
+        sid = sid_global - np.repeat(key_base, np.diff(np.append(first_of_key, len(g))))
+        g = g.assign(session_id=sid)
+        return (
+            g.groupby([key_col, "session_id"], sort=False)
+            .agg(
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+                n_events=(ts_col, "size"),
+            )
+            .reset_index()
+        )
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    return bucketed_groupby(ds, [key_col], partial, per_bucket, num_buckets=32)
+
+
+def hopping_window_agg(
+    ds, ts_col: str, window_ms: int, hop_ms: int, group_cols: list[str], agg_map: dict
+):
+    """Hopping (sliding) window aggregate: windows of ``window_ms``
+    advancing every ``hop_ms`` (``hop_ms == window_ms`` degenerates to
+    tumbling). Each event contributes to ``window_ms / hop_ms`` windows;
+    the explode is vectorized per batch (np.repeat + tiled offsets), the
+    merge is the same partial→bucketed-final shape as tumbling — the
+    shuffle moves per-window PARTIALS, never the exploded events.
+
+    ``window_ms`` must be a multiple of ``hop_ms``.
+    """
+    if window_ms % hop_ms:
+        raise ValueError("window_ms must be a multiple of hop_ms")
+    k = window_ms // hop_ms
+
+    specs = {
+        out: (src, "size" if how == "count" else how) for out, (src, how) in agg_map.items()
+    }
+    merge_how = {
+        out: ("sum" if how in ("count", "sum") else how) for out, (_, how) in agg_map.items()
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ts = pd.to_datetime(df[ts_col]).astype("datetime64[ms]").astype("int64").to_numpy()
+        # windows containing ts: starts floor(ts/hop)*hop - j*hop for j in [0,k)
+        # with start > ts - window (i.e. ts < start + window)
+        base = (ts // hop_ms) * hop_ms
+        idx = np.repeat(np.arange(len(df)), k)
+        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_ms, len(df))
+        keep = starts > np.repeat(ts, k) - window_ms
+        rep = df.iloc[idx[keep]].copy()
+        rep["window_start"] = starts[keep]
+        keys = ["window_start"] + group_cols
+        return rep.groupby(keys, sort=False).agg(**specs).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["window_start"] + group_cols
+        return g.groupby(keys, sort=False).agg(
+            **{out: (out, merge_how[out]) for out in agg_map}
+        ).reset_index()
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    return bucketed_groupby(ds, ["window_start"] + group_cols, partial, final, num_buckets=16)
+
+
 def tumbling_window_agg(ds, ts_col: str, window_ms: int, group_cols: list[str], agg_map: dict):
     """Tumbling-window aggregate: floor(ts / window) windows per group.
     Partial per-batch pandas agg, ONE small groupby on

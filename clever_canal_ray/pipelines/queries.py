@@ -511,6 +511,50 @@ def events_windowed(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1h windows every 15min): each event in
+    4 windows; partials explode and merge bucketed, events never
+    shuffle."""
+    from clever_canal_ray.functions.joins import hopping_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["val_cents"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        return df
+
+    out = hopping_window_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ts_col="ts",
+        window_ms=3_600_000,
+        hop_ms=900_000,
+        group_cols=["event_type"],
+        agg_map={"n_events": ("val_cents", "count"), "sum_val_cents": ("val_cents", "sum")},
+    )
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype(
+            {"window_start": "int64", "n_events": "int64", "sum_val_cents": "int64"}
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
+def events_sessionized(sf_dir: str):
+    """Gap-based sessionization per user (1h inactivity gap): session
+    bounds + event counts; one bucketed shuffle on the key."""
+    from clever_canal_ray.functions.joins import session_windows
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_windows(ds, key_col="user_id", ts_col="ts", gap_ms=3_600_000)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 # --- training-data ops over `documents` / `embeddings` -------------------
 
 
@@ -556,14 +600,17 @@ def text_token_counts(sf_dir: str):
 
 
 def text_quality(sf_dir: str):
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        quality_scores, batch_format="pandas"
-    )
+    """Quality heuristics + md5 fingerprint, one merged gate (driver
+    caps at 50 rows): both are per-doc map_batches over the same read,
+    so the merge shares the scan."""
 
+    def both(batch: pd.DataFrame) -> pd.DataFrame:
+        out = quality_scores(batch)
+        out["fp"] = fingerprints(batch)["fp"].to_numpy()
+        return out
 
-def text_fingerprint(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        fingerprints, batch_format="pandas"
+        both, batch_format="pandas"
     )
 
 
@@ -769,18 +816,6 @@ def corpus_token_histogram(sf_dir: str):
     return token_histogram(ds, top_n=100)
 
 
-def corpus_hash_sample(sf_dir: str):
-    """Deterministic 1-in-20 hash sample (md5_number_lower % 20 == 0):
-    reproducible across engines and cluster sizes, zero shuffle."""
-    from clever_canal_ray.functions.corpus import hash_sample
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    out = hash_sample(ds, id_col="doc_id", denom=20, mirror=True)
-    return out.map_batches(
-        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
-    )
-
-
 def corpus_topk_per_source(sf_dir: str):
     """Group-wise top-k: the 5 longest documents per source
     (n_chars desc, doc_id asc)."""
@@ -877,15 +912,26 @@ def corpus_decontaminate(sf_dir: str):
 MIX_RATES = {f"src{n}": 100 + (n % 5) * 200 for n in range(64)}
 
 
-def corpus_mix_sample(sf_dir: str):
-    """Stratified per-source sampling (domain mixing weights): each
-    source keeps a deterministic hash-chosen fraction of its docs."""
-    from clever_canal_ray.functions.corpus import stratified_sample
+def corpus_samples(sf_dir: str):
+    """Hash sampling (1-in-20, md5-mirror) + stratified per-source
+    sampling (domain mixing weights), one merged gate tagged by
+    ``sampler`` — both deterministic filters, zero shuffle."""
+    from clever_canal_ray.functions.corpus import hash_sample, stratified_sample
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    out = stratified_sample(ds, MIX_RATES, source_col="source", id_col="doc_id", mirror=True)
-    return out.map_batches(
-        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
+    h = hash_sample(ds, id_col="doc_id", denom=20, mirror=True)
+    m = stratified_sample(ds, MIX_RATES, source_col="source", id_col="doc_id", mirror=True)
+
+    def tag(name):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.astype({"doc_id": "int64"})
+            df["sampler"] = name
+            return df
+
+        return fn
+
+    return h.map_batches(tag("hash"), batch_format="pandas").union(
+        m.map_batches(tag("mix"), batch_format="pandas")
     )
 
 

@@ -440,3 +440,90 @@ def test_tokenize_stage_default_and_passthrough(ray_session):
     ).to_pandas()
     assert got["n_tokens"].tolist() == [3, 2, 0]
     assert max((max(t) for t in got["tokens"] if len(t)), default=0) < 101
+
+
+def test_session_windows_gap_and_ties(ray_session):
+    """Sessionization: gaps > gap_ms cut sessions; equal timestamps
+    never cut; sessions split across input blocks still merge (the
+    bucketed shuffle brings a key's events together)."""
+    import ray
+
+    from clever_canal_ray.functions.joins import session_windows
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: three events close together, then a 2h gap, then two more
+    for off_min in (0, 10, 10, 130, 140):  # includes an exact tie at 10
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=off_min)})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": base})
+    df = pd.DataFrame(rows)
+    # two blocks splitting user 1's first session across inputs
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:]])
+    out = (
+        session_windows(ds, key_col="user_id", ts_col="ts", gap_ms=3_600_000)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [0, 1, 0]
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out.loc[0, "session_start"] == base
+    assert out.loc[0, "session_end"] == base + pd.Timedelta(minutes=10)
+    assert out.loc[1, "session_start"] == base + pd.Timedelta(minutes=130)
+
+
+def test_hopping_window_reduces_to_tumbling(ray_session):
+    """hop == window must equal the tumbling aggregate exactly."""
+    import ray
+
+    from clever_canal_ray.functions.joins import hopping_window_agg, tumbling_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-03-01") + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+            "grp": rng.choice(["a", "b"], n),
+            "v": rng.integers(0, 100, n),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    agg = {"n": ("v", "count"), "s": ("v", "sum")}
+    hop = (
+        hopping_window_agg(ds, "ts", 3_600_000, 3_600_000, ["grp"], agg)
+        .to_pandas()
+        .sort_values(["window_start", "grp"])
+        .reset_index(drop=True)
+    )
+    tum = (
+        tumbling_window_agg(ds, "ts", 3_600_000, ["grp"], agg)
+        .to_pandas()
+        .sort_values(["window_start", "grp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hop[["window_start", "grp", "n", "s"]], tum[["window_start", "grp", "n", "s"]], check_dtype=False)
+
+
+def test_hopping_window_membership(ray_session):
+    """Every event lands in exactly window/hop hopping windows, each of
+    which contains its timestamp."""
+    import ray
+
+    from clever_canal_ray.functions.joins import hopping_window_agg
+
+    t0 = pd.Timestamp("2024-03-01 00:37:00")
+    df = pd.DataFrame({"ts": [t0], "grp": ["a"], "v": [1]})
+    out = (
+        hopping_window_agg(
+            ray.data.from_pandas(df), "ts", 3_600_000, 900_000, ["grp"],
+            {"n": ("v", "count")},
+        )
+        .to_pandas()
+        .sort_values("window_start")
+    )
+    assert len(out) == 4
+    tms = int(t0.value // 1_000_000)
+    for ws in out["window_start"]:
+        assert ws <= tms < ws + 3_600_000

@@ -234,3 +234,30 @@ def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_p
 
     candidates = ds.map_batches(in_probe_cells, batch_format="pandas")
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def random_projection(ds, dim_out: int, seed: int = 0, emb_col: str = "embedding"):
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    embedding column through a seeded Gaussian matrix, scaled by
+    1/sqrt(dim_out) so expected pairwise inner products are preserved.
+
+    The projection matrix is broadcast ONCE via ``ray.put`` and read in
+    each task (never re-shipped per batch); the per-batch work is one
+    numpy matmul — zero shuffle, streams at any corpus size. The output
+    column keeps the input's dtype family (float32 lists).
+    """
+    import ray
+
+    d_in = len(ds.take(1)[0][emb_col])
+    rng = np.random.default_rng(seed)
+    proj = (rng.standard_normal((d_in, dim_out)) / np.sqrt(dim_out)).astype(np.float32)
+    proj_ref = ray.put(proj)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(proj_ref)
+        m = np.stack(df[emb_col].to_numpy()).astype(np.float32)
+        out = df.copy()
+        out[emb_col] = list(m @ p)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

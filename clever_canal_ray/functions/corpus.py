@@ -488,3 +488,103 @@ def pack_sequences(
         .groupby("__bucket")
         .map_groups(offsets, batch_format="pandas")
     )
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog — the
+    unbounded-cardinality counterpart to the exact paths (which shuffle
+    every distinct value once). Standard error ≈ 1.04/sqrt(2^p); p=12
+    → ~1.6% with 4 KiB registers.
+
+    Topology: per-batch vectorized register fold (hash → bucket =
+    high ``p`` bits, rank = leading zeros of the rest + 1, per-bucket
+    max via ``np.maximum.at``) → ONE register row per batch to the
+    driver (2^p bytes each, independent of row count) → elementwise max
+    merge + bias-corrected estimate. No shuffle at all: registers are
+    a commutative monoid, so any batch/block split gives the identical
+    merged state.
+    """
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _fast_u64(df[col].to_numpy())
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+        # rank = leading zeros of `rest` + 1, capped at 64 - p + 1
+        x = rest.copy()
+        nz = x != 0
+        # leading zeros via float64 exponent is unsafe past 2^53; do a
+        # branchless binary reduction instead: if the top `shift` bits
+        # (x >> (64 - shift)) are zero, count them and shift them out
+        shift = 32
+        cnt = np.zeros(len(h), dtype=np.int64)
+        while shift > 0:
+            take = (x >> np.uint64(64 - shift)) == 0
+            cnt = np.where(take, cnt + shift, cnt)
+            x = np.where(take, x << np.uint64(shift), x)
+            shift //= 2
+        lead = np.where(nz, cnt, 64)
+        rank = (lead + 1).astype(np.uint8)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, bucket, rank)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    # HLL estimate with small-range (linear counting) correction
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_quantiles(
+    ds, col: str, qs: list[float], num_bins: int = 4096, bounds: tuple | None = None
+) -> pd.DataFrame:
+    """Approximate quantiles for UNBOUNDED-distinct numeric columns —
+    the scale path where ``exact_quantiles``' bounded-distinct histogram
+    assumption breaks (floats, free-range ints). Fixed-bin equi-width
+    histogram: error ≤ (hi - lo) / num_bins in value space.
+
+    Topology: (optional) min/max pass via Dataset aggregates, then ONE
+    map_batches pass emitting a num_bins-long count row per batch (size
+    independent of rows), summed on the driver; quantiles read off the
+    cumulative histogram at the bin's upper edge. Returns (q, value).
+    """
+    import ray.data
+
+    if bounds is None:
+        mm = ds.aggregate(
+            ray.data.aggregate.Min(col), ray.data.aggregate.Max(col)
+        )
+        lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    if hi <= lo:
+        return pd.DataFrame({"q": qs, "value": [lo] * len(qs)})
+    width = (hi - lo) / num_bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy().astype(np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
+        counts = np.bincount(idx, minlength=num_bins).astype(np.int64)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    counts = np.zeros(num_bins, dtype=np.int64)
+    for b in parts["counts"]:
+        counts += np.frombuffer(b, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    cum = np.cumsum(counts)
+    out = []
+    for qq in qs:
+        target = max(1, int(np.ceil(qq * total)))
+        i = int(np.searchsorted(cum, target))
+        out.append(lo + (i + 1) * width)
+    return pd.DataFrame({"q": qs, "value": out})

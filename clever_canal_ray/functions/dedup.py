@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 _MERSENNE = np.uint64(2**61 - 1)
 
@@ -712,3 +713,109 @@ def embedding_dup_pairs(
         .groupby("__gp")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+@ray.remote(num_cpus=0.25)
+class _DedupShard:
+    """One shard of the streaming-dedup index: owns hashes where
+    ``hash % num_shards == shard_id``. ``check_and_add`` is atomic per
+    call (actor mailbox serializes), so exactly ONE caller wins each
+    first-seen hash even under concurrent batches.
+
+    ``fp_bits`` > 0 switches the exact set to a Bloom filter of that
+    many bits (two-hash Kirsch-Mitzenmacher scheme): memory becomes
+    O(bits) instead of O(distinct), at a false-positive rate that
+    *drops* rows (never duplicates) — the 100 TB memory-bound mode.
+    """
+
+    def __init__(self, fp_bits: int = 0, k: int = 4):
+        self.exact: set | None = None if fp_bits else set()
+        self.k = k
+        if fp_bits:
+            self.bits = np.zeros((fp_bits + 63) // 64, dtype=np.uint64)
+            self.m = np.uint64(fp_bits)
+        else:
+            self.bits = None
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Boolean mask: True where the hash is NEW (first time seen,
+        counting earlier positions in this same call)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if self.exact is not None:
+            out = np.empty(len(h), dtype=bool)
+            s = self.exact
+            for i, v in enumerate(h.tolist()):
+                if v in s:
+                    out[i] = False
+                else:
+                    s.add(v)
+                    out[i] = True
+            return out
+        # bloom: k derived probe positions per hash
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        new = np.zeros(len(h), dtype=bool)
+        for j in range(self.k):
+            pos = (h + np.uint64(j) * h2) % self.m
+            word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+            probe = (self.bits[word] >> bit) & np.uint64(1)
+            new |= probe == 0
+        # set all probe bits for every row (idempotent for dups)
+        for j in range(self.k):
+            pos = (h + np.uint64(j) * h2) % self.m
+            word, bit = (pos >> np.uint64(6)).astype(np.int64), pos & np.uint64(63)
+            np.bitwise_or.at(self.bits, word, np.uint64(1) << bit)
+        # within-call first-occurrence: later duplicates in the same
+        # call must not both pass
+        first = pd.Series(h).duplicated(keep="first").to_numpy()
+        return new & ~first
+
+    def count(self) -> int:
+        return len(self.exact) if self.exact is not None else -1
+
+
+class StreamingDeduper:
+    """Cross-micro-batch streaming dedup — the shared-mutable-index
+    case where the Dataset API genuinely can't express the semantics
+    (a groupby dedups within ONE dataset; a CDC-style stream needs
+    first-seen state that persists ACROSS replay calls).
+
+    Sharded index actors (hash-routed, so shards never coordinate);
+    ``filter_new(ds)`` keeps rows whose content hash was never seen in
+    any earlier (or this) pass. Exactly one copy of each distinct text
+    survives across all passes; which copy wins under concurrent blocks
+    is racy by design (same as any parallel first-seen rule).
+
+    Memory: exact mode is O(distinct) across shards; ``fp_bits`` flips
+    each shard to a Bloom filter for bounded memory with a documented
+    false-DROP (never false-keep) rate.
+    """
+
+    def __init__(self, num_shards: int = 8, text_col: str = "text", fp_bits: int = 0):
+        self.num_shards = num_shards
+        self.text_col = text_col
+        self.shards = [_DedupShard.remote(fp_bits=fp_bits) for _ in range(num_shards)]
+
+    def filter_new(self, ds):
+        shards = self.shards
+        n = np.uint64(self.num_shards)
+        text_col = self.text_col
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = _stable_u64(df[text_col].to_numpy())
+            sid = (h % n).astype(np.int64)
+            keep = np.zeros(len(df), dtype=bool)
+            calls, idxs = [], []
+            for s in range(len(shards)):
+                idx = np.where(sid == s)[0]
+                if len(idx):
+                    calls.append(shards[s].check_and_add.remote(h[idx]))
+                    idxs.append(idx)
+            for idx, mask in zip(idxs, ray.get(calls)):
+                keep[idx] = mask
+            return df[keep]
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    def distinct_seen(self) -> int:
+        counts = ray.get([s.count.remote() for s in self.shards])
+        return -1 if any(c < 0 for c in counts) else sum(counts)

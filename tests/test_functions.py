@@ -527,3 +527,100 @@ def test_hopping_window_membership(ray_session):
     tms = int(t0.value // 1_000_000)
     for ws in out["window_start"]:
         assert ws <= tms < ws + 3_600_000
+
+
+def test_streaming_dedup_across_passes(ray_session):
+    """StreamingDeduper: first-seen state persists across replay calls;
+    exactly one copy of each distinct text survives the union of all
+    passes (the cross-batch shared-index semantics a groupby can't
+    give)."""
+    import ray
+
+    from clever_canal_ray.functions.dedup import StreamingDeduper
+
+    texts1 = [f"doc {i % 50}" for i in range(200)]  # 50 distinct, heavy dups
+    texts2 = [f"doc {i % 80}" for i in range(200)]  # 30 new distinct
+    d = StreamingDeduper(num_shards=4, text_col="text")
+    out1 = d.filter_new(
+        ray.data.from_pandas([pd.DataFrame({"text": c}) for c in np.array_split(np.array(texts1, dtype=object), 4)])
+    ).to_pandas()
+    out2 = d.filter_new(
+        ray.data.from_pandas([pd.DataFrame({"text": c}) for c in np.array_split(np.array(texts2, dtype=object), 4)])
+    ).to_pandas()
+    assert sorted(out1["text"]) == sorted(f"doc {i}" for i in range(50))
+    # pass 2 only surfaces the 30 texts never seen in pass 1
+    assert sorted(out2["text"]) == sorted(f"doc {i}" for i in range(50, 80))
+    assert d.distinct_seen() == 80
+
+
+def test_streaming_dedup_bloom_mode_never_false_keeps(ray_session):
+    """Bloom mode: bounded memory; may false-DROP but never emits a
+    duplicate."""
+    import ray
+
+    from clever_canal_ray.functions.dedup import StreamingDeduper
+
+    texts = [f"t{i % 300}" for i in range(1200)]
+    d = StreamingDeduper(num_shards=4, text_col="text", fp_bits=1 << 16)
+    out = d.filter_new(
+        ray.data.from_pandas([pd.DataFrame({"text": c}) for c in np.array_split(np.array(texts, dtype=object), 6)])
+    ).to_pandas()
+    assert out["text"].is_unique
+    # at 65k bits / 300 items the fp rate is negligible: all survive
+    assert len(out) >= 295
+
+
+def test_hll_approx_distinct_error_bound(ray_session):
+    import ray
+
+    from clever_canal_ray.functions.corpus import approx_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 20_000, 100_000)
+    ds = ray.data.from_pandas([pd.DataFrame({"v": c}) for c in np.array_split(vals, 7)])
+    exact = len(np.unique(vals))
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.05
+    # split-invariance: a different block layout gives the same estimate
+    ds2 = ray.data.from_pandas([pd.DataFrame({"v": c}) for c in np.array_split(vals, 3)])
+    assert approx_distinct(ds2, "v", p=12) == est
+
+
+def test_approx_quantiles_within_bin_width(ray_session):
+    import ray
+
+    from clever_canal_ray.functions.corpus import approx_quantiles
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, 50_000)
+    ds = ray.data.from_pandas([pd.DataFrame({"v": c}) for c in np.array_split(x, 5)])
+    out = approx_quantiles(ds, "v", [0.1, 0.5, 0.9], num_bins=2048)
+    width = (x.max() - x.min()) / 2048
+    for qq, got in zip(out["q"], out["value"]):
+        assert abs(got - np.quantile(x, qq)) <= 2 * width
+
+
+def test_random_projection_preserves_similarity(ray_session):
+    import ray
+
+    from clever_canal_ray.functions.ann import random_projection
+
+    rng = np.random.default_rng(8)
+    # cluster-structured vectors: similarity carries signal (isotropic
+    # noise would make the off-diagonal Gram entries pure noise and the
+    # correlation test meaningless)
+    centers = rng.standard_normal((10, 64)).astype(np.float32) * 3
+    emb = (centers[np.arange(200) % 10] + rng.standard_normal((200, 64)).astype(np.float32) * 0.5)
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(emb)})
+    ds = ray.data.from_pandas([df.iloc[:100], df.iloc[100:]])
+    out = random_projection(ds, dim_out=32, seed=3).to_pandas().sort_values("vec_id")
+    red = np.stack(out["embedding"].to_numpy())
+    assert red.shape == (200, 32)
+    # determinism: same seed, any split -> identical matrix
+    out2 = random_projection(ray.data.from_pandas(df), dim_out=32, seed=3).to_pandas().sort_values("vec_id")
+    assert np.allclose(red, np.stack(out2["embedding"].to_numpy()))
+    # JL property: inner products roughly preserved (loose bound)
+    g0 = emb @ emb.T
+    g1 = red @ red.T
+    corr = np.corrcoef(g0.ravel(), g1.ravel())[0, 1]
+    assert corr > 0.7

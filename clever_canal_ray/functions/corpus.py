@@ -588,3 +588,50 @@ def approx_quantiles(
         i = int(np.searchsorted(cum, target))
         out.append(lo + (i + 1) * width)
     return pd.DataFrame({"q": qs, "value": out})
+
+
+def chunk_tokens(
+    ds,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    ctx: int = 2048,
+    stride: int | None = None,
+):
+    """Context-window chunking: split each document's token run into
+    windows of ``ctx`` tokens advancing by ``stride`` (overlap =
+    ctx - stride; default stride=ctx → disjoint). Emits one row per
+    chunk: (id, chunk_idx, tok_start, tok_len) — the training-sequence
+    splitting complement to ``pack_sequences`` (which concatenates short
+    docs; this cuts long ones).
+
+    Fully vectorized per batch (np.repeat explode), embarrassingly
+    parallel — no shuffle, no state; chunk counts are pure row-local
+    arithmetic, so the output is identical at any block layout. The
+    final short window is kept (tok_len < ctx) so every token lands in
+    ≥1 chunk; empty docs emit one zero-length chunk row.
+    """
+    stride = ctx if stride is None else stride
+    if stride <= 0 or ctx <= 0:
+        raise ValueError("ctx and stride must be positive")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df[n_tok_col].to_numpy().astype(np.int64)
+        # chunks per doc: 1 + ceil(max(n - ctx, 0) / stride)
+        extra = np.maximum(n - ctx, 0)
+        k = 1 + (extra + stride - 1) // stride
+        idx = np.repeat(np.arange(len(df)), k)
+        # chunk_idx within doc: position within each run
+        starts_of_run = np.concatenate(([0], np.cumsum(k)[:-1]))
+        chunk_idx = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(starts_of_run, k)
+        tok_start = chunk_idx * stride
+        tok_len = np.minimum(n[idx] - tok_start, ctx)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[idx],
+                "chunk_idx": chunk_idx,
+                "tok_start": tok_start,
+                "tok_len": np.maximum(tok_len, 0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

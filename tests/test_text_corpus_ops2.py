@@ -169,3 +169,44 @@ def test_stratified_sample_fast_default(ray_session):
     assert (out1["source"] == "x").sum() == 0
     nb = (out1["source"] == "b").sum()
     assert 0.15 * 1000 < nb < 0.45 * 1000
+
+
+def test_chunk_tokens_vs_duckdb_oracle(ray_session):
+    """Context-window chunking vs a generate_series SQL oracle, with
+    overlap (stride < ctx) and a doc shorter than one window."""
+    import duckdb
+    import ray
+
+    from clever_canal_ray.functions.corpus import chunk_tokens
+
+    df = pd.DataFrame({"doc_id": np.arange(50), "n_tok": (np.arange(50) * 37) % 700})
+    out = (
+        chunk_tokens(
+            ray.data.from_pandas([df.iloc[:20], df.iloc[20:]]),
+            ctx=128,
+            stride=96,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", df)
+    oracle = con.execute(
+        """
+        WITH k AS (SELECT doc_id, n_tok,
+                          1 + CAST(ceil(greatest(n_tok - 128, 0) / 96.0) AS BIGINT) AS nk
+                   FROM docs),
+        c AS (SELECT doc_id, n_tok, unnest(generate_series(0, nk - 1)) AS chunk_idx FROM k)
+        SELECT doc_id, chunk_idx, chunk_idx * 96 AS tok_start,
+               greatest(least(n_tok - chunk_idx * 96, 128), 0) AS tok_len
+        FROM c ORDER BY doc_id, chunk_idx
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), oracle.astype("int64"), check_dtype=False
+    )
+    # every token covered: union of [start, start+len) per doc == [0, n)
+    g = out[out["doc_id"] == 49]
+    assert g["tok_start"].iloc[0] == 0
+    assert (g["tok_start"] + g["tok_len"]).max() == df["n_tok"].iloc[49]

@@ -109,3 +109,107 @@ def test_random_multi_table_replay_converges(
     for i in range(n_tables):
         expected = full.filter(pa.array(km == i))
         assert_tables_equal(lake.read_table(table=f"lake.t{i}"), expected)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 300),
+    n_keys=st.integers(1, 10),
+    gap_min=st.integers(1, 120),
+    n_blocks=st.integers(1, 5),
+)
+def test_session_windows_match_serial_reference(ray_session, seed, n, n_keys, gap_min, n_blocks):
+    """Distributed sessionization == a serial per-key pandas reference,
+    at any block layout (ties and duplicate timestamps included)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from clever_canal_ray.functions.joins import session_windows
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-06-01")
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 100_000, n), unit="s"),
+        }
+    )
+    gap_ms = gap_min * 60_000
+    out = (
+        session_windows(
+            ray.data.from_pandas(np.array_split(df, n_blocks)),
+            key_col="k",
+            ts_col="ts",
+            gap_ms=gap_ms,
+        )
+        .to_pandas()
+        .sort_values(["k", "session_id"])
+        .reset_index(drop=True)
+    )
+    # serial reference
+    ref_rows = []
+    for k, g in df.groupby("k"):
+        ts = g["ts"].sort_values().reset_index(drop=True)
+        sid, start, last, count = 0, ts[0], ts[0], 0
+        for t in ts:
+            if (t - last).total_seconds() * 1000 > gap_ms:
+                ref_rows.append((k, sid, start, last, count))
+                sid += 1
+                start, count = t, 0
+            last = t
+            count += 1
+        ref_rows.append((k, sid, start, last, count))
+    ref = pd.DataFrame(
+        ref_rows, columns=["k", "session_id", "session_start", "session_end", "n_events"]
+    ).sort_values(["k", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    ctx=st.integers(1, 300),
+    stride_frac=st.floats(0.1, 1.0),
+)
+def test_chunk_tokens_covers_every_token_once_per_window(ray_session, seed, ctx, stride_frac):
+    """Chunking invariants at random (ctx, stride): chunk 0 starts at 0;
+    consecutive starts differ by stride; tok_len in (0, ctx] except the
+    single zero-len chunk of an empty doc; last chunk reaches n_tok."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from clever_canal_ray.functions.corpus import chunk_tokens
+
+    stride = max(1, int(ctx * stride_frac))
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"doc_id": np.arange(30), "n_tok": rng.integers(0, 1000, 30)})
+    out = (
+        chunk_tokens(ray.data.from_pandas(df), ctx=ctx, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    for doc_id, g in out.groupby("doc_id"):
+        n = int(df.loc[df["doc_id"] == doc_id, "n_tok"].iloc[0])
+        starts = g["tok_start"].to_numpy()
+        lens = g["tok_len"].to_numpy()
+        assert starts[0] == 0
+        assert (np.diff(starts) == stride).all()
+        if n == 0:
+            assert len(g) == 1 and lens[0] == 0
+            continue
+        assert (lens > 0).all() and (lens <= ctx).all()
+        assert starts[-1] + lens[-1] == n
+        # no window is redundant: every chunk after the first starts
+        # inside the doc
+        assert (starts < n).all()

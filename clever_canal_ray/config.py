@@ -51,6 +51,11 @@ class ReplayConfig:
     # MysqlGtIdSet resume semantics (MysqlConnection.java:184,
     # driver/.../MysqlGtIdSet.java).
     gtid_dedup: bool = False
+    # source uuid for gtid_executed audit bookkeeping: when set, each
+    # commit extends the manifest's MySQL-format executed interval set
+    # (state/gtid.GtidSet) by the txn range it applied — the
+    # gtid_executed audit/resume surface. None = no bookkeeping.
+    source_uuid: str | None = None
     # pipelined micro-batches: execute up to this many batch pipelines
     # concurrently (phase-1 writes are invisible until the strictly
     # in-order phase-2 commits). >1 requires sink_mode="delta" (compact

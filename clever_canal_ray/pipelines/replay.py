@@ -512,6 +512,7 @@ def replay_batch(
             metrics={"truncate": t_table},
             truncate=t_table if (t_table in tables_meta) else False,
             new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
+            source_uuid=cfg.source_uuid,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())
@@ -537,6 +538,7 @@ def replay_batch(
             metrics={"truncate": True},
             truncate=True,
             new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
+            source_uuid=cfg.source_uuid,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())
@@ -564,6 +566,7 @@ def replay_batch(
             new_ddls=plan.new_ddls,
             metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
             new_txn_hwm=plan.max_txn_at_ack,
+            source_uuid=cfg.source_uuid,
         )
     except DuplicateCommitError:
         return lake.current()
@@ -729,6 +732,7 @@ def _run_chain(lake: Lake, batches: list, cfg: ReplayConfig, start: Manifest) ->
                 new_ddls=plan.new_ddls,
                 metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
                 new_txn_hwm=plan.max_txn_at_ack,
+            source_uuid=cfg.source_uuid,
             )
             if cfg.after_commit is not None:
                 cfg.after_commit(m)

@@ -212,6 +212,10 @@ class Manifest:
     # source replays exactly-once via `ReplayConfig.gtid_dedup` even
     # though its (segment_id, offset) positions are incomparable.
     txn_hwm: int = -1
+    # full MySQL-format gtid_executed audit string ("uuid:0-N[,...]")
+    # maintained from txn_hwm transitions when ReplayConfig.source_uuid
+    # is set — the resume/failover audit surface (state/gtid.GtidSet)
+    gtid_executed: str = ""
     ddl_journal: list[dict] = field(default_factory=list)  # [{"position":[s,o],"ddl":{...}}]
     partitions: dict[str, dict] = field(default_factory=dict)  # pid -> {"files":[rel], "rows":n}
     # last LEDGER_KEEP committed batch records; full history is the
@@ -275,6 +279,7 @@ class Manifest:
                 "last_batch_id": self.last_batch_id,
                 "schema_version": self.schema_version,
                 "txn_hwm": self.txn_hwm,
+                "gtid_executed": self.gtid_executed,
                 "ddl_journal": self.ddl_journal,
                 "partitions": self.partitions,
                 "ledger": self.ledger,
@@ -294,6 +299,7 @@ class Manifest:
             last_batch_id=d["last_batch_id"],
             schema_version=d["schema_version"],
             txn_hwm=d.get("txn_hwm", -1),
+            gtid_executed=d.get("gtid_executed", ""),
             ddl_journal=d["ddl_journal"],
             partitions=d["partitions"],
             ledger=d["ledger"],
@@ -449,6 +455,7 @@ class Lake:
         metrics: dict | None = None,
         truncate: bool | str = False,
         new_txn_hwm: int | None = None,
+        source_uuid: str | None = None,
     ) -> Manifest:
         """Atomically publish a micro-batch.
 
@@ -569,13 +576,25 @@ class Lake:
             mdir = os.path.join(self.manifest_dir, "metrics")
             os.makedirs(mdir, exist_ok=True)
             pq.write_table(mt, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
+        next_txn_hwm = max(cur.txn_hwm, new_txn_hwm if new_txn_hwm is not None else -1)
+        gtid_executed = cur.gtid_executed
+        if source_uuid and next_txn_hwm > cur.txn_hwm:
+            # audit bookkeeping: extend this source's executed interval
+            # set by the txns this commit applied (MySQL gtid_executed
+            # format; GtidSet merges the contiguous range in place)
+            from clever_canal_ray.state.gtid import GtidSet
+
+            gs = GtidSet.parse(gtid_executed)
+            gs.add_range(source_uuid, cur.txn_hwm + 1, next_txn_hwm)
+            gtid_executed = str(gs)
         m = Manifest(
             version=cur.version + 1,
             num_partitions=num_partitions,
             hwm=new_hwm,
             last_batch_id=batch_id,
             schema_version=len(journal),
-            txn_hwm=max(cur.txn_hwm, new_txn_hwm if new_txn_hwm is not None else -1),
+            txn_hwm=next_txn_hwm,
+            gtid_executed=gtid_executed,
             ddl_journal=journal,
             partitions=parts,
             ledger=(cur.ledger + [rec])[-LEDGER_KEEP:],
@@ -794,6 +813,8 @@ class Lake:
         here. Counters come from O(1) running totals in the manifest
         (legacy lakes fall back to one ledger replay); gauges from the
         current manifest."""
+        from clever_canal_ray.state.gtid import GtidSet
+
         cur = self.current()
         if "events_applied_total" in cur.metrics:
             t = cur.metrics  # O(1) running totals maintained per commit
@@ -828,6 +849,8 @@ class Lake:
             f"canal_hwm_offset {cur.hwm[1]}",
             "# TYPE canal_txn_hwm gauge",
             f"canal_txn_hwm {cur.txn_hwm}",
+            "# TYPE canal_gtid_executed_txns gauge",
+            f"canal_gtid_executed_txns {GtidSet.parse(cur.gtid_executed).txn_count()}",
             "# TYPE canal_schema_version gauge",
             f"canal_schema_version {cur.schema_version}",
             "# TYPE canal_lake_rows gauge",
@@ -908,6 +931,7 @@ class Lake:
             last_batch_id=cur.last_batch_id,
             schema_version=cur.schema_version,
             txn_hwm=cur.txn_hwm,
+            gtid_executed=cur.gtid_executed,
             ddl_journal=cur.ddl_journal,
             partitions=parts,
             ledger=cur.ledger,

@@ -5,7 +5,9 @@ the MysqlGtIdSet resume semantics (MysqlConnection.java:184,
 driver/.../MysqlGtIdSet.java)."""
 
 import dataclasses
+import os
 
+import pyarrow.parquet as pq
 import pytest
 
 from clever_canal_ray.config import ReplayConfig
@@ -73,3 +75,31 @@ def test_partial_failover_applies_only_missing_txns(ray_session, fx, tmp_path):
     segs_a, _ = generate_events(SPEC_A)
     oracle = apply_events_serial(generate_lake(SPEC_A), segs_a)
     assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_manifest_gtid_executed_bookkeeping(ray_session, tmp_path):
+    """With source_uuid set, every commit extends the manifest's
+    MySQL-format gtid_executed set; contiguous commits collapse to one
+    interval; a duplicate replay is a no-op on the set."""
+    from clever_canal_ray.state.gtid import GtidSet
+
+    spec = EventLogSpec(seed=31, n_initial_docs=60, n_events=400, n_segments=4)
+    segs, _ = generate_events(spec)
+    lake_tbl = generate_lake(spec)
+    d = str(tmp_path / "segs")
+    os.makedirs(d)
+    paths = []
+    for i, s in enumerate(segs):
+        p = os.path.join(d, f"segment-{i:05d}.parquet")
+        pq.write_table(s, p)
+        paths.append(p)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, source_uuid="src-a")
+    m = replay(lake, paths, cfg)
+    gs = GtidSet.parse(m.gtid_executed)
+    # one contiguous interval 0..txn_hwm for the single source
+    assert str(gs) == f"src-a:0-{m.txn_hwm}"
+    assert gs.txn_count() == m.txn_hwm + 1
+    # duplicate replay: no change
+    m2 = replay(lake, paths, cfg)
+    assert m2.gtid_executed == m.gtid_executed

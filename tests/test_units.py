@@ -179,3 +179,43 @@ def test_widen_union_rename_map_merge_rules():
     # identical rename journals across tables are not a conflict either
     u3 = widen_union([s_a, lake_schema([{"op": "rename_column", "from": "source", "to": "origin"}])])
     assert reverse_renames_from_metadata(u3) == {"origin": ["source"]}
+
+
+def test_gtid_set_parse_merge_contains():
+    """MysqlGtIdSet / UUIDSet semantics: parse round-trip, interval
+    merging (adjacent + overlapping), vectorized membership,
+    containment check."""
+    import numpy as np
+
+    from clever_canal_ray.state.gtid import GtidSet
+
+    g = GtidSet.parse("AAAA:1-5:11,bbbb:3")
+    assert str(g) == "aaaa:1-5:11,bbbb:3"  # canonical: lower, sorted
+    # adjacency merges (1-5 + 6-9 -> 1-9), overlap merges
+    g.add_range("aaaa", 6, 9)
+    assert str(g) == "aaaa:1-9:11,bbbb:3"
+    g.add_range("aaaa", 10, 10)  # bridges 1-9 and 11
+    assert str(g) == "aaaa:1-11,bbbb:3"
+    # vectorized membership
+    mask = g.contains_vec("aaaa", np.array([0, 1, 11, 12]))
+    assert mask.tolist() == [False, True, True, False]
+    assert g.contains("bbbb", 3) and not g.contains("bbbb", 4)
+    assert not g.contains("cccc", 1)
+    # containment (failover safety check)
+    sub = GtidSet.parse("aaaa:2-5")
+    assert sub.is_contained_within(g)
+    assert not g.is_contained_within(sub)
+    assert GtidSet.parse("cccc:1").is_contained_within(g) is False
+    # union + count
+    u = g.union(GtidSet.parse("aaaa:20-22,cccc:1"))
+    assert str(u) == "aaaa:1-11:20-22,bbbb:3,cccc:1"
+    assert u.txn_count() == 11 + 3 + 1 + 1
+    # round-trip and empties
+    assert GtidSet.parse(str(u)) == u
+    assert str(GtidSet.parse("")) == ""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        GtidSet.parse("aaaa:5-2")
+    with _pytest.raises(ValueError):
+        GtidSet.parse("nocolon")

@@ -236,7 +236,9 @@ def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_p
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
-def random_projection(ds, dim_out: int, seed: int = 0, emb_col: str = "embedding"):
+def random_projection(
+    ds, dim_out: int, seed: int = 0, emb_col: str = "embedding", d_in: int | None = None
+):
     """Johnson–Lindenstrauss dimensionality reduction: project the
     embedding column through a seeded Gaussian matrix, scaled by
     1/sqrt(dim_out) so expected pairwise inner products are preserved.
@@ -248,7 +250,12 @@ def random_projection(ds, dim_out: int, seed: int = 0, emb_col: str = "embedding
     """
     import ray
 
-    d_in = len(ds.take(1)[0][emb_col])
+    if d_in is None:
+        head = ds.take(1)
+        if not head:
+            # empty input: nothing to project (and no dim to infer)
+            return ds
+        d_in = len(head[0][emb_col])
     rng = np.random.default_rng(seed)
     proj = (rng.standard_normal((d_in, dim_out)) / np.sqrt(dim_out)).astype(np.float32)
     proj_ref = ray.put(proj)

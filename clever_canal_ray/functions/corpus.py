@@ -558,18 +558,28 @@ def approx_quantiles(
     import ray.data
 
     if bounds is None:
-        mm = ds.aggregate(
+        # bounds over the NaN-free view (float NaN is not an Arrow null,
+        # so a raw Min/Max could propagate it into the bin width)
+        clean = ds.map_batches(
+            lambda df: df[[col]].dropna(subset=[col]), batch_format="pandas"
+        )
+        mm = clean.aggregate(
             ray.data.aggregate.Min(col), ray.data.aggregate.Max(col)
         )
-        lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+        lo = float(mm[f"min({col})"]) if mm[f"min({col})"] is not None else np.nan
+        hi = float(mm[f"max({col})"]) if mm[f"max({col})"] is not None else np.nan
     else:
         lo, hi = float(bounds[0]), float(bounds[1])
+    if np.isnan(lo) or np.isnan(hi):
+        # all-NaN/empty column (or NaN bounds): quantiles are undefined
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
     if hi <= lo:
         return pd.DataFrame({"q": qs, "value": [lo] * len(qs)})
     width = (hi - lo) / num_bins
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]  # NaNs are excluded from the distribution
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, num_bins - 1)
         counts = np.bincount(idx, minlength=num_bins).astype(np.int64)
         return pd.DataFrame({"counts": [counts.tobytes()]})
@@ -613,6 +623,10 @@ def chunk_tokens(
     stride = ctx if stride is None else stride
     if stride <= 0 or ctx <= 0:
         raise ValueError("ctx and stride must be positive")
+    if stride > ctx:
+        # windows would leave gaps, breaking the every-token-covered
+        # invariant (and emitting spurious zero-length chunks)
+        raise ValueError(f"stride ({stride}) must be <= ctx ({ctx})")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         n = df[n_tok_col].to_numpy().astype(np.int64)

@@ -176,14 +176,15 @@ def hopping_window_agg(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         ts = pd.to_datetime(df[ts_col]).astype("datetime64[ms]").astype("int64").to_numpy()
-        # windows containing ts: starts floor(ts/hop)*hop - j*hop for j in [0,k)
-        # with start > ts - window (i.e. ts < start + window)
+        # the k windows containing ts: starts floor(ts/hop)*hop - j*hop,
+        # j in [0, k). All k satisfy start > ts - window because
+        # window == k*hop and base > ts - hop — no membership filter
+        # is needed.
         base = (ts // hop_ms) * hop_ms
         idx = np.repeat(np.arange(len(df)), k)
         starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_ms, len(df))
-        keep = starts > np.repeat(ts, k) - window_ms
-        rep = df.iloc[idx[keep]].copy()
-        rep["window_start"] = starts[keep]
+        rep = df.iloc[idx].copy()
+        rep["window_start"] = starts
         keys = ["window_start"] + group_cols
         return rep.groupby(keys, sort=False).agg(**specs).reset_index()
 

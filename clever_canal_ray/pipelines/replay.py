@@ -54,6 +54,12 @@ class BatchPlan:
     # input; exact — ack is a txn boundary so every event of txns up to
     # it lies at or below the ack position)
     max_txn_at_ack: int | None = None
+    # lowest txn id in the (hwm, ack] window — the gtid_executed
+    # interval's lower bound for a lake whose txn_hwm is still unset
+    # (mid-stream start must not claim earlier txns as executed). The
+    # window min sits at the window START, so the same value is exact
+    # for any prefix cut (truncate/DDL) of the window.
+    min_txn_at_ack: int | None = None
     # TRUNCATE positions in (hwm, ack] (EventType.TRUNCATE=8 analog),
     # ascending; handled by replay_batch as whole-table resets
     truncates: list = field(default_factory=list)
@@ -65,7 +71,9 @@ class BatchPlan:
     xa_commits: tuple = ()
 
 
-def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
+def plan_batch(
+    segment_paths: list[str], hwm: tuple[int, int], want_min_txn: bool = False
+) -> BatchPlan:
     """Driver-side planning: ack position + DDL extraction.
 
     Fast path: segment writers embed plan metadata (ack, DDLs, max
@@ -75,7 +83,7 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     scan of (segment_id, offset, txn_commit, op, ddl) with the position
     filter pushed into row-group pruning.
     """
-    fast = _plan_from_footers(segment_paths, hwm)
+    fast = _plan_from_footers(segment_paths, hwm, want_min_txn=want_min_txn)
     if fast is not None:
         return fast
     dset = pds.dataset(segment_paths)
@@ -158,6 +166,7 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
     max_ts = int(ts[pos <= ack_pos].max().astype("datetime64[ms]").astype("int64")) if n_cand else None
     txn = meta["txn_id"].to_numpy(zero_copy_only=False)
     max_txn = int(txn[pos <= ack_pos].max()) if n_cand else None
+    min_txn = int(txn[pos <= ack_pos].min()) if n_cand else None
     t_idx = np.where((op == "T") & (pos <= ack_pos))[0]
     t_idx = t_idx[np.argsort(pos[t_idx])]
     tbl_np = np.asarray(meta["table"].to_numpy(zero_copy_only=False), dtype=object)
@@ -170,11 +179,14 @@ def plan_batch(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan:
         n_seen_events=int(meta.num_rows),
         truncates=truncates,
         max_txn_at_ack=max_txn,
+        min_txn_at_ack=min_txn,
         xa_commits=xa_commits,
     )
 
 
-def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchPlan | None:
+def _plan_from_footers(
+    segment_paths: list[str], hwm: tuple[int, int], want_min_txn: bool = False
+) -> BatchPlan | None:
     """Plan from the ``.plan.json`` sidecar (binlog index-file analog;
     legacy fallback: parquet footer ``ccr_plan`` metadata). None if any
     file lacks both — caller falls back to the light column scan."""
@@ -264,6 +276,33 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
                     max_txn,
                     int(t["txn_id"].to_numpy(zero_copy_only=False)[inside].max()),
                 )
+    # gtid lower bound (only computed when the caller will use it —
+    # at most the FIRST commit of a fresh lake): the window-start file
+    # is the first with max_pos > hwm; its footer min_txn is exact when
+    # the file lies wholly above the hwm, else one light scan
+    min_txn = None
+    if want_min_txn:
+        for p, m in zip(segment_paths, metas):
+            if m["max_pos"] is None:
+                continue
+            hi = int(pack_position(m["max_pos"][0], m["max_pos"][1]))
+            if hi <= hwm_pos:
+                continue
+            lo = int(pack_position(m["min_pos"][0], m["min_pos"][1]))
+            if lo > hwm_pos and m.get("min_txn") is not None:
+                min_txn = int(m["min_txn"])
+            else:
+                import numpy as np
+
+                t = pds.dataset([p]).to_table(columns=["segment_id", "offset", "txn_id"])
+                pos = pack_position(
+                    t["segment_id"].to_numpy(zero_copy_only=False),
+                    t["offset"].to_numpy(zero_copy_only=False),
+                )
+                inside = (pos > hwm_pos) & (pos <= ack_pos)
+                if inside.any():
+                    min_txn = int(t["txn_id"].to_numpy(zero_copy_only=False)[inside].min())
+            break
     return BatchPlan(
         ack=ack,
         new_ddls=ddls,
@@ -272,6 +311,7 @@ def _plan_from_footers(segment_paths: list[str], hwm: tuple[int, int]) -> BatchP
         n_seen_events=n_seen if max_seen > ack_pos else n_cand,
         truncates=truncates,
         max_txn_at_ack=(max_txn if (exact and max_txn >= 0) else None),
+        min_txn_at_ack=min_txn,
     )
 
 
@@ -446,7 +486,10 @@ def replay_batch(
         # D2: duplicate batch replay is a no-op
         return base
 
-    plan = plan_batch(segment_paths, base.hwm)
+    plan = plan_batch(
+        segment_paths, base.hwm,
+        want_min_txn=cfg.source_uuid is not None and base.txn_hwm < 0,
+    )
     if _info is not None:
         _info["deferred"] = plan.ack is None or plan.n_candidate_events < plan.n_seen_events
     if plan.ack is None:
@@ -513,6 +556,7 @@ def replay_batch(
             truncate=t_table if (t_table in tables_meta) else False,
             new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
             source_uuid=cfg.source_uuid,
+            min_txn_applied=plan.min_txn_at_ack,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())
@@ -539,6 +583,7 @@ def replay_batch(
             truncate=True,
             new_txn_hwm=t[3] if len(t) > 3 and t[3] is not None else None,
             source_uuid=cfg.source_uuid,
+            min_txn_applied=plan.min_txn_at_ack,
         )
         if cfg.after_commit is not None:
             cfg.after_commit(lake.current())
@@ -567,6 +612,7 @@ def replay_batch(
             metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
             new_txn_hwm=plan.max_txn_at_ack,
             source_uuid=cfg.source_uuid,
+            min_txn_applied=plan.min_txn_at_ack,
         )
     except DuplicateCommitError:
         return lake.current()
@@ -606,6 +652,7 @@ def follow(
     poll_interval: float = 1.0,
     max_rounds: int | None = None,
     idle_rounds_to_stop: int | None = None,
+    unsettled_poll_limit: int = 30,
 ) -> Manifest:
     """Tail-follow mode — the LocalBinLogConnection tail-wait analog
     (LocalBinLogConnection.java:75-120 file-rotation follow): poll the
@@ -613,6 +660,11 @@ def follow(
     HWM, sleep, repeat. Stops after ``max_rounds`` polls or after
     ``idle_rounds_to_stop`` consecutive polls with no progress (both
     None = run forever, the daemon mode).
+
+    A segment observed mid-write defers to the next poll; one that
+    stays unreadable for ``unsettled_poll_limit`` consecutive polls is
+    treated as CORRUPT and raised — silent idling (or a "caught up"
+    return) over a truncated file would be data loss with no error.
     """
     import time as _time
 
@@ -623,10 +675,24 @@ def follow(
     m = lake.current()
     rounds = 0
     idle = 0
+    stuck_on: str | None = None
+    stuck_polls = 0
     while True:
         # consume only the settled prefix: a segment observed mid-write
         # is deferred (with everything after it) to the next poll
-        pending = settled_prefix(q.pending(hwm_segment_id=m.hwm[0]))
+        raw = q.pending(hwm_segment_id=m.hwm[0])
+        pending = settled_prefix(raw)
+        blocker = raw[len(pending)] if len(pending) < len(raw) else None
+        if blocker is not None and blocker == stuck_on:
+            stuck_polls += 1
+            if stuck_polls >= unsettled_poll_limit:
+                raise RuntimeError(
+                    f"segment {blocker} has stayed unreadable (truncated/invalid "
+                    f"parquet footer) for {stuck_polls} consecutive polls — "
+                    "corrupt publisher output, refusing to skip or idle past it"
+                )
+        else:
+            stuck_on, stuck_polls = blocker, (1 if blocker is not None else 0)
         if pending:
             m2 = replay(lake, pending, cfg)
             if m2.version != m.version:
@@ -732,7 +798,8 @@ def _run_chain(lake: Lake, batches: list, cfg: ReplayConfig, start: Manifest) ->
                 new_ddls=plan.new_ddls,
                 metrics={"max_execute_ts": plan.max_execute_ts} if plan.max_execute_ts else None,
                 new_txn_hwm=plan.max_txn_at_ack,
-            source_uuid=cfg.source_uuid,
+                source_uuid=cfg.source_uuid,
+                min_txn_applied=plan.min_txn_at_ack,
             )
             if cfg.after_commit is not None:
                 cfg.after_commit(m)
@@ -782,7 +849,10 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
         while i < len(paths):
             group = pending + paths[max(0, i - 1) if not pending else i : i + n]
             i += n
-            plan = plan_batch(group, hwm)
+            plan = plan_batch(
+                group, hwm,
+                want_min_txn=cfg.source_uuid is not None and m.txn_hwm < 0 and not batches,
+            )
             if plan.ack is None:
                 pending = group  # no txn boundary yet: widen the window
                 continue

@@ -48,7 +48,11 @@ class GtidSet:
                 raise ValueError(f"malformed GTID set component: {part!r}")
             uuid = fields[0].lower()
             for iv in fields[1:]:
-                lo, _, hi = iv.partition("-")
+                lo, sep, hi = iv.partition("-")
+                if sep and not hi:
+                    # '5-' is a truncation artifact, not a single txn —
+                    # silently shrinking the set would hide corruption
+                    raise ValueError(f"truncated GTID interval: {iv!r}")
                 start = int(lo)
                 end = int(hi) if hi else start
                 if end < start:

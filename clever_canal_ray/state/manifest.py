@@ -456,6 +456,7 @@ class Lake:
         truncate: bool | str = False,
         new_txn_hwm: int | None = None,
         source_uuid: str | None = None,
+        min_txn_applied: int | None = None,
     ) -> Manifest:
         """Atomically publish a micro-batch.
 
@@ -581,12 +582,21 @@ class Lake:
         if source_uuid and next_txn_hwm > cur.txn_hwm:
             # audit bookkeeping: extend this source's executed interval
             # set by the txns this commit applied (MySQL gtid_executed
-            # format; GtidSet merges the contiguous range in place)
+            # format; GtidSet merges contiguous ranges in place). The
+            # lower bound: consecutive commits apply exactly
+            # (prev_hwm, new_hwm] on a totally-ordered source; the FIRST
+            # commit of a fresh lake (txn_hwm unset) must use the
+            # window's actual min txn — a mid-stream start (skip_to /
+            # tail-only replay) must never claim earlier txns as
+            # executed. Unknown lower bound -> record nothing rather
+            # than over-claim.
             from clever_canal_ray.state.gtid import GtidSet
 
-            gs = GtidSet.parse(gtid_executed)
-            gs.add_range(source_uuid, cur.txn_hwm + 1, next_txn_hwm)
-            gtid_executed = str(gs)
+            start = cur.txn_hwm + 1 if cur.txn_hwm >= 0 else min_txn_applied
+            if start is not None:
+                gs = GtidSet.parse(gtid_executed)
+                gs.add_range(source_uuid, start, next_txn_hwm)
+                gtid_executed = str(gs)
         m = Manifest(
             version=cur.version + 1,
             num_partitions=num_partitions,

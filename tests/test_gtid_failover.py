@@ -103,3 +103,38 @@ def test_manifest_gtid_executed_bookkeeping(ray_session, tmp_path):
     # duplicate replay: no change
     m2 = replay(lake, paths, cfg)
     assert m2.gtid_executed == m.gtid_executed
+
+
+def test_gtid_executed_mid_stream_start_claims_only_applied(ray_session, tmp_path):
+    """A fresh lake started mid-stream (skip_to) must NOT claim the
+    skipped txns as executed — the interval starts at the first txn the
+    replay actually applied."""
+    from clever_canal_ray.state.gtid import GtidSet
+
+    spec = EventLogSpec(seed=33, n_initial_docs=60, n_events=400, n_segments=4)
+    segs, _ = generate_events(spec)
+    lake_tbl = generate_lake(spec)
+    d = str(tmp_path / "segs")
+    os.makedirs(d)
+    paths = []
+    for i, s in enumerate(segs):
+        p = os.path.join(d, f"segment-{i:05d}.parquet")
+        pq.write_table(s, p)
+        paths.append(p)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    # skip the first segment entirely: start at its max position
+    s0 = segs[0]
+    skip_pos = (
+        int(s0["segment_id"][len(s0) - 1].as_py()),
+        int(s0["offset"][len(s0) - 1].as_py()),
+    )
+    lake.skip_to(skip_pos)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, source_uuid="src-b")
+    m = replay(lake, paths, cfg)
+    gs = GtidSet.parse(m.gtid_executed)
+    # the first txn above the skip position, NOT txn 0
+    import numpy as np
+
+    txn0 = int(s0["txn_id"][len(s0) - 1].as_py()) + 1
+    assert str(gs) == f"src-b:{txn0}-{m.txn_hwm}"
+    assert not gs.contains("src-b", 0)

@@ -244,3 +244,28 @@ def test_prometheus_metrics_export(ray_session, tmp_path):
     assert metrics["canal_hwm_segment_id"] == m.hwm[0]
     assert metrics["canal_lake_rows"] == sum(int(i["rows"]) for i in m.partitions.values())
     assert metrics["canal_last_execute_ts_ms"] > 0
+
+
+def test_follow_raises_on_permanently_corrupt_segment(ray_session, fx, tmp_path):
+    """A segment that stays unreadable across polls is CORRUPT publisher
+    output: follow() must raise, not idle past it or return 'caught
+    up' (silent data loss)."""
+    import pytest
+
+    from clever_canal_ray.pipelines.replay import follow
+
+    spec, segs, lake_tbl, oracle = fx
+    d = str(tmp_path / "journal")
+    os.makedirs(d)
+    p0 = os.path.join(d, "segment-00000.parquet")
+    pq.write_table(segs[0], p0)
+    # permanently truncated file: never settles
+    with open(p0, "r+b") as f:
+        f.truncate(os.path.getsize(p0) // 2)
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    with pytest.raises(RuntimeError, match="unreadable"):
+        follow(
+            lake, d, ReplayConfig(num_partitions=4),
+            poll_interval=0.05, unsettled_poll_limit=4,
+            idle_rounds_to_stop=100,
+        )

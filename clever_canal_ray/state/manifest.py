@@ -383,6 +383,146 @@ class Lake:
         lake._swap_current(m.version)
         return lake
 
+    @staticmethod
+    def create_from_dataset(
+        lake_dir: str,
+        ds,
+        num_partitions: int = 16,
+        start_position: tuple[int, int] = (-1, -1),
+        ddl_journal: list[dict] | None = None,
+    ) -> "Lake":
+        """DISTRIBUTED snapshot bootstrap: hash-partition a
+        ``ray.data.Dataset`` of payload rows by ``doc_id`` and write the
+        initial partition files in parallel — the full-dump →
+        incremental handoff a Canal deployment performs when a replica
+        is seeded from a dump taken at a known binlog position
+        (MysqlEventParser.findStartPositionInternal:466-547 "configured
+        master position" resume rule).
+
+        Unlike :meth:`create`, the snapshot never lands on the driver —
+        at 100 TB the dump table only exists as a Dataset. The manifest
+        HWM is stamped with ``start_position`` (the dump's binlog
+        coordinates) so a subsequent :func:`replay` applies only events
+        strictly above it: bootstrap + replay of the full log is
+        exactly-once end to end (D3 filter ``offset > hwm``).
+
+        File layout, seq stamps, and hash placement are identical to
+        the driver-side path, so both bootstraps converge to the same
+        lake state.
+
+        ``ddl_journal``: schema state as-of the dump position, for dumps
+        taken after mid-stream DDLs — the TableMetaTSDB *snapshot* half
+        of DatabaseTableMeta.rollback (snapshot ≤ pos, then replay
+        history above it; DatabaseTableMeta.java:195-216): the journal
+        seeds the manifest so replay's epoch casts resume from the
+        dump's schema version, while DDL events above ``start_position``
+        replay normally.
+        """
+        lake = Lake(lake_dir)
+        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
+            raise FileExistsError(f"{lake_dir} already holds a committed lake")
+        os.makedirs(lake.manifest_dir, exist_ok=True)
+        parts = lake._bootstrap_partitions_distributed(ds, num_partitions, base_pid=0)
+        # accept raw DDL dicts or full journal entries; a snapshot DDL's
+        # position is at-or-below the dump position (unknown ⇒ [-1,-1])
+        journal = [
+            e if "ddl" in e else {"position": [-1, -1], "ddl": e} for e in (ddl_journal or [])
+        ]
+        m = Manifest(
+            version=0,
+            num_partitions=num_partitions,
+            hwm=tuple(start_position),
+            last_batch_id=-1,
+            schema_version=len(journal),
+            ddl_journal=journal,
+            partitions=parts,
+        )
+        lake._write_manifest(m)
+        lake._swap_current(m.version)
+        return lake
+
+    @staticmethod
+    def create_multi_from_datasets(
+        lake_dir: str,
+        initials: dict,
+        partitions_per_table: int | dict = 8,
+        start_position: tuple[int, int] = (-1, -1),
+    ) -> "Lake":
+        """Multi-table variant of :meth:`create_from_dataset`:
+        ``initials`` maps table name -> ``ray.data.Dataset``; one
+        manifest, contiguous pid ranges per table as in
+        :meth:`create_multi`."""
+        lake = Lake(lake_dir)
+        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
+            raise FileExistsError(f"{lake_dir} already holds a committed lake")
+        os.makedirs(lake.manifest_dir, exist_ok=True)
+        tables: dict[str, dict] = {}
+        parts: dict[str, dict] = {}
+        base = 0
+        for name in sorted(initials):
+            p = (
+                partitions_per_table[name]
+                if isinstance(partitions_per_table, dict)
+                else partitions_per_table
+            )
+            parts.update(
+                lake._bootstrap_partitions_distributed(initials[name], int(p), base_pid=base)
+            )
+            tables[name] = {"base_pid": base, "num_partitions": int(p), "ddl_journal": []}
+            base += int(p)
+        m = Manifest(
+            version=0,
+            num_partitions=base,
+            hwm=tuple(start_position),
+            last_batch_id=-1,
+            schema_version=0,
+            partitions=parts,
+            tables=tables,
+        )
+        lake._write_manifest(m)
+        lake._swap_current(m.version)
+        return lake
+
+    def _bootstrap_partitions_distributed(
+        self, ds, num_partitions: int, base_pid: int
+    ) -> dict[str, dict]:
+        """Tag pid → one bucketed shuffle → one writer task per
+        partition (single-writer invariant); only P one-row metrics
+        records return to the driver."""
+        import numpy as np
+
+        lake_dir = self.dir
+
+        def tag(batch: pa.Table) -> pa.Table:
+            pid = partition_ids(batch["doc_id"].to_numpy(zero_copy_only=False), num_partitions)
+            return batch.append_column(
+                "pid", pa.array(pid + np.int32(base_pid), pa.int32())
+            )
+
+        def write_group(group: pa.Table) -> pa.Table:
+            pid = int(group["pid"][0].as_py())
+            body = group.drop_columns(["pid"]).combine_chunks()
+            body = ensure_helper_columns(body, seq=-1)
+            d = os.path.join(lake_dir, f"part={pid:05d}")
+            os.makedirs(d, exist_ok=True)
+            rel = f"part={pid:05d}/b{0:08d}-{uuid.uuid4().hex}.parquet"
+            pq.write_table(body, os.path.join(lake_dir, rel), use_dictionary=False)
+            return pa.Table.from_pydict(
+                {
+                    "pid": pa.array([pid], pa.int32()),
+                    "file": pa.array([rel], pa.string()),
+                    "rows": pa.array([body.num_rows], pa.int64()),
+                }
+            )
+
+        metrics = (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(write_group, batch_format="pyarrow")
+            .take_all()
+        )  # ≤ P one-row dicts — the only driver-side materialization
+        return {str(r["pid"]): {"files": [r["file"]], "rows": int(r["rows"])} for r in metrics}
+
     def _write_initial_partitions(
         self, table: pa.Table, num_partitions: int, base_pid: int
     ) -> dict[str, dict]:

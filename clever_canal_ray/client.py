@@ -149,6 +149,12 @@ class ChangeConsumer:
         self._persist()
         return batch_id, events
 
+    @property
+    def delivered_position(self) -> tuple[int, int]:
+        """Position after the last get — equals the newest in-flight
+        batch's ack boundary (PositionRange.ack)."""
+        return self._delivered
+
     def ack(self, batch_id: int) -> None:
         if not self._inflight or self._inflight[0]["batch_id"] != batch_id:
             raise FifoAckError(

@@ -62,7 +62,10 @@ class EventLogSpec:
     # (whole-table wipe at that position, its own txn, F9-style
     # isolation) — each entry is a fraction OR (fraction, table_name)
     # for multi-table streams (truncates only that table). Encoded as
-    # op="T" rows.
+    # op="T" rows. With include_before, a whole-stream truncate vacates
+    # every key in the before-image chain (a U/D above it sees no
+    # image); per-table truncate chains are exact only for the
+    # untruncated tables (routing is applied downstream).
     truncates: tuple = ()
     # first segment_id of this journal (chained journals / soak runs use
     # disjoint ascending ranges so positions keep increasing)
@@ -450,15 +453,36 @@ def generate_events(spec: EventLogSpec):
         prev_i = g["i"].shift(1)
         prev_op = g["op"].shift(1)
         prev_rk = g["rk"].shift(1)
+        prev_pos = g["pos"].shift(1)
         cur_i = df["i"].to_numpy()
         cur_op = df["op"].to_numpy()
         cur_key = df["key"].to_numpy()
+        cur_pos = df["pos"].to_numpy()
         pi = prev_i.to_numpy()
         po = prev_op.to_numpy()
         prk = prev_rk.to_numpy()
+        pp = prev_pos.to_numpy()
+        # a whole-stream TRUNCATE vacates EVERY key at its position: an
+        # image set below it is gone for events above it. (Per-table
+        # truncates are resolved downstream by retable_by_key's key-mod
+        # routing, unknowable here — include_before + per-table
+        # truncates keeps the pre-truncate image for the OTHER tables'
+        # rows correct and is inexact only for the truncated table.)
+        tr_pos = np.sort(
+            pos64[(op_all == "T") & (tbl_override == None)]  # noqa: E711 — elementwise
+        )
+        no_trunc_between = np.searchsorted(tr_pos, np.where(pd.isna(pp), 0, pp)) == (
+            np.searchsorted(tr_pos, cur_pos)
+        )
         # case 1: previous event set an image at THIS key (a rekey U
         # behaves like a 'D' for the old key — it removed the row)
-        m1 = pd.notna(pi) & ((po == "I") | (po == "U")) & (prk != True) & (cur_op != "I")  # noqa: E712
+        m1 = (
+            pd.notna(pi)
+            & ((po == "I") | (po == "U"))
+            & (prk != True)  # noqa: E712
+            & (cur_op != "I")
+            & no_trunc_between
+        )
         src = pi[m1].astype(np.int64)
         dst = cur_i[m1]
         before_tokens_obj[dst] = after_tokens_obj[src]
@@ -467,8 +491,14 @@ def generate_events(spec: EventLogSpec):
         for name, vals in extra_vals.items():
             before_extra[name][dst] = vals[src]
         has_before[dst] = True
-        # case 2: no previous event, key in the initial lake
-        m2 = pd.isna(pi) & (cur_key < r0) & (cur_op != "I")
+        # case 2: no previous event, key in the initial lake — and no
+        # whole-stream truncate below this event (it wiped the lake row)
+        m2 = (
+            pd.isna(pi)
+            & (cur_key < r0)
+            & (cur_op != "I")
+            & (np.searchsorted(tr_pos, cur_pos) == 0)
+        )
         dst2 = cur_i[m2]
         if len(dst2):
             lake_rng = np.random.default_rng(spec.seed)

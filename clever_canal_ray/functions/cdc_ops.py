@@ -204,6 +204,10 @@ def write_flat_messages(
             )
         else:
             old = before
+        # FlatMessage.sql (FlatMessage.java:15): DDL rows carry their
+        # statement — here the structured DDL JSON — so a consumer can
+        # replay schema evolution from the flat stream alone
+        sql = t["ddl"] if "ddl" in t.column_names else pa.nulls(n, pa.string())
         return pa.Table.from_pydict(
             {
                 "database": pa.array([database] * n, pa.string()),
@@ -212,6 +216,7 @@ def write_flat_messages(
                 "isDdl": pc.equal(t["op"], "DDL"),
                 "type": t["op"],
                 "es": t["execute_ts"].cast(pa.int64()),
+                "sql": sql,
                 "data": after,
                 "old": old,
                 "updated": updated_lists,

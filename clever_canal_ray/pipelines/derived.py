@@ -84,6 +84,9 @@ class AggregateMaintainer:
         # groups: key -> [n_docs, sum_0, sum_1, ...]
         self._groups: dict[str, list] = {}
         self._applied_pos = -1  # packed ack position of last folded batch
+        # stripped-stream guard counters (cumulative across batches)
+        self._ud_seen = 0
+        self._ud_with_before = 0
         self._load()
 
     # -- persistence -------------------------------------------------------
@@ -100,6 +103,8 @@ class AggregateMaintainer:
                 )
             self._groups = {k: list(v) for k, v in d["groups"].items()}
             self._applied_pos = int(d["applied_pos"])
+            self._ud_seen = int(d.get("ud_seen", 0))
+            self._ud_with_before = int(d.get("ud_with_before", 0))
 
     def _persist(self) -> None:
         tmp = self._state_path + f".tmp.{uuid.uuid4().hex}"
@@ -110,6 +115,8 @@ class AggregateMaintainer:
                     "sum_cols": list(self.sum_cols),
                     "groups": self._groups,
                     "applied_pos": self._applied_pos,
+                    "ud_seen": self._ud_seen,
+                    "ud_with_before": self._ud_with_before,
                 },
                 f,
             )
@@ -148,7 +155,16 @@ class AggregateMaintainer:
             ack = self.consumer.delivered_position
             ack_pos = int(pack_position(ack[0], ack[1]))
             if ack_pos > self._applied_pos:
-                self._fold(events)
+                # row-level D3 rule, not a whole-batch skip: a resume
+                # with a different batch_size re-cuts the stream, so a
+                # redelivered batch may STRADDLE applied_pos — fold only
+                # rows strictly above it
+                pos = pack_position(
+                    events["segment_id"].to_numpy(zero_copy_only=False),
+                    events["offset"].to_numpy(zero_copy_only=False),
+                )
+                fresh = pos > self._applied_pos
+                self._fold(events.filter(pa.array(fresh)) if not fresh.all() else events)
                 self._applied_pos = ack_pos
                 self._persist()  # phase 1: state durable before the ack
                 folded += 1
@@ -159,16 +175,31 @@ class AggregateMaintainer:
 
     def _fold(self, events: pa.Table) -> None:
         op = events["op"].to_numpy(zero_copy_only=False).astype(str)
+        data_mask = np.isin(op, ("I", "U", "D"))
         if "xa_id" in events.column_names:
-            xa = events["xa_id"]
-            data_mask = np.isin(op, ("I", "U", "D"))
-            if int(pc.sum(pc.is_valid(xa)).as_py() or 0) and (
-                np.asarray(pc.is_valid(xa).to_numpy(zero_copy_only=False))[data_mask].any()
-            ):
+            xa_valid = np.asarray(
+                pc.is_valid(events["xa_id"]).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            if xa_valid[data_mask].any():
                 raise ValueError(
                     "raw XA branch events cannot be folded incrementally "
                     "(verdict arrives later in the stream); replay the "
                     "stream through the engine or pre-resolve branches"
+                )
+        # the aggregate has no table dimension: a multi-table stream is
+        # ill-defined here (and a per-table TRUNCATE must not reset the
+        # other tables) — consume ONE table, filtered via ReplayConfig
+        if "table" in events.column_names:
+            tables = set(
+                np.asarray(events["table"].to_numpy(zero_copy_only=False), dtype=object)[
+                    data_mask | (op == "T")
+                ]
+            ) - {None}
+            if len(tables) > 1:
+                raise ValueError(
+                    f"stream carries multiple tables {sorted(tables)}: maintain "
+                    "one aggregate per table (subscribe with a ReplayConfig "
+                    "table filter)"
                 )
         # TRUNCATE: reset, then only deltas ABOVE the last T row apply
         # (events arrive position-sorted from the consumer)
@@ -200,9 +231,13 @@ class AggregateMaintainer:
         # U degenerates to insert (the oracle's upsert rule), D to a
         # no-op. A stream written WITHOUT before-images (include_before
         # =False) is indistinguishable per-row and would overcount —
-        # guard: a batch with many U/D rows and not a single before
-        # image is a stripped stream, not a run of missing-key updates.
-        if int((need_before).sum()) >= 20 and not before_valid[need_before].any():
+        # guard: once CUMULATIVELY (across batches, so small batch
+        # sizes can't dodge it) ≥20 U/D rows passed with not a single
+        # before image, this is a stripped stream, not a run of
+        # missing-key updates (one image ever seen disarms the guard).
+        self._ud_seen += int(need_before.sum())
+        self._ud_with_before += int(before_valid[need_before].sum())
+        if self._ud_seen >= 20 and self._ud_with_before == 0:
             raise ValueError(
                 "stream carries no before-images: incremental aggregate "
                 "maintenance needs include_before streams (a retraction "

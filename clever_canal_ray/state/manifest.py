@@ -318,12 +318,19 @@ class Lake:
     # -- creation ---------------------------------------------------------
 
     @staticmethod
-    def create(lake_dir: str, table: pa.Table, num_partitions: int = 16) -> "Lake":
-        """Bootstrap a lake from an initial table (schema v0).
+    def _normalize_journal(entries) -> list[dict]:
+        """Accept raw DDL dicts or full journal entries; a snapshot
+        DDL's position is at-or-below the dump position (unknown ⇒
+        [-1,-1])."""
+        return [
+            e if "ddl" in e else {"position": [-1, -1], "ddl": e} for e in (entries or [])
+        ]
 
-        Refuses to clobber an existing lake (a pointed _CURRENT means
-        committed state lives here — resume with ``Lake(dir)`` instead).
-        """
+    @staticmethod
+    def _begin_create(lake_dir: str) -> "Lake":
+        """Shared creation preamble: refuse to clobber an existing lake
+        (a pointed _CURRENT means committed state lives here — resume
+        with ``Lake(dir)`` instead)."""
         lake = Lake(lake_dir)
         if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
             raise FileExistsError(
@@ -331,63 +338,99 @@ class Lake:
                 "or choose a fresh directory"
             )
         os.makedirs(lake.manifest_dir, exist_ok=True)
-        parts = lake._write_initial_partitions(table, num_partitions, base_pid=0)
-        m = Manifest(
-            version=0,
-            num_partitions=num_partitions,
-            hwm=(-1, -1),
-            last_batch_id=-1,
-            schema_version=0,
-            partitions=parts,
-        )
-        lake._write_manifest(m)
-        lake._swap_current(m.version)
         return lake
+
+    def _finish_create(self, m: Manifest) -> "Lake":
+        self._write_manifest(m)
+        self._swap_current(m.version)
+        return self
+
+    @staticmethod
+    def _multi_parts(writer, initials: dict, partitions_per_table, ddl_journals):
+        """Shared multi-table loop: table i owns the contiguous pid
+        range [base_i, base_i + P_i); per-table DDL journals seed the
+        TableMetaCache-analog schema state."""
+        tables: dict[str, dict] = {}
+        parts: dict[str, dict] = {}
+        base = 0
+        for name in sorted(initials):
+            p = int(
+                partitions_per_table[name]
+                if isinstance(partitions_per_table, dict)
+                else partitions_per_table
+            )
+            parts.update(writer(initials[name], p, base))
+            tables[name] = {
+                "base_pid": base,
+                "num_partitions": p,
+                "ddl_journal": Lake._normalize_journal((ddl_journals or {}).get(name)),
+            }
+            base += p
+        return parts, tables, base
+
+    @staticmethod
+    def create(
+        lake_dir: str,
+        table: pa.Table,
+        num_partitions: int = 16,
+        start_position: tuple[int, int] = (-1, -1),
+        ddl_journal: list[dict] | None = None,
+    ) -> "Lake":
+        """Bootstrap a lake from an initial driver-side table.
+
+        ``start_position`` / ``ddl_journal``: see
+        :meth:`create_from_dataset` (same handoff semantics, driver-side
+        snapshot)."""
+        lake = Lake._begin_create(lake_dir)
+        journal = Lake._normalize_journal(ddl_journal)
+        return lake._finish_create(
+            Manifest(
+                version=0,
+                num_partitions=num_partitions,
+                hwm=tuple(start_position),
+                last_batch_id=-1,
+                schema_version=len(journal),
+                ddl_journal=journal,
+                partitions=lake._write_initial_partitions(table, num_partitions, base_pid=0),
+            )
+        )
 
     @staticmethod
     def create_multi(
-        lake_dir: str, initials: dict[str, pa.Table], partitions_per_table: int | dict = 8
+        lake_dir: str,
+        initials: dict[str, pa.Table],
+        partitions_per_table: int | dict = 8,
+        start_position: tuple[int, int] = (-1, -1),
+        ddl_journals: dict[str, list] | None = None,
     ) -> "Lake":
         """Bootstrap a MULTI-TABLE lake: one manifest, one global pid
         space — table i owns the contiguous pid range
         [base_i, base_i + P_i). Events route by their ``table`` column
         (Header.schemaName/tableName, EntryProtocol.proto:80-113);
         every table keeps its own DDL journal (TableMetaCache.java:45-76
-        per-table meta analog)."""
-        lake = Lake(lake_dir)
-        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
-            raise FileExistsError(f"{lake_dir} already holds a committed lake")
-        os.makedirs(lake.manifest_dir, exist_ok=True)
-        tables: dict[str, dict] = {}
-        parts: dict[str, dict] = {}
-        base = 0
-        for name in sorted(initials):
-            p = (
-                partitions_per_table[name]
-                if isinstance(partitions_per_table, dict)
-                else partitions_per_table
-            )
-            parts.update(lake._write_initial_partitions(initials[name], p, base_pid=base))
-            tables[name] = {"base_pid": base, "num_partitions": int(p), "ddl_journal": []}
-            base += int(p)
-        m = Manifest(
-            version=0,
-            num_partitions=base,
-            hwm=(-1, -1),
-            last_batch_id=-1,
-            schema_version=0,
-            partitions=parts,
-            tables=tables,
+        per-table meta analog), seedable per table via ``ddl_journals``
+        for dumps taken after mid-stream DDLs."""
+        lake = Lake._begin_create(lake_dir)
+        parts, tables, base = Lake._multi_parts(
+            lake._write_initial_partitions, initials, partitions_per_table, ddl_journals
         )
-        lake._write_manifest(m)
-        lake._swap_current(m.version)
-        return lake
+        return lake._finish_create(
+            Manifest(
+                version=0,
+                num_partitions=base,
+                hwm=tuple(start_position),
+                last_batch_id=-1,
+                schema_version=0,
+                partitions=parts,
+                tables=tables,
+            )
+        )
 
     @staticmethod
     def create_from_dataset(
         lake_dir: str,
         ds,
-        num_partitions: int = 16,
+        num_partitions: int | None = 16,
         start_position: tuple[int, int] = (-1, -1),
         ddl_journal: list[dict] | None = None,
     ) -> "Lake":
@@ -399,11 +442,16 @@ class Lake:
         (MysqlEventParser.findStartPositionInternal:466-547 "configured
         master position" resume rule).
 
-        Unlike :meth:`create`, the snapshot never lands on the driver —
-        at 100 TB the dump table only exists as a Dataset. The manifest
-        HWM is stamped with ``start_position`` (the dump's binlog
-        coordinates) so a subsequent :func:`replay` applies only events
-        strictly above it: bootstrap + replay of the full log is
+        Unlike :meth:`create`, the snapshot never lands on the driver.
+        Each partition IS materialized in its writer task (one file per
+        partition, read-optimal), so size ``num_partitions`` to the
+        worker heap: partition ≈ dump_bytes / num_partitions must fit in
+        one task. Pass ``num_partitions=None`` to derive it from
+        ``ds.size_bytes()`` at ~256 MB per partition.
+
+        The manifest HWM is stamped with ``start_position`` (the dump's
+        binlog coordinates) so a subsequent :func:`replay` applies only
+        events strictly above it: bootstrap + replay of the full log is
         exactly-once end to end (D3 filter ``offset > hwm``).
 
         File layout, seq stamps, and hash placement are identical to
@@ -418,28 +466,23 @@ class Lake:
         dump's schema version, while DDL events above ``start_position``
         replay normally.
         """
-        lake = Lake(lake_dir)
-        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
-            raise FileExistsError(f"{lake_dir} already holds a committed lake")
-        os.makedirs(lake.manifest_dir, exist_ok=True)
-        parts = lake._bootstrap_partitions_distributed(ds, num_partitions, base_pid=0)
-        # accept raw DDL dicts or full journal entries; a snapshot DDL's
-        # position is at-or-below the dump position (unknown ⇒ [-1,-1])
-        journal = [
-            e if "ddl" in e else {"position": [-1, -1], "ddl": e} for e in (ddl_journal or [])
-        ]
-        m = Manifest(
-            version=0,
-            num_partitions=num_partitions,
-            hwm=tuple(start_position),
-            last_batch_id=-1,
-            schema_version=len(journal),
-            ddl_journal=journal,
-            partitions=parts,
+        lake = Lake._begin_create(lake_dir)
+        if num_partitions is None:
+            num_partitions = Lake._derive_num_partitions(ds)
+        journal = Lake._normalize_journal(ddl_journal)
+        return lake._finish_create(
+            Manifest(
+                version=0,
+                num_partitions=num_partitions,
+                hwm=tuple(start_position),
+                last_batch_id=-1,
+                schema_version=len(journal),
+                ddl_journal=journal,
+                partitions=lake._bootstrap_partitions_distributed(
+                    ds, num_partitions, base_pid=0
+                ),
+            )
         )
-        lake._write_manifest(m)
-        lake._swap_current(m.version)
-        return lake
 
     @staticmethod
     def create_multi_from_datasets(
@@ -447,41 +490,43 @@ class Lake:
         initials: dict,
         partitions_per_table: int | dict = 8,
         start_position: tuple[int, int] = (-1, -1),
+        ddl_journals: dict[str, list] | None = None,
     ) -> "Lake":
         """Multi-table variant of :meth:`create_from_dataset`:
         ``initials`` maps table name -> ``ray.data.Dataset``; one
         manifest, contiguous pid ranges per table as in
-        :meth:`create_multi`."""
-        lake = Lake(lake_dir)
-        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
-            raise FileExistsError(f"{lake_dir} already holds a committed lake")
-        os.makedirs(lake.manifest_dir, exist_ok=True)
-        tables: dict[str, dict] = {}
-        parts: dict[str, dict] = {}
-        base = 0
-        for name in sorted(initials):
-            p = (
-                partitions_per_table[name]
-                if isinstance(partitions_per_table, dict)
-                else partitions_per_table
-            )
-            parts.update(
-                lake._bootstrap_partitions_distributed(initials[name], int(p), base_pid=base)
-            )
-            tables[name] = {"base_pid": base, "num_partitions": int(p), "ddl_journal": []}
-            base += int(p)
-        m = Manifest(
-            version=0,
-            num_partitions=base,
-            hwm=tuple(start_position),
-            last_batch_id=-1,
-            schema_version=0,
-            partitions=parts,
-            tables=tables,
+        :meth:`create_multi`; ``ddl_journals`` seeds per-table schema
+        state for dumps taken after mid-stream DDLs."""
+        lake = Lake._begin_create(lake_dir)
+
+        def writer(ds, p, base):
+            return lake._bootstrap_partitions_distributed(ds, p, base_pid=base)
+
+        parts, tables, base = Lake._multi_parts(
+            writer, initials, partitions_per_table, ddl_journals
         )
-        lake._write_manifest(m)
-        lake._swap_current(m.version)
-        return lake
+        return lake._finish_create(
+            Manifest(
+                version=0,
+                num_partitions=base,
+                hwm=tuple(start_position),
+                last_batch_id=-1,
+                schema_version=0,
+                partitions=parts,
+                tables=tables,
+            )
+        )
+
+    @staticmethod
+    def _derive_num_partitions(ds, target_bytes: int = 256 << 20) -> int:
+        size = None
+        try:
+            size = ds.size_bytes()
+        except Exception:
+            pass
+        if not size:
+            return 16
+        return max(16, -(-int(size) // target_bytes))
 
     def _bootstrap_partitions_distributed(
         self, ds, num_partitions: int, base_pid: int

@@ -169,3 +169,31 @@ def test_multi_table_distributed_bootstrap(ray_session, tmp_path):
     for t in initials:
         assert_tables_equal(a.read_table(table=t), b.read_table(table=t))
     assert a.current().routing() == b.current().routing()
+
+
+def test_multi_table_bootstrap_seeds_per_table_journals(ray_session, tmp_path):
+    """A multi-table dump taken after a DDL on one table seeds that
+    table's journal, so schema_of_table resolves the evolved schema."""
+    import ray
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a1", "a2"],
+            "tokens": pa.array([[1], [2, 3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 2], pa.int32()),
+            "source": ["s", "s"],
+            "lang": ["en", "de"],
+        }
+    )
+    plain = tbl.drop_columns(["lang"])
+    lake = Lake.create_multi_from_datasets(
+        str(tmp_path / "lake"),
+        {"t_a": ray.data.from_arrow(tbl), "t_b": ray.data.from_arrow(plain)},
+        partitions_per_table=2,
+        ddl_journals={"t_a": [{"op": "add_column", "name": "lang", "type": "string"}]},
+    )
+    m = lake.current()
+    assert [e["ddl"]["op"] for e in m.tables["t_a"]["ddl_journal"]] == ["add_column"]
+    assert m.schema_of_table("t_a").get_field_index("lang") != -1
+    assert m.schema_of_table("t_b").get_field_index("lang") == -1
+    assert_tables_equal(lake.read_table(table="t_a"), tbl)

@@ -177,7 +177,8 @@ def test_write_flat_messages(ray_session, fx, tmp_path):
     assert len(rows) == total
     sample = rows[0]
     assert set(sample) == {
-        "database", "table", "pkNames", "isDdl", "type", "es", "data", "old", "updated",
+        "database", "table", "pkNames", "isDdl", "type", "es", "sql", "data", "old",
+        "updated",
     }
     assert sample["pkNames"] == ["doc_id"]
     assert any(r["type"] == "D" and r["data"] is None for r in rows)

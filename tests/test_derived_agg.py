@@ -69,6 +69,63 @@ def test_crash_between_apply_and_ack_is_exactly_once(tmp_path):
     pd.testing.assert_frame_equal(_got(m2), _final_state_agg(spec))
 
 
+def test_resume_with_different_batch_size_is_exactly_once(tmp_path):
+    """A redelivered batch re-cut with a LARGER batch_size straddles
+    applied_pos; the row-level position filter must fold only the fresh
+    suffix (regression: whole-batch skip double-folded the prefix)."""
+    spec = EventLogSpec(seed=95, n_initial_docs=150, n_events=1200, n_segments=4)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    state = str(tmp_path / "state")
+
+    m = AggregateMaintainer(str(root / "segments"), state)
+    m.seed(generate_lake(spec))
+    m.consumer.subscribe()
+    bid, events = m.consumer.get_without_ack(300)
+    ack = m.consumer.delivered_position
+    m._fold(events)
+    m._applied_pos = int(pack_position(ack[0], ack[1]))
+    m._persist()
+    del m  # crash before ack
+
+    m2 = AggregateMaintainer(str(root / "segments"), state)
+    m2.run_to_end(batch_size=700)  # re-cut: first batch straddles applied_pos
+    pd.testing.assert_frame_equal(_got(m2), _final_state_agg(spec))
+
+
+def test_multi_table_stream_rejected(tmp_path):
+    from clever_canal_ray.fixtures.generator import retable_by_key
+
+    spec = EventLogSpec(seed=96, n_initial_docs=80, n_events=400, n_segments=2)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    # rewrite the journal as a 2-table stream
+    import pyarrow.parquet as pq
+    import os
+
+    segdir = root / "segments"
+    for f in os.listdir(segdir):
+        if f.endswith(".parquet"):
+            t = retable_by_key(pq.read_table(segdir / f), 2)
+            pq.write_table(t, segdir / f)
+    m = AggregateMaintainer(str(segdir), str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="multiple tables"):
+        m.run_to_end(batch_size=200)
+
+
+def test_stripped_stream_guard_fires_across_small_batches(tmp_path):
+    """include_before=False stream + tiny batch_size: the cumulative
+    counter still trips the guard (a per-batch threshold would not)."""
+    spec = EventLogSpec(
+        seed=97, n_initial_docs=100, n_events=600, n_segments=2, include_before=False
+    )
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    m = AggregateMaintainer(str(root / "segments"), str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="no before-images"):
+        m.run_to_end(batch_size=10)
+
+
 def test_truncate_resets_groups(tmp_path):
     spec = EventLogSpec(
         seed=93, n_initial_docs=100, n_events=1000, n_segments=4, truncates=(0.5,)

@@ -267,7 +267,11 @@ def run_scaling() -> dict:
         check=True,
         capture_output=True,
     )
-    reps = int(os.environ.get("CCR_SCALING_REPS", "2"))
+    # 3 interleaved reps by default: the host's delivered throughput
+    # moves in multi-minute phases (BASELINE.md round-3 scaling notes);
+    # min-of-3 rides a bad phase far better than min-of-2 at ~7 min
+    # extra wall time
+    reps = int(os.environ.get("CCR_SCALING_REPS", "3"))
     lo_secs, hi_secs, wlo_secs, lo_eps, hi_eps = [], [], [], [], []
     for _ in range(reps):
         r_lo, r_wlo, r_hi = run(lo), run(lo, events=weak_events), run(hi)

@@ -589,6 +589,15 @@ def generate_events(spec: EventLogSpec):
     return segments, final_payload
 
 
+def _ts_ms(v) -> int | None:
+    """np.datetime64 → epoch ms, or None for NaT."""
+    import numpy as np
+
+    if np.isnat(np.datetime64(v)):
+        return None
+    return int(np.datetime64(v).astype("datetime64[ms]").astype("int64"))
+
+
 def segment_plan_metadata(t: pa.Table) -> str:
     """Footer plan metadata — the binlog *index file* analog: lets the
     driver plan a micro-batch (ack position, DDL list, liveness ts)
@@ -627,8 +636,11 @@ def segment_plan_metadata(t: pa.Table) -> str:
             "ack": [int(seg[ack_i]), int(off[ack_i])] if ack_i is not None else None,
             "ddls": ddls,
             "truncates": truncates,
-            "max_ts": int(ts.max().astype("datetime64[ms]").astype("int64")) if len(t) else None,
-            "min_ts": int(ts.min().astype("datetime64[ms]").astype("int64")) if len(t) else None,
+            # NaT-guarded: an all-null execute_ts column (streams with
+            # no timestamp source, e.g. FlatMessage files without `es`)
+            # must record null, not INT64_MIN
+            "max_ts": _ts_ms(ts.max()) if len(t) else None,
+            "min_ts": _ts_ms(ts.min()) if len(t) else None,
             # logical txn-id bounds — the GTID-set building block: txn
             # ids survive re-segmentation (mirror/archive sources), file
             # positions don't

@@ -160,6 +160,19 @@ def write_flat_messages(
     """
     def project(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        # XA branch internals cannot ride the flat surface: a consumer
+        # of the JSON stream has no verdict fixpoint, so exporting an
+        # unresolved branch would make rolled-back rows applyable.
+        # Replay through the engine (which resolves branches) first.
+        ops_np = np.asarray(t["op"].to_numpy(zero_copy_only=False), dtype=object)
+        has_xa_rows = bool(np.isin(ops_np, ("XC", "XR")).any()) or (
+            "xa_id" in t.column_names and t["xa_id"].null_count < n
+        )
+        if has_xa_rows:
+            raise ValueError(
+                "stream carries XA branch events/verdicts — resolve them by "
+                "replaying through the engine before FlatMessage export"
+            )
         after = t["after"].combine_chunks() if isinstance(t["after"], pa.ChunkedArray) else t["after"]
         before = (
             t["before"].combine_chunks()

@@ -14,17 +14,30 @@ binlog coordinates — consumers inherit order from the MQ partition. We
 synthesize the same contract: file order is segment order, row order
 within a file is offset order, and every row is its own transaction
 (MQ flat consumers apply row-at-a-time idempotently; there is no txn
-framing to recover). Replay convergence is unaffected: last-writer-wins
-resolves by the synthesized (segment, offset) order, which equals the
-original event order.
+framing to recover). The synthesized txn id is the packed (segment,
+offset) position, so txn ids stay globally unique and monotone — the
+invariant the GTID watermark (``ReplayConfig.gtid_dedup``) relies on.
+Replay convergence is unaffected: last-writer-wins resolves by the
+synthesized order, which equals the original event order.
+
+**File order is stream order.** The directory listing is sorted by
+name; pass ``files=[...]`` explicitly when names don't sort in stream
+order (Ray's ``write_json`` emits UUID-prefixed names — rename them or
+list them in order; two producer runs appended into one directory DO
+NOT sort correctly by name).
 
 PK-change rows are reconstructed from the change mask: a U row whose
 ``old`` carries a different ``doc_id`` than ``data`` becomes a rekey
 event (delete(old)+upsert(new)) — exactly how a Canal client detects a
 key change from FlatMessage.old. DDL rows replay from ``sql``
-(FlatMessage.sql holds the structured DDL record). XA verdicts and
-TRUNCATE are not part of the FlatMessage surface; the producer resolves
-them upstream.
+(FlatMessage.sql holds the structured DDL record); when ``payload`` is
+not given, the stream's own DDL records are scanned first and the
+physical payload (base + add/widen; renames and drops stay under their
+original physical names, mirroring the event-encoding rule) is derived
+from them. TRUNCATE passes through as an ``op="T"`` control row. XA
+branch internals are not part of the FlatMessage surface — the
+producer refuses unresolved branches; replay the stream through the
+engine first.
 """
 
 from __future__ import annotations
@@ -37,9 +50,10 @@ import pyarrow.compute as pc
 import pyarrow.json as pj
 import pyarrow.parquet as pq
 
-from clever_canal_ray.schema import event_schema, lake_schema
+from clever_canal_ray.schema import event_schema, lake_schema, pack_position
 
-_ALLOWED_OPS = {"I", "U", "D", "DDL"}
+_ALLOWED_OPS = {"I", "U", "D", "DDL", "T"}
+_PHYSICAL_DDL_OPS = ("add_column", "widen_type")
 
 
 def _struct_from(src: pa.Array, payload: pa.Schema, n: int) -> pa.Array:
@@ -62,21 +76,75 @@ def _struct_from(src: pa.Array, payload: pa.Schema, n: int) -> pa.Array:
     )
 
 
+def scan_flat_file(path: str) -> dict:
+    """Cheap pre-scan of one FlatMessage file: DDL records (in order),
+    whether any PK-change row exists, and the DELETE/keyless-DELETE
+    counts for the directory-level stripped-stream check."""
+    import json
+
+    t = pj.read_json(path)
+    op = np.asarray(t["type"].to_numpy(zero_copy_only=False), dtype=object)
+    is_ddl = op == "DDL"
+    ddls = []
+    if is_ddl.any():
+        if "sql" not in t.column_names:
+            raise ValueError(
+                f"{path}: DDL rows without a 'sql' field cannot replay schema evolution"
+            )
+        sql = np.asarray(t["sql"].to_numpy(zero_copy_only=False), dtype=object)
+        ddls = [json.loads(s) for s in sql[is_ddl]]
+
+    def ids(col):
+        if col not in t.column_names or pa.types.is_null(t[col].type):
+            return np.full(t.num_rows, None, dtype=object)
+        struct = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+        if struct.type.num_fields == 0 or struct.type.get_field_index("doc_id") == -1:
+            return np.full(t.num_rows, None, dtype=object)
+        return np.asarray(
+            pc.struct_field(struct, "doc_id").to_numpy(zero_copy_only=False), dtype=object
+        )
+
+    data_id, old_id = ids("data"), ids("old")
+    rekey = bool(
+        ((op == "U") & (old_id != None) & (data_id != None) & (old_id != data_id)).any()  # noqa: E711
+    )
+    is_d = op == "D"
+    return {
+        "ddls": ddls,
+        "rekey": rekey,
+        "n_d": int(is_d.sum()),
+        "n_keyless_d": int((is_d & (old_id == None)).sum()),  # noqa: E711
+    }
+
+
 def flat_file_to_events(
-    path: str, segment_id: int, payload: pa.Schema | None = None
+    path: str,
+    segment_id: int,
+    payload: pa.Schema | None = None,
+    include_rekey: bool | None = None,
 ) -> pa.Table:
-    """One FlatMessage JSONL file → one canonical event segment table."""
+    """One FlatMessage JSONL file → one canonical event segment table.
+
+    ``payload`` is the PHYSICAL layout (base + add/widen columns, the
+    encoding every data row uses); default = base schema v0.
+    ``include_rekey`` forces the ``new_doc_id`` column on/off so every
+    segment of a stream shares one schema (replay rejects a micro-batch
+    whose files disagree); None = decide from this file alone."""
     payload = payload if payload is not None else lake_schema([])
     t = pj.read_json(path)
     n = t.num_rows
     op = np.asarray(t["type"].to_numpy(zero_copy_only=False), dtype=object)
     unknown = set(op) - _ALLOWED_OPS
     if unknown:
+        if None in unknown:
+            raise ValueError(f"{path}: rows without a 'type' field")
         raise ValueError(
-            f"{path}: FlatMessage stream carries unsupported types {sorted(unknown)} "
-            "(XA/TRUNCATE are resolved upstream by the producer)"
+            f"{path}: FlatMessage stream carries unsupported types "
+            f"{sorted(map(str, unknown))} (XA branches must be resolved by "
+            "replaying through the engine before export)"
         )
     is_ddl = op == "DDL"
+    is_t = op == "T"
     if is_ddl.any() and "sql" not in t.column_names:
         raise ValueError(
             f"{path}: DDL rows without a 'sql' field cannot replay schema evolution"
@@ -101,18 +169,16 @@ def flat_file_to_events(
     rk = (op == "U") & (old_id != None) & (data_id != None) & (old_id != data_id)  # noqa: E711
     doc_id = np.where(op == "D", old_id, np.where(rk, old_id, data_id))
     new_doc_id = np.where(rk, data_id, None)
-    include_rekey = bool(rk.any())
+    if include_rekey is None:
+        include_rekey = bool(rk.any())
+    elif rk.any() and not include_rekey:
+        raise ValueError(f"{path}: PK-change rows present but include_rekey=False")
     # a keyless D is a delete of a row that did not exist (the producer
     # had no before-image to emit) — a no-op for any applier; DROP it.
-    # But a file whose D rows are ALL keyless is a before-stripped
-    # stream: its real deletes are unrecoverable — refuse loudly.
+    # The stripped-stream refusal (ALL deletes keyless) happens at the
+    # DIRECTORY level in flat_messages_to_segments — per-file counts
+    # are too small to judge (write_json emits many small files).
     keyless_d = (op == "D") & (doc_id == None)  # noqa: E711
-    n_d = int((op == "D").sum())
-    if n_d >= 5 and int(keyless_d.sum()) == n_d:
-        raise ValueError(
-            f"{path}: every DELETE lacks a row image in 'old' — the stream "
-            "was produced without before-images and cannot be replayed"
-        )
     missing = np.isin(op, ("I", "U")) & (doc_id == None)  # noqa: E711
     if missing.any():
         raise ValueError(f"{path}: {int(missing.sum())} I/U messages carry no key")
@@ -120,11 +186,10 @@ def flat_file_to_events(
         keep = ~keyless_d
         t = t.filter(pa.array(keep))
         n = t.num_rows
-        op, is_ddl, doc_id, new_doc_id = (
-            op[keep], is_ddl[keep], doc_id[keep], new_doc_id[keep],
+        op, is_ddl, is_t, doc_id, new_doc_id = (
+            op[keep], is_ddl[keep], is_t[keep], doc_id[keep], new_doc_id[keep],
         )
         after, before = after.filter(pa.array(keep)), before.filter(pa.array(keep))
-        include_rekey = bool(((op == "U") & (new_doc_id != None)).any())  # noqa: E711
 
     # DDL rows: the after/doc_id must be null, ddl JSON rides along
     ddl_col = (
@@ -133,18 +198,22 @@ def flat_file_to_events(
         else np.full(n, None, dtype=object)
     )
     ddl_col = np.where(is_ddl, ddl_col, None)
-    doc_id = np.where(is_ddl, None, doc_id)
+    doc_id = np.where(is_ddl | is_t, None, doc_id)
     # schema epoch within the file: DDL count prefix (replay recomputes
     # epochs from DDL positions; this column mirrors the producer's)
     sv = np.cumsum(is_ddl).astype(np.int32)
 
     es = t["es"].cast(pa.timestamp("ms")) if "es" in t.column_names else pa.nulls(n, pa.timestamp("ms"))
     offsets = 4 + np.arange(n, dtype=np.int64)
+    # txn id = packed position: globally unique + monotone across
+    # segments (plan sidecars and the GTID watermark depend on it; a
+    # per-file counter would collide and gtid_dedup would drop data)
+    txn_ids = pack_position(np.full(n, segment_id, dtype=np.int64), offsets)
     schema = event_schema(payload, include_rekey=include_rekey)
     arrays = [
         pa.array(np.full(n, segment_id, dtype=np.int32), pa.int32()),
         pa.array(offsets, pa.int64()),
-        pa.array(offsets, pa.int64()),  # txn_id: one txn per row (MQ contract)
+        pa.array(txn_ids.astype(np.int64), pa.int64()),
         pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
         pa.array(np.ones(n, dtype=bool), pa.bool_()),  # every row commits
         es,
@@ -174,29 +243,54 @@ def flat_messages_to_segments(
     out_dir: str,
     payload: pa.Schema | None = None,
     segment_base: int = 0,
+    files: list[str] | None = None,
 ) -> list[str]:
-    """Convert a directory of FlatMessage JSONL files (the
-    ``write_flat_messages`` output layout) into replayable parquet
-    segments — one file = one segment, converted in parallel Ray tasks,
-    each with a ``.plan.json`` footer sidecar so replay plans from
-    metadata alone. Returns the segment paths in order."""
+    """Convert a directory of FlatMessage JSONL files into replayable
+    parquet segments — one file = one segment, converted in parallel
+    Ray tasks, each with a ``.plan.json`` footer sidecar so replay
+    plans from metadata alone. Returns the segment paths in order.
+
+    Two passes: a cheap parallel pre-scan derives (a) the stream's
+    physical payload from its OWN DDL records when ``payload`` is not
+    given, (b) whether ANY file carries PK-change rows (so every
+    segment shares one schema), and (c) the directory-level
+    stripped-stream check (a stream whose DELETEs are ALL keyless was
+    produced without before-images and cannot be replayed).
+
+    ``files``: explicit stream-ordered list; default = directory
+    listing sorted by NAME (see module docstring for the ordering
+    contract)."""
     import ray
 
     from clever_canal_ray.fixtures.generator import segment_plan_metadata
 
-    files = sorted(
-        os.path.join(json_dir, f)
-        for f in os.listdir(json_dir)
-        if f.endswith(".json") or f.endswith(".jsonl")
-    )
+    if files is None:
+        files = sorted(
+            os.path.join(json_dir, f)
+            for f in os.listdir(json_dir)
+            if f.endswith(".json") or f.endswith(".jsonl")
+        )
     if not files:
         raise FileNotFoundError(f"no .json/.jsonl files under {json_dir}")
     os.makedirs(out_dir, exist_ok=True)
-    payload = payload if payload is not None else lake_schema([])
+
+    scan_r = ray.remote(scan_flat_file)
+    scans = ray.get([scan_r.remote(p) for p in files])
+    n_d = sum(s["n_d"] for s in scans)
+    if n_d >= 5 and sum(s["n_keyless_d"] for s in scans) == n_d:
+        raise ValueError(
+            f"{json_dir}: every DELETE in the stream lacks a row image in "
+            "'old' — produced without before-images; deletes are "
+            "unrecoverable and the stream cannot be replayed"
+        )
+    include_rekey = any(s["rekey"] for s in scans)
+    if payload is None:
+        ddls = [d for s in scans for d in s["ddls"] if d["op"] in _PHYSICAL_DDL_OPS]
+        payload = lake_schema(ddls)
 
     @ray.remote
     def convert(path: str, seg: int, out_path: str) -> str:
-        t = flat_file_to_events(path, seg, payload)
+        t = flat_file_to_events(path, seg, payload, include_rekey=include_rekey)
         pq.write_table(t, out_path, use_dictionary=False, row_group_size=65536)
         with open(out_path + ".plan.json", "w") as f:
             f.write(segment_plan_metadata(t))

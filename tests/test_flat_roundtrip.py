@@ -58,13 +58,61 @@ def test_flat_roundtrip_with_rekeys(ray_session, tmp_path):
     assert_tables_equal(got, expect)
 
 
-def test_flat_roundtrip_with_ddl(ray_session, tmp_path):
+def test_flat_roundtrip_with_ddl_auto_payload(ray_session, tmp_path):
+    """payload=None: the physical layout derives from the stream's OWN
+    DDL records — values written into the added column survive."""
     ddl = {"op": "add_column", "name": "lang", "type": "string"}
     spec = EventLogSpec(
         seed=32, n_initial_docs=100, n_events=800, n_segments=4, ddls=((0.5, ddl),)
     )
-    got, expect = _roundtrip(spec, tmp_path, payload=lake_schema([ddl]))
+    got, expect = _roundtrip(spec, tmp_path, payload=None)
     assert_tables_equal(got, expect)
+
+
+def test_flat_roundtrip_with_truncate(ray_session, tmp_path):
+    spec = EventLogSpec(
+        seed=33, n_initial_docs=120, n_events=900, n_segments=4, truncates=(0.5,)
+    )
+    got, expect = _roundtrip(spec, tmp_path, payload=None)
+    assert_tables_equal(got, expect)
+
+
+def test_flat_rekey_schema_uniform_across_segments(ray_session, tmp_path):
+    """include_rekey is decided stream-wide: a file WITHOUT PK-change
+    rows still gets the new_doc_id column when any other file has one
+    (mixed segment schemas would be rejected by replay)."""
+    import pyarrow.parquet as pq
+
+    from clever_canal_ray.sources.flat_json import flat_messages_to_segments
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    row = '{{"database":"lake","table":"sequences","type":"{op}","es":1,"sql":null,"data":{data},"old":{old}}}\n'
+    img = '{{"doc_id":"{k}","tokens":[1],"n_tok":1,"source":"s"}}'
+    (d / "00000.jsonl").write_text(
+        row.format(op="U", data=img.format(k="docB"), old=img.format(k="docA"))  # rekey
+    )
+    (d / "00001.jsonl").write_text(
+        row.format(op="I", data=img.format(k="docC"), old="null")
+    )
+    paths = flat_messages_to_segments(str(d), str(tmp_path / "seg"))
+    for p in paths:
+        assert "new_doc_id" in pq.read_schema(p).names
+
+
+def test_flat_rejects_stripped_stream_directory_level(ray_session, tmp_path):
+    """Every DELETE keyless across MANY SMALL files (each under any
+    per-file threshold) still trips the stripped-stream refusal."""
+    from clever_canal_ray.sources.flat_json import flat_messages_to_segments
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    del_row = '{"database":"lake","table":"sequences","type":"D","es":1,"sql":null,"data":null,"old":null}\n'
+    ins_row = '{"database":"lake","table":"sequences","type":"I","es":1,"sql":null,"data":{"doc_id":"a","tokens":[1],"n_tok":1,"source":"s"},"old":null}\n'
+    for i in range(4):
+        (d / f"{i:05d}.jsonl").write_text(ins_row + del_row * 2)  # 2 deletes/file
+    with pytest.raises(ValueError, match="without before-images"):
+        flat_messages_to_segments(str(d), str(tmp_path / "seg"))
 
 
 def test_flat_rejects_unknown_types(ray_session, tmp_path):
@@ -76,3 +124,17 @@ def test_flat_rejects_unknown_types(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported types"):
         flat_file_to_events(str(p), 0)
+
+
+def test_producer_refuses_unresolved_xa(ray_session, tmp_path):
+    import ray
+
+    from clever_canal_ray.functions.cdc_ops import write_flat_messages
+
+    spec = EventLogSpec(seed=34, n_initial_docs=40, n_events=200, n_segments=2)
+    segs, _ = generate_events(spec)
+    seg = segs[0]
+    xa = pa.array([7] + [None] * (seg.num_rows - 1), pa.int64())
+    seg = seg.append_column("xa_id", xa)
+    with pytest.raises(Exception, match="XA"):
+        write_flat_messages(ray.data.from_arrow(seg), str(tmp_path / "o"))

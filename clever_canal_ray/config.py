@@ -17,8 +17,32 @@ AbstractEventParser.java:63-65 and EntryEventSink.doFilter:151-162):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
+
+
+def actor_pool(lo: int = 2, cap: int = 0) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for ``map_batches(Cls, concurrency=...)``.
+
+    ``(lo, hi)`` where ``hi`` tracks the cluster's CPU count (the
+    parse-worker sizing rule, AbstractEventParser.java:207: workers =
+    f(cores), never a constant) so stateful stages scale with the node
+    instead of capping the pipeline at a fixed actor count. ``cap``
+    bounds ``hi`` when the stage is memory-heavy (wide media payloads).
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover - ray import/startup races
+        cpus = 0
+    if cpus <= 0:
+        cpus = os.cpu_count() or lo
+    hi = max(lo, cpus)
+    if cap:
+        hi = min(hi, cap)
+    return (lo, hi)
 
 
 @dataclass

@@ -292,7 +292,14 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, num_hashes: int = 64, bands: i
             return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
         return pd.concat(outs, ignore_index=True)
 
-    banded = ds.map_batches(MinHasher(num_hashes, bands, k, seed), batch_format="pandas", concurrency=2)
+    from clever_canal_ray.config import actor_pool
+
+    banded = ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(num_hashes, bands, k, seed),
+        batch_format="pandas",
+        concurrency=actor_pool(),
+    )
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -729,27 +736,67 @@ class _DedupShard:
     """
 
     def __init__(self, fp_bits: int = 0, k: int = 4):
-        self.exact: set | None = None if fp_bits else set()
+        self.exact = None
+        self.exact_sorted: np.ndarray | None = None
+        self.n_exact = 0
         self.k = k
         if fp_bits:
             self.bits = np.zeros((fp_bits + 63) // 64, dtype=np.uint64)
             self.m = np.uint64(fp_bits)
         else:
             self.bits = None
+            # exact mode: persistent khash table (pandas' own uint64
+            # hash table — the engine behind Index/duplicated). O(1)
+            # amortized per element with vectorized lookup/insert; no
+            # per-call rebuild or re-sort. Import-gated: falls back to
+            # a sorted uint64 array + searchsorted merge (same
+            # semantics, O(distinct) merge per call) if the pandas
+            # internal module moves.
+            try:
+                from pandas._libs import hashtable as _pd_ht
+
+                self.exact = _pd_ht.UInt64HashTable()
+                self._ht_dup = _pd_ht.duplicated
+            except Exception:  # pragma: no cover - pandas internals moved
+                self.exact_sorted = np.empty(0, dtype=np.uint64)
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Boolean mask: True where the hash is NEW (first time seen,
         counting earlier positions in this same call)."""
-        h = np.asarray(hashes, dtype=np.uint64)
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
         if self.exact is not None:
-            out = np.empty(len(h), dtype=bool)
-            s = self.exact
-            for i, v in enumerate(h.tolist()):
-                if v in s:
-                    out[i] = False
-                else:
-                    s.add(v)
-                    out[i] = True
+            # vectorized first-seen, one khash pass: (1) lookup rows
+            # already in the table, (2) within-call first occurrence
+            # among the misses, (3) bulk-insert the fresh hashes
+            locs = self.exact.lookup(h)
+            new_rows = np.flatnonzero(locs == -1)
+            out = np.zeros(len(h), dtype=bool)
+            if len(new_rows):
+                sub = h[new_rows]
+                fm = ~self._ht_dup(sub, keep="first")
+                out[new_rows[fm]] = True
+                fresh = np.ascontiguousarray(sub[fm])
+                self.exact.map_locations(fresh)
+                self.n_exact += len(fresh)
+            return out
+        if self.exact_sorted is not None:  # pragma: no cover - fallback path
+            # two-pass vectorized first-seen: (1) within-call first
+            # occurrence via np.unique, (2) membership in the sorted
+            # seen-array via searchsorted — no per-element Python
+            uniq, first_idx = np.unique(h, return_index=True)
+            seen = self.exact_sorted
+            pos = np.searchsorted(seen, uniq)
+            known = np.zeros(len(uniq), dtype=bool)
+            inb = pos < len(seen)
+            known[inb] = seen[pos[inb]] == uniq[inb]
+            out = np.zeros(len(h), dtype=bool)
+            out[first_idx[~known]] = True
+            fresh = uniq[~known]
+            if len(fresh):
+                # radix-sort merge keeps the array sorted
+                self.exact_sorted = np.concatenate([seen, fresh])
+                self.exact_sorted.sort(kind="stable")
+                self.n_exact = len(self.exact_sorted)
             return out
         # bloom: k derived probe positions per hash
         h2 = (h >> np.uint64(32)) | np.uint64(1)
@@ -770,7 +817,7 @@ class _DedupShard:
         return new & ~first
 
     def count(self) -> int:
-        return len(self.exact) if self.exact is not None else -1
+        return int(self.n_exact) if self.bits is None else -1
 
 
 class StreamingDeduper:

@@ -66,7 +66,7 @@ class ImageFeatureExtractor:
         return out
 
 
-def extract_features(ds, concurrency: int = 2, batch_size: int = 64, fake: bool = True):
+def extract_features(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 64, fake: bool = True):
     """Feature-extraction pipeline stage. Small batch_size: media rows
     are wide; batch_size × concurrency payloads must fit worker heaps."""
     return ds.map_batches(

@@ -618,8 +618,10 @@ def lang_id(sf_dir: str):
     """Language-ID actor pool; the marker-overlap heuristic (distinct
     word ∩ marker-set score, lexicographic tie-break, CJK codepoint
     gate) is mirrored exactly in DuckDB — oracle-checked."""
+    from clever_canal_ray.config import actor_pool
+
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=2
+        LangId, batch_format="pandas", concurrency=actor_pool()
     )
 
 
@@ -794,7 +796,12 @@ def multimodal_features(sf_dir: str):
         },
         schema=MEDIA_SCHEMA,
     )
-    out = extract_features(rd.from_arrow(media), concurrency=2, batch_size=64).to_pandas()
+    from clever_canal_ray.config import actor_pool
+
+    # cap=8: batch_size × pool payload bytes must fit the worker heap
+    out = extract_features(
+        rd.from_arrow(media), concurrency=actor_pool(cap=8), batch_size=64
+    ).to_pandas()
     # bin-0 byte count recovered exactly from the actor's float32 ratio
     # (count = ratio * n_bytes rounds exactly at these magnitudes) — an
     # integer DuckDB can recompute as the control-char byte count

@@ -93,6 +93,28 @@ def ensure_fixture() -> dict:
     return meta
 
 
+# host-calibration probe (BASELINE.md round-4): a fixed seeded
+# single-threaded CPU kernel with a recorded healthy-phase reference
+# time. This VM has multi-minute phases where delivered CPU drops
+# 1.5-3x on bit-identical code (BASELINE.md round-3 evidence); the
+# probe ratio in the JSON tail makes a throttled phase distinguishable
+# from an engine regression inside the artifact itself.
+PROBE_REF_SEC = 0.40  # min-of-5 healthy-phase samples, 2026-08-18
+PROBE_DEGRADED = 1.5  # ratio above which the phase is flagged
+
+
+def calibration_probe() -> float:
+    import numpy as np
+
+    x = np.arange(4_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(40):
+        x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        x ^= x >> np.uint64(29)
+    assert int(x[12345]) == 7906378560046099303  # deterministic kernel check
+    return time.time() - t0
+
+
 def bench_replay(meta: dict, sink_mode: str, compact_after: bool) -> tuple[float, float, int]:
     import pyarrow.parquet as pq
 
@@ -183,6 +205,7 @@ def run_once() -> dict:
     # scaling subruns skip compaction: it isn't part of the scaling
     # number and doubling live lake bytes can exceed this VM's disk at
     # the larger CCR_BENCH_EVENTS sizes
+    probes = [calibration_probe()]
     replay_sec_1, compact_sec, applied = bench_replay(
         meta, sink_mode="delta", compact_after=not HEADLINE_ONLY
     )
@@ -190,12 +213,39 @@ def run_once() -> dict:
     # CCR_BENCH_REPS=1 skips the in-run repetition (used by long
     # scaling legs, where the 3x-longer window itself averages noise)
     if int(os.environ.get("CCR_BENCH_REPS", "2")) > 1:
+        probes.append(calibration_probe())
         replay_sec_2, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
         reps.append(replay_sec_2)
     if max(reps) / min(reps) > 1.4:
+        probes.append(calibration_probe())
         replay_sec_3, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
         reps.append(replay_sec_3)
+    # if even the best rep ran in a degraded host phase (probe ratio
+    # above the bar on EVERY rep), take up to 2 more reps — a healthy
+    # window may open; if it never does, the emitted ratio documents it
+    extra = 0
+    while (
+        int(os.environ.get("CCR_BENCH_REPS", "2")) > 1
+        and min(probes) / PROBE_REF_SEC > PROBE_DEGRADED
+        and extra < 2
+    ):
+        probes.append(calibration_probe())
+        r, _, _ = bench_replay(meta, sink_mode="delta", compact_after=False)
+        reps.append(r)
+        extra += 1
     replay_sec = min(reps)
+    probes.append(calibration_probe())  # closing probe: sandwich evidence
+    best_i = reps.index(replay_sec)
+    # the phase during rep i is bounded by the probes before (i) and
+    # after it (i+1 — the next rep's opening probe, or the closing one)
+    best_probe = max(probes[best_i], probes[best_i + 1])
+    calibration = {
+        "probe_ref_sec": PROBE_REF_SEC,
+        "probe_secs": [round(p, 3) for p in probes],
+        "probe_around_best_rep": [round(probes[best_i], 3), round(probes[best_i + 1], 3)],
+        "host_ratio": round(best_probe / PROBE_REF_SEC, 2),
+        "degraded": bool(best_probe / PROBE_REF_SEC > PROBE_DEGRADED),
+    }
     if HEADLINE_ONLY:  # scaling subruns measure only the headline
         queries = {"compaction": round(compact_sec, 3)}
     else:
@@ -214,6 +264,7 @@ def run_once() -> dict:
         "events_applied": applied,
         "events_per_sec": round(applied / replay_sec),
         "sink_mode": "delta",
+        "calibration": calibration,
     }
     ray.shutdown()
     return result

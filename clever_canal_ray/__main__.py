@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--segments", type=int, default=8)
     g.add_argument("--seed", type=int, default=42)
 
+    sv = sub.add_parser("serve")  # the server-netty consumer endpoint
+    sv.add_argument("--journal", nargs="+", required=True)
+    sv.add_argument("--state", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+
     args = p.parse_args(argv)
 
     from clever_canal_ray.state.manifest import Lake
@@ -140,6 +146,17 @@ def main(argv: list[str] | None = None) -> int:
         info = write_fixture(spec, args.out)
         pq.write_table(generate_lake(spec), os.path.join(args.out, "initial_lake.parquet"))
         print(json.dumps({"out": args.out, "n_events": info["n_events"]}))
+    elif args.cmd == "serve":
+        from clever_canal_ray.server import ConsumerServer
+
+        srv = ConsumerServer(args.journal, args.state, host=args.host, port=args.port)
+        # announce the bound endpoint FIRST (port=0 binds an ephemeral
+        # port) so a supervising process can connect, then block
+        print(json.dumps({"host": srv.host, "port": srv.port}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:  # pragma: no cover
+            srv.stop()
     return 0
 
 

@@ -627,9 +627,35 @@ def segment_plan_metadata(t: pa.Table) -> str:
         ("xa_id" in t.column_names and t["xa_id"].null_count < len(t))
         or np.isin(op, ["XC", "XR"]).any()
     )
+    # XA plan block (round-4): per-branch packed data-event positions,
+    # the greatest commit position strictly below each (within THIS
+    # file; cross-file candidates are the other files' acks), and the
+    # first verdict — everything plan_batch's ack fixpoint needs, so
+    # XA streams keep O(files) planning instead of a per-micro-batch
+    # driver column scan. Legacy sidecars (has_xa without "xa") still
+    # force the fallback scan.
+    xa_block = None
+    if has_xa and "xa_id" in t.column_names:
+        xa_f = t["xa_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xa_valid = ~np.isnan(xa_f)
+        is_verdict = (op == "XC") | (op == "XR")
+        commit_pos = np.sort(pos[commit])
+        xa_block = {}
+        for i in np.where(xa_valid & ~is_verdict)[0]:
+            e = xa_block.setdefault(str(int(xa_f[i])), {"data": [], "cb": [], "verdict": None})
+            p_i = int(pos[i])
+            e["data"].append(p_i)
+            j = int(np.searchsorted(commit_pos, p_i)) - 1  # greatest commit < p_i
+            e["cb"].append(int(commit_pos[j]) if j >= 0 else -1)
+        for i in np.where(xa_valid & is_verdict)[0]:
+            e = xa_block.setdefault(str(int(xa_f[i])), {"data": [], "cb": [], "verdict": None})
+            p_i = int(pos[i])
+            if e["verdict"] is None or p_i < e["verdict"][0]:
+                e["verdict"] = [p_i, str(op[i])]
     return json.dumps(
         {
-            "has_xa": has_xa,  # forces the plan fallback scan (XA fixpoint)
+            "has_xa": has_xa,  # legacy readers: forces the plan fallback scan
+            "xa": xa_block,  # new readers: sidecar XA fixpoint (O(files) planning)
             "n_events": len(t),
             "min_pos": [int(seg[0]), int(off[0])] if len(t) else None,
             "max_pos": [int(seg[-1]), int(off[-1])] if len(t) else None,

@@ -423,8 +423,15 @@ def cdc_xa(sf_dir: str):
         cut = (full.num_rows * 3) // 5
         p0 = os.path.join(work, "segment-00000.parquet")
         p1 = os.path.join(work, "segment-00001.parquet")
-        pq_.write_table(full.slice(0, cut), p0)
-        pq_.write_table(full.slice(cut), p1)
+        # write WITH plan sidecars: the gate covers the round-4 sidecar
+        # XA fixpoint (O(files) planning); the scan fallback stays
+        # covered by tests/test_xa.py's sidecar-less files
+        from clever_canal_ray.fixtures.generator import segment_plan_metadata
+
+        for p_, t_ in ((p0, full.slice(0, cut)), (p1, full.slice(cut))):
+            pq_.write_table(t_, p_)
+            with open(p_ + ".plan.json", "w") as f_:
+                f_.write(segment_plan_metadata(t_))
         lake = Lake.create(os.path.join(work, "lake"), lake_tbl, num_partitions=8)
         replay(
             lake,

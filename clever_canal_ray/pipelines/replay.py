@@ -198,9 +198,10 @@ def _plan_from_footers(
         m = load_segment_plan(p)
         if m is None:
             return None
-        if m.get("has_xa"):
-            # XA framing needs the verdict fixpoint over raw positions —
-            # sidecars only mark the presence; fall back to the scan
+        if m.get("has_xa") and not m.get("xa"):
+            # legacy XA sidecar (presence flag only, no per-branch plan
+            # block) — the verdict fixpoint needs raw positions; fall
+            # back to the scan
             return None
         metas.append(m)
         if m["ack"] is not None:
@@ -220,6 +221,62 @@ def _plan_from_footers(
         return BatchPlan(ack=None, new_ddls=[], n_candidate_events=n_seen, n_seen_events=n_seen)
     ack = max(acks, key=lambda a: int(pack_position(a[0], a[1])))
     ack_pos = int(pack_position(ack[0], ack[1]))
+    xa_commits: tuple = ()
+    if any(m.get("has_xa") for m in metas):
+        # XA ack fixpoint over sidecar data (mirrors plan_batch's scan
+        # fixpoint exactly, restricted — like the scan's position
+        # filter — to the (hwm, ·] window): the ack may not pass a data
+        # event whose branch verdict lies above it; lower the ack to
+        # the greatest commit below the first unresolved XA event until
+        # every XA event at/below the ack is resolved at/below it.
+        import bisect
+
+        data: dict[int, list[int]] = {}
+        verdicts: dict[int, tuple[int, str]] = {}
+        cb: dict[int, int] = {}
+        for m in metas:
+            for b, e in (m.get("xa") or {}).items():
+                bi = int(b)
+                for p_, c_ in zip(e["data"], e["cb"]):
+                    if p_ > hwm_pos:
+                        data.setdefault(bi, []).append(int(p_))
+                        cb[int(p_)] = int(c_)
+                v = e.get("verdict")
+                if v and int(v[0]) > hwm_pos:
+                    if bi not in verdicts or int(v[0]) < verdicts[bi][0]:
+                        verdicts[bi] = (int(v[0]), str(v[1]))
+        for ps in data.values():
+            ps.sort()
+        # per-file max-commit positions in the window — the cross-file
+        # ack-lowering candidates (a file wholly below the unresolved
+        # event contributes its own ack; within-file candidates come
+        # from the sidecar's per-event greatest-commit-below)
+        ack_list = sorted(int(pack_position(a[0], a[1])) for a in acks)
+        while True:
+            unresolved = [
+                ps[0]
+                for bi, ps in data.items()
+                if ps
+                and ps[0] <= ack_pos
+                and (bi not in verdicts or verdicts[bi][0] > ack_pos)
+            ]
+            if not unresolved:
+                break
+            q = min(unresolved)
+            j = bisect.bisect_left(ack_list, q) - 1
+            cands = [ack_list[j]] if j >= 0 else []
+            c = cb.get(q, -1)
+            if c > hwm_pos:
+                cands.append(c)
+            if not cands:
+                return BatchPlan(
+                    ack=None, new_ddls=[], n_candidate_events=n_seen, n_seen_events=n_seen
+                )
+            ack_pos = max(cands)
+        ack = (int(ack_pos >> 40), int(ack_pos & ((1 << 40) - 1)))
+        xa_commits = tuple(
+            sorted(b for b, (p, k) in verdicts.items() if k == "XC" and p <= ack_pos)
+        )
     ddls = []
     for m in metas:
         for d in m["ddls"]:
@@ -312,6 +369,7 @@ def _plan_from_footers(
         truncates=truncates,
         max_txn_at_ack=(max_txn if (exact and max_txn >= 0) else None),
         min_txn_at_ack=min_txn,
+        xa_commits=xa_commits,
     )
 
 

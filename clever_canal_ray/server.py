@@ -1,0 +1,280 @@
+"""Network consumer surface — the server-netty SessionHandler analog.
+
+The reference exposes its consumer protocol over TCP (server-netty
+SessionHandler.java:43-243 dispatching CanalProtocol.proto SUBSCRIPTION
+/ GET / CLIENTACK / CLIENTROLLBACK packets over length-prefixed frames;
+client SimpleCanalConnector.java speaks the same wire). This module is
+the Ray-repo equivalent: a ``ConsumerServer`` that hosts one
+:class:`clever_canal_ray.client.ChangeConsumer` per client id over a
+length-prefixed wire protocol, plus the thin :class:`WireConsumer`
+client — so a second PROCESS (or node) can subscribe/get/ack/rollback a
+journal it cannot open locally.
+
+Wire format (the CanalPacket analog, JSON instead of protobuf):
+
+- every frame is ``[4-byte big-endian length][payload]``
+- requests and responses are JSON frames
+- a ``get`` response with data (``has_data: true``) is followed by ONE
+  binary frame containing the batch as an Arrow IPC stream — the
+  columnar zero-copy analog of the reference's packed RowData entries
+
+Commands: ``subscribe`` (optional filter cfg — the
+subscribe-filter-replace semantics, AbstractCanalInstance
+.subscribeChange:69-95), ``get`` (get_without_ack), ``ack`` (FIFO),
+``rollback``, ``seek`` (timestamp rewind), ``ping``.
+
+Durability: all cursor state lives in the server-side ChangeConsumer
+meta files (FileMixedMetaManager analog), so both a restarted client
+AND a restarted server resume exactly where the client acked.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+from typing import Optional
+
+import pyarrow as pa
+
+from clever_canal_ray.client import ChangeConsumer, FifoAckError
+from clever_canal_ray.config import ReplayConfig
+
+# ReplayConfig fields a remote client may set at subscribe time (the
+# F1-F6 delivery filters). Predicates/callables cannot cross the wire.
+_WIRE_CFG_FIELDS = (
+    "table_whitelist_regex",
+    "table_blacklist_regex",
+    "table_list",
+    "drop_ops",
+    "column_projection",
+)
+
+
+def _send_frame(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_frame(sock: socket.socket) -> bytes | None:
+    head = _recv_exact(sock, 4)
+    if head is None:
+        return None
+    (n,) = struct.unpack(">I", head)
+    return _recv_exact(sock, n)
+
+
+def _table_to_ipc(t: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_to_table(buf: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
+
+
+class ConsumerServer:
+    """Hosts ChangeConsumers for remote clients over TCP.
+
+    One consumer (+ lock — the per-session serialization the reference
+    gets from netty's per-channel ordering) per client id; consumers
+    are created lazily and persist their cursors under
+    ``<state_dir>/meta-<client_id>.json``.
+    """
+
+    def __init__(
+        self,
+        journal_dirs: list[str] | str,
+        state_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        base_cfg: Optional[ReplayConfig] = None,
+    ):
+        self.journal_dirs = journal_dirs
+        self.state_dir = state_dir
+        self.base_cfg = base_cfg
+        self._consumers: dict[str, tuple[ChangeConsumer, threading.Lock]] = {}
+        self._consumers_lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:  # one connection: frame loop until EOF
+                while True:
+                    raw = _recv_frame(self.request)
+                    if raw is None:
+                        return
+                    try:
+                        req = json.loads(raw)
+                        resp, data = outer._dispatch(req)
+                    except FifoAckError as e:
+                        resp, data = {"ok": False, "error": "fifo", "message": str(e)}, None
+                    except Exception as e:  # malformed frame / bad cmd
+                        resp, data = {
+                            "ok": False,
+                            "error": type(e).__name__,
+                            "message": str(e),
+                        }, None
+                    _send_frame(self.request, json.dumps(resp).encode())
+                    if data is not None:
+                        _send_frame(self.request, data)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> tuple[str, int]:
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.host, self.port
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        self._server.serve_forever()
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _consumer(self, client_id: str) -> tuple[ChangeConsumer, threading.Lock]:
+        with self._consumers_lock:
+            if client_id not in self._consumers:
+                self._consumers[client_id] = (
+                    ChangeConsumer(
+                        self.journal_dirs,
+                        self.state_dir,
+                        client_id=client_id,
+                        cfg=self.base_cfg,
+                    ),
+                    threading.Lock(),
+                )
+            return self._consumers[client_id]
+
+    def _dispatch(self, req: dict) -> tuple[dict, bytes | None]:
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            return {"ok": True}, None
+        client_id = str(req.get("client_id", "1001"))
+        consumer, lock = self._consumer(client_id)
+        with lock:
+            if cmd == "subscribe":
+                cfg = None
+                wire_cfg = req.get("cfg") or {}
+                unknown = set(wire_cfg) - set(_WIRE_CFG_FIELDS)
+                if unknown:
+                    raise ValueError(f"non-wire-settable cfg fields: {sorted(unknown)}")
+                if wire_cfg:
+                    kw = {
+                        k: tuple(v) if isinstance(v, list) else v
+                        for k, v in wire_cfg.items()
+                    }
+                    cfg = ReplayConfig(**kw)
+                consumer.subscribe(cfg)
+                return {"ok": True}, None
+            if cmd == "get":
+                got = consumer.get_without_ack(int(req.get("batch_size", 4096)))
+                if got is None:
+                    return {"ok": True, "has_data": False}, None
+                batch_id, t = got
+                return (
+                    {
+                        "ok": True,
+                        "has_data": True,
+                        "batch_id": batch_id,
+                        "n_rows": t.num_rows,
+                        "delivered": list(consumer.delivered_position),
+                    },
+                    _table_to_ipc(t),
+                )
+            if cmd == "ack":
+                consumer.ack(int(req["batch_id"]))
+                return {"ok": True}, None
+            if cmd == "rollback":
+                consumer.rollback()
+                return {"ok": True}, None
+            if cmd == "seek":
+                pos = consumer.seek_to_timestamp(int(req["ts_ms"]))
+                return {"ok": True, "position": list(pos)}, None
+        raise ValueError(f"unknown cmd: {cmd!r}")
+
+
+class WireConsumer:
+    """Thin wire client — the SimpleCanalConnector analog. Mirrors the
+    ChangeConsumer method surface over one TCP connection."""
+
+    def __init__(self, host: str, port: int, client_id: str = "1001", timeout: float = 30.0):
+        self.client_id = client_id
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+
+    def _call(self, req: dict) -> tuple[dict, bytes | None]:
+        req["client_id"] = self.client_id
+        _send_frame(self._sock, json.dumps(req).encode())
+        raw = _recv_frame(self._sock)
+        if raw is None:
+            raise ConnectionError("server closed the connection")
+        resp = json.loads(raw)
+        data = None
+        if resp.get("has_data"):
+            data = _recv_frame(self._sock)
+            if data is None:
+                raise ConnectionError("server closed mid-frame")
+        if not resp.get("ok"):
+            if resp.get("error") == "fifo":
+                raise FifoAckError(resp.get("message", ""))
+            raise RuntimeError(f"{resp.get('error')}: {resp.get('message')}")
+        return resp, data
+
+    def subscribe(self, cfg: dict | None = None) -> None:
+        self._call({"cmd": "subscribe", "cfg": cfg})
+
+    def get_without_ack(self, batch_size: int) -> tuple[int, pa.Table] | None:
+        resp, data = self._call({"cmd": "get", "batch_size": batch_size})
+        if not resp.get("has_data"):
+            return None
+        return int(resp["batch_id"]), _ipc_to_table(data)
+
+    def ack(self, batch_id: int) -> None:
+        self._call({"cmd": "ack", "batch_id": batch_id})
+
+    def rollback(self) -> None:
+        self._call({"cmd": "rollback"})
+
+    def seek_to_timestamp(self, ts_ms: int) -> tuple[int, int]:
+        resp, _ = self._call({"cmd": "seek", "ts_ms": ts_ms})
+        return tuple(resp["position"])
+
+    def ping(self) -> bool:
+        return bool(self._call({"cmd": "ping"})[0].get("ok"))
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:  # pragma: no cover
+            pass
+
+    def __enter__(self) -> "WireConsumer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

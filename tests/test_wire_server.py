@@ -1,0 +1,216 @@
+"""Network consumer surface (server.py — the server-netty
+SessionHandler.java:43-243 / SimpleCanalConnector analog): a second
+process drains a journal over TCP via subscribe/get/ack/rollback with
+the same semantics as the in-process ChangeConsumer."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from clever_canal_ray.client import ChangeConsumer, FifoAckError
+from clever_canal_ray.fixtures.generator import EventLogSpec, write_fixture
+from clever_canal_ray.schema import pack_position
+from clever_canal_ray.server import ConsumerServer, WireConsumer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    root = tmp_path_factory.mktemp("fx_wire")
+    info = write_fixture(spec, str(root))
+    return str(root), info["n_events"]
+
+
+@pytest.fixture()
+def server(fx, tmp_path):
+    root, _ = fx
+    srv = ConsumerServer(os.path.join(root, "segments"), str(tmp_path / "state"))
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _drain(c, batch_size=100):
+    out = []
+    while True:
+        got = c.get_without_ack(batch_size)
+        if got is None:
+            break
+        bid, t = got
+        out.append((bid, t))
+        c.ack(bid)
+    return out
+
+
+def test_wire_equals_inprocess(fx, server, tmp_path):
+    """The wire drain must deliver byte-identical batches to a direct
+    ChangeConsumer over the same journal (cdc_consumer_drain over the
+    wire)."""
+    root, total = fx
+    wire = WireConsumer(server.host, server.port, client_id="w1")
+    wire.subscribe()
+    got_wire = _drain(wire)
+    wire.close()
+    direct = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "direct"))
+    direct.subscribe()
+    got_direct = _drain(direct)
+    assert sum(t.num_rows for _, t in got_wire) == total
+    assert len(got_wire) == len(got_direct)
+    for (bw, tw), (bd, td) in zip(got_wire, got_direct):
+        assert bw == bd
+        assert tw.schema.equals(td.schema)
+        assert tw.equals(td)
+
+
+def test_wire_fifo_and_rollback(fx, server):
+    root, total = fx
+    c = WireConsumer(server.host, server.port, client_id="w2")
+    c.subscribe()
+    b0, t0 = c.get_without_ack(100)
+    b1, t1 = c.get_without_ack(100)
+    # FIFO: acking the newer batch first is rejected server-side
+    with pytest.raises(FifoAckError):
+        c.ack(b1)
+    c.ack(b0)
+    # rollback drops the un-acked b1; the next get re-delivers its rows
+    c.rollback()
+    b2, t2 = c.get_without_ack(100)
+    assert b2 > b1  # fresh batch id
+    assert t2.num_rows == t1.num_rows
+    assert t2.equals(t1)
+    c.close()
+
+
+def test_wire_filters_apply_server_side(fx, server):
+    root, total = fx
+    c = WireConsumer(server.host, server.port, client_id="w3")
+    c.subscribe(cfg={"drop_ops": ["D"]})
+    rows = 0
+    ops = set()
+    while True:
+        got = c.get_without_ack(500)
+        if got is None:
+            break
+        bid, t = got
+        rows += t.num_rows
+        ops |= set(t["op"].to_pylist())
+        c.ack(bid)
+    assert "D" not in ops
+    assert 0 < rows < total
+    # non-wire-settable fields are rejected, not silently dropped
+    with pytest.raises(RuntimeError):
+        c.subscribe(cfg={"predicate": "lambda t: t"})
+    c.close()
+
+
+def test_wire_subprocess_client_drains_acks_rollback(fx, tmp_path):
+    """The verdict's bar: a REAL second process connects through the
+    CLI-spawned server, drains with FIFO acks, survives a rollback
+    mid-stream, and its delivered positions are exactly-once and
+    ordered."""
+    root, total = fx
+    env = dict(os.environ, PYTHONPATH=REPO)
+    srv_proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "clever_canal_ray",
+            "serve",
+            "--journal",
+            os.path.join(root, "segments"),
+            "--state",
+            str(tmp_path / "state"),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+        env=env,
+        cwd=REPO,
+    )
+    try:
+        endpoint = json.loads(srv_proc.stdout.readline())
+        client_script = r"""
+import json, sys
+from clever_canal_ray.server import WireConsumer
+from clever_canal_ray.schema import pack_position
+
+host, port = sys.argv[1], int(sys.argv[2])
+c = WireConsumer(host, port, client_id="sub1")
+c.subscribe()
+pos = []
+rolled = False
+n_batches = 0
+while True:
+    got = c.get_without_ack(150)
+    if got is None:
+        break
+    bid, t = got
+    if not rolled and n_batches == 2:
+        # survive a rollback mid-stream: drop this un-acked batch,
+        # expect exact re-delivery next get
+        c.rollback()
+        rolled = True
+        continue
+    pos.extend(
+        int(p)
+        for p in pack_position(
+            t["segment_id"].to_numpy(zero_copy_only=False),
+            t["offset"].to_numpy(zero_copy_only=False),
+        )
+    )
+    c.ack(bid)
+    n_batches += 1
+c.close()
+print(json.dumps({"n": len(pos), "sorted": pos == sorted(pos), "dups": len(pos) != len(set(pos)), "rolled": rolled}))
+"""
+        out = subprocess.run(
+            [sys.executable, "-c", client_script, str(endpoint["host"]), str(endpoint["port"])],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["n"] == total
+        assert res["sorted"] is True
+        assert res["dups"] is False
+        assert res["rolled"] is True
+    finally:
+        srv_proc.kill()
+        srv_proc.wait()
+
+
+def test_wire_client_resumes_after_reconnect(fx, server):
+    """Cursor durability: a client that acks half the stream, closes,
+    and reconnects (same client id) resumes exactly after its last ack."""
+    root, total = fx
+    c = WireConsumer(server.host, server.port, client_id="w5")
+    c.subscribe()
+    b0, t0 = c.get_without_ack(total // 2)
+    c.ack(b0)
+    last = pack_position(
+        t0["segment_id"].to_numpy(zero_copy_only=False),
+        t0["offset"].to_numpy(zero_copy_only=False),
+    ).max()
+    c.close()
+    c2 = WireConsumer(server.host, server.port, client_id="w5")
+    c2.subscribe()
+    rest = _drain(c2)
+    c2.close()
+    first = min(
+        pack_position(
+            t["segment_id"].to_numpy(zero_copy_only=False),
+            t["offset"].to_numpy(zero_copy_only=False),
+        ).min()
+        for _, t in rest
+    )
+    assert first > last
+    assert t0.num_rows + sum(t.num_rows for _, t in rest) == total

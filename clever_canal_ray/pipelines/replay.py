@@ -723,13 +723,23 @@ def follow(
     stays unreadable for ``unsettled_poll_limit`` consecutive polls is
     treated as CORRUPT and raised — silent idling (or a "caught up"
     return) over a truncated file would be data loss with no error.
+
+    ``journal_dirs`` may instead be a queue object (anything with
+    ``pending(hwm_segment_id) -> [local paths]``) — e.g.
+    :class:`~clever_canal_ray.sources.segments.ColdSegmentQueue`, the
+    BinlogDownloadQueue analog that fetches archived segments with a
+    bounded prefetch window; its ``evict`` (delete-after-consume) is
+    called as the HWM advances.
     """
     import time as _time
 
     from clever_canal_ray.sources.segments import SegmentQueue, settled_prefix
 
     cfg = cfg or ReplayConfig()
-    q = SegmentQueue([journal_dirs] if isinstance(journal_dirs, str) else list(journal_dirs))
+    if hasattr(journal_dirs, "pending"):
+        q = journal_dirs
+    else:
+        q = SegmentQueue([journal_dirs] if isinstance(journal_dirs, str) else list(journal_dirs))
     m = lake.current()
     rounds = 0
     idle = 0
@@ -755,6 +765,8 @@ def follow(
             m2 = replay(lake, pending, cfg)
             if m2.version != m.version:
                 idle = 0
+                if hasattr(q, "evict"):
+                    q.evict(m2.hwm[0])  # delete-after-consume
             else:
                 idle += 1
             m = m2

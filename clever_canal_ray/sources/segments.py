@@ -158,3 +158,100 @@ class SegmentQueue:
             if m and int(m.group(1)) >= hwm_segment_id:
                 out.append(p)
         return out
+
+
+class ColdSegmentQueue:
+    """Cold-storage segment queue — the rds/BinlogDownloadQueue.java
+    analog (prefetch window + delete-after-consume): segments live in
+    an archive the replay cannot read directly (S3/OSS in the
+    reference); a user-supplied ``fetch`` callable pulls one segment to
+    local disk, at most ``prefetch_window`` segments are resident ahead
+    of the HWM at a time, and segments the HWM has passed are deleted
+    from the local cache (BinlogDownloadQueue.prepare/execute bounded
+    download + tryDelete).
+
+    ``list_remote() -> list[str]``: ordered remote segment NAMES
+    (``segment-%05d.parquet``). ``fetch(name) -> staging_path``: blocking
+    download returning where it put the bytes; the queue ``os.replace``s
+    staging into the cache, so a fetch that crashed mid-download leaves
+    nothing consumable and the next poll simply retries — replay stays
+    exactly-once because the HWM filter, not the fetch count, decides
+    what applies. Plan sidecars (``<name>.plan.json``) are fetched
+    best-effort: a missing sidecar only costs the O(files) plan fast
+    path, never correctness.
+
+    Duck-typed drop-in for ``SegmentQueue`` in ``follow()`` (same
+    ``pending``; ``evict`` is called as the HWM advances).
+    """
+
+    def __init__(
+        self,
+        list_remote,
+        fetch,
+        cache_dir: str,
+        prefetch_window: int = 4,
+        delete_after_consume: bool = True,
+    ):
+        if prefetch_window < 1:
+            raise ValueError("prefetch_window must be >= 1")
+        self.list_remote = list_remote
+        self.fetch = fetch
+        self.cache_dir = cache_dir
+        self.prefetch_window = prefetch_window
+        self.delete_after_consume = delete_after_consume
+        os.makedirs(cache_dir, exist_ok=True)
+
+    @staticmethod
+    def _seg_id(name: str) -> int | None:
+        m = _SEG_RE.search(name)
+        return int(m.group(1)) if m else None
+
+    def _ensure_local(self, name: str) -> str:
+        local = os.path.join(self.cache_dir, name)
+        if not os.path.exists(local):
+            staging = self.fetch(name)
+            os.replace(staging, local)  # atomic: never a half-file in cache
+            # sidecar best-effort (plan fast path only; replay is
+            # correct without it)
+            try:
+                side_staging = self.fetch(name + ".plan.json")
+                os.replace(side_staging, local + ".plan.json")
+            except Exception:
+                pass
+        return local
+
+    def pending(self, hwm_segment_id: int) -> list[str]:
+        """Local paths of up to ``prefetch_window`` segments at/above
+        the HWM segment, fetching the missing ones. A fetch failure
+        truncates the window at the failed segment (everything before
+        it is still consumable; the next poll retries)."""
+        names = []
+        for n in self.list_remote():
+            s = self._seg_id(n)
+            if s is not None and s >= hwm_segment_id:
+                names.append((s, n))
+        names.sort()
+        out: list[str] = []
+        for _, n in names[: self.prefetch_window]:
+            try:
+                out.append(self._ensure_local(n))
+            except Exception:
+                break  # consume the prefix; retry the rest next poll
+        return out
+
+    def evict(self, hwm_segment_id: int) -> list[str]:
+        """Delete cached segments strictly below the HWM segment (fully
+        consumed — ``pending`` never returns them again)."""
+        if not self.delete_after_consume:
+            return []
+        gone = []
+        for name in os.listdir(self.cache_dir):
+            s = self._seg_id(name)
+            if s is not None and s < hwm_segment_id:
+                p = os.path.join(self.cache_dir, name)
+                os.unlink(p)
+                side = p + ".plan.json"
+                if os.path.exists(side):
+                    os.unlink(side)
+                gone.append(p)
+        return gone

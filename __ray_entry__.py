@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_position_bounds": q.cdc_position_bounds,
         "cdc_txn_summary": q.cdc_txn_summary,  # A3/A4 + F7 suppression merged
         "cdc_filter_regex": q.cdc_filter_regex,
-        "cdc_filter_list": q.cdc_filter_list,
+        "cdc_mixed_types": q.cdc_mixed_types,
         "cdc_projection_flat": q.cdc_projection_flat,
         "cdc_dedup_positions": q.cdc_dedup_positions,
         "cdc_kway_merge": q.cdc_kway_merge,
@@ -228,10 +228,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_full_match(event_type, '(click|view)')
             GROUP BY event_type
         """,
-        "cdc_filter_list": """
-            SELECT user_id, count(*) AS n FROM events
-            WHERE event_type IN ('purchase', 'signup')
-            GROUP BY user_id
+        "cdc_mixed_types": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS bal0,
+                     CAST(epoch(o_orderdate) AS BIGINT) AS sec0,
+                     o_orderstatus AS st, o_orderpriority AS pri
+              FROM orders)
+            SELECT 'ord' || k AS doc_id,
+              CASE WHEN k % 7 = 0 THEN (CAST(bal0 AS HUGEINT) * 1000000000000 + 1)::VARCHAR
+                   WHEN k % 5 = 0 THEN (bal0 + 7)::VARCHAR
+                   ELSE bal0::VARCHAR END AS bal_str,
+              CASE WHEN k % 7 = 0 THEN sec0*1000 + 123
+                   WHEN k % 5 = 0 THEN (sec0+1)*1000
+                   ELSE sec0*1000 END AS updated_ms,
+              CASE WHEN k % 7 = 0 THEN 'big'
+                   WHEN k % 5 = 0 THEN 'upd'
+                   ELSE pri END AS tag,
+              CASE WHEN k % 7 = 0 THEN hex(encode(pri || 'X'))
+                   WHEN k % 5 = 0 THEN hex(encode(st || '0'))
+                   ELSE hex(encode(st)) END AS payload_hex
+            FROM base WHERE k % 11 <> 0
         """,
         "cdc_projection_flat": f"""
             SELECT 'testdata' AS database, 'events' AS "table", event_id AS pk,

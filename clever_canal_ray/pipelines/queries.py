@@ -10,6 +10,7 @@ op = signup→'I' | error→'D' | else 'U'.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -315,15 +316,257 @@ def cdc_filter_regex(sf_dir: str):
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
-def cdc_filter_list(sf_dir: str):
-    from ray.data.aggregate import Count
+def cdc_mixed_types(sf_dir: str):
+    """Arbitrary user-table payloads end-to-end — the
+    RowsLogBuffer.fetchValue type families (~1,600 LoC of per-type
+    decode in the reference: DECIMAL, temporal, binary, string,
+    integers; RowsLogBuffer.java fetchValue): a lake seeded with
+    ``base_schema`` (doc_id string, bal int64, updated_at timestamp[s],
+    tag string, payload binary) derived from ``orders``, replayed
+    through two segments with mid-stream DDLs widening bal ->
+    decimal(38,0) and updated_at -> timestamp[ms]; post-widen events
+    carry decimals beyond int64 range and ms-precision timestamps.
+    A second table ``noise.t`` rides the same stream and is dropped by
+    the F3 ``table_list`` filter (merged here from the old
+    cdc_filter_list gate — the list filter now gates through the FULL
+    replay engine instead of a standalone is_in). LWW precedence:
+    seg1 %7 updates beat seg0 %5 updates; %11 deletes beat both.
+    Oracle: per-column CASE over orders."""
+    import shutil
+    import uuid
 
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"]))),
-        batch_format="pyarrow",
+    import pyarrow.parquet as pq_
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.schema import event_schema, lake_schema
+    from clever_canal_ray.state.manifest import Lake
+
+    base_ddl = {
+        "op": "base_schema",
+        "fields": [
+            ["doc_id", "string"],
+            ["bal", "int64"],
+            ["updated_at", "timestamp[s]"],
+            ["tag", "string"],
+            ["payload", "binary"],
+        ],
+    }
+    widen_ddls = [
+        {"op": "widen_type", "name": "bal", "to": "decimal"},
+        {"op": "widen_type", "name": "updated_at", "to": "timestamp[ms]"},
+    ]
+    o = pq_.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus", "o_orderpriority"],
     )
-    return ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    k = o["o_orderkey"].to_numpy()
+    bal0 = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    sec0 = (o["o_orderdate"].cast(pa.int64()).to_numpy() // 1_000_000).astype(np.int64)
+    st = np.asarray(o["o_orderstatus"].to_numpy(zero_copy_only=False), dtype=object)
+    pri = np.asarray(o["o_orderpriority"].to_numpy(zero_copy_only=False), dtype=object)
+    doc = np.char.add("ord", k.astype(str)).astype(object)
+
+    schema_v0 = lake_schema([base_ddl])
+    schema_v1 = lake_schema([base_ddl, *widen_ddls])
+    initial = pa.Table.from_arrays(
+        [
+            pa.array(doc, pa.string()),
+            pa.array(bal0, pa.int64()),
+            pa.array(sec0, pa.timestamp("s")),
+            pa.array(pri, pa.string()),
+            pa.array([s.encode() for s in st], pa.binary()),
+        ],
+        schema=schema_v0,
+    )
+
+    def seg(rows_by_field: dict, payload_schema: pa.Schema, seg_id: int) -> pa.Table:
+        sch = event_schema(payload_schema)
+        n = len(rows_by_field["op"])
+        payload_t = pa.struct(list(payload_schema))
+        arrays = []
+        for f in sch:
+            if f.name == "segment_id":
+                arrays.append(pa.array(np.full(n, seg_id, np.int32), pa.int32()))
+            elif f.name == "before":
+                arrays.append(pa.nulls(n, payload_t))
+            elif f.name in rows_by_field:
+                arrays.append(
+                    rows_by_field[f.name]
+                    if isinstance(rows_by_field[f.name], pa.Array)
+                    else pa.array(rows_by_field[f.name], f.type)
+                )
+            elif f.name == "txn_commit":
+                arrays.append(pa.array(np.ones(n, bool), pa.bool_()))
+            elif f.name == "execute_ts":
+                arrays.append(pa.array(np.full(n, 1_700_000_000_000, np.int64), pa.timestamp("ms")))
+            elif f.name in ("seq_in_txn", "schema_version"):
+                arrays.append(pa.array(np.zeros(n, np.int32), pa.int32()))
+            elif f.name == "ddl":
+                arrays.append(pa.nulls(n, pa.string()))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=sch)
+
+    def after_struct(mask, bal_vals, ts_arr, tags, payloads, schema):
+        # fields= (not names=) so the struct keeps the schema's exact
+        # nullability (doc_id is non-nullable in the payload struct)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(doc[mask], pa.string()),
+                bal_vals,
+                ts_arr,
+                pa.array(tags, pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            fields=list(schema),
+        )
+
+    work = os.path.join("/tmp", f"ccr_mixed_{uuid.uuid4().hex}")
+    os.makedirs(work)
+    try:
+        # seg0 (pre-widen): %5 updates + interleaved noise.t inserts the
+        # table_list filter must drop
+        m5 = k % 5 == 0
+        n5 = int(m5.sum())
+        a0 = after_struct(
+            m5,
+            pa.array(bal0[m5] + 7, pa.int64()),
+            pa.array(sec0[m5] + 1, pa.timestamp("s")),
+            np.full(n5, "upd", dtype=object),
+            [(s + "0").encode() for s in st[m5]],
+            schema_v0,
+        )
+        noise_n = 97
+        a_noise = after_struct(
+            np.arange(len(k)) < noise_n,
+            pa.array(np.arange(noise_n, dtype=np.int64), pa.int64()),
+            pa.array(np.zeros(noise_n, np.int64), pa.timestamp("s")),
+            np.full(noise_n, "junk", dtype=object),
+            [b"nz"] * noise_n,
+            schema_v0,
+        )
+        seg0 = pa.concat_tables(
+            [
+                seg(
+                    {
+                        "offset": pa.array(np.arange(1, n5 + 1, dtype=np.int64), pa.int64()),
+                        "txn_id": pa.array(np.arange(1, n5 + 1, dtype=np.int64), pa.int64()),
+                        "op": np.full(n5, "U", dtype=object),
+                        "table": np.full(n5, "user.acct", dtype=object),
+                        "doc_id": pa.array(doc[m5], pa.string()),
+                        "after": a0,
+                    },
+                    schema_v0,
+                    0,
+                ),
+                seg(
+                    {
+                        "offset": pa.array(
+                            np.arange(n5 + 1, n5 + noise_n + 1, dtype=np.int64), pa.int64()
+                        ),
+                        "txn_id": pa.array(
+                            np.arange(n5 + 1, n5 + noise_n + 1, dtype=np.int64), pa.int64()
+                        ),
+                        "op": np.full(noise_n, "I", dtype=object),
+                        "table": np.full(noise_n, "noise.t", dtype=object),
+                        "doc_id": pa.array([f"nz{i}" for i in range(noise_n)], pa.string()),
+                        "after": a_noise,
+                    },
+                    schema_v0,
+                    0,
+                ),
+            ]
+        )
+        # seg1 (post-widen): the 2 widen DDLs, then %7 decimal/ms
+        # updates, then %11 deletes (LWW: delete wins)
+        base = n5 + noise_n
+        ddl_rows = seg(
+            {
+                "offset": pa.array([base + 1, base + 2], pa.int64()),
+                "txn_id": pa.array([base + 1, base + 2], pa.int64()),
+                "op": ["DDL", "DDL"],
+                "table": ["user.acct", "user.acct"],
+                "doc_id": pa.nulls(2, pa.string()),
+                "ddl": pa.array([json.dumps(d) for d in widen_ddls], pa.string()),
+            },
+            schema_v1,
+            1,
+        )
+        m7 = k % 7 == 0
+        n7 = int(m7.sum())
+        big = [int(b) * 10**12 + 1 for b in bal0[m7]]  # beyond int64 range
+        a1 = after_struct(
+            m7,
+            pa.array(big, pa.decimal128(38, 0)),
+            pa.array(sec0[m7] * 1000 + 123, pa.timestamp("ms")),
+            np.full(n7, "big", dtype=object),
+            [(p + "X").encode() for p in pri[m7]],
+            schema_v1,
+        )
+        upd7 = seg(
+            {
+                "offset": pa.array(np.arange(base + 3, base + 3 + n7, dtype=np.int64), pa.int64()),
+                "txn_id": pa.array(np.arange(base + 3, base + 3 + n7, dtype=np.int64), pa.int64()),
+                "op": np.full(n7, "U", dtype=object),
+                "table": np.full(n7, "user.acct", dtype=object),
+                "doc_id": pa.array(doc[m7], pa.string()),
+                "after": a1,
+            },
+            schema_v1,
+            1,
+        )
+        m11 = k % 11 == 0
+        n11 = int(m11.sum())
+        base2 = base + 2 + n7
+        del11 = seg(
+            {
+                "offset": pa.array(np.arange(base2 + 1, base2 + 1 + n11, dtype=np.int64), pa.int64()),
+                "txn_id": pa.array(np.arange(base2 + 1, base2 + 1 + n11, dtype=np.int64), pa.int64()),
+                "op": np.full(n11, "D", dtype=object),
+                "table": np.full(n11, "user.acct", dtype=object),
+                "doc_id": pa.array(doc[m11], pa.string()),
+            },
+            schema_v1,
+            1,
+        )
+        seg1 = pa.concat_tables([ddl_rows, upd7, del11])
+        from clever_canal_ray.fixtures.generator import segment_plan_metadata
+
+        paths = []
+        for i, t_ in enumerate((seg0, seg1)):
+            p_ = os.path.join(work, f"segment-{i:05d}.parquet")
+            pq_.write_table(t_, p_)
+            with open(p_ + ".plan.json", "w") as f_:
+                f_.write(segment_plan_metadata(t_))
+            paths.append(p_)
+        lake = Lake.create(
+            os.path.join(work, "lake"), initial, num_partitions=8, ddl_journal=[base_ddl]
+        )
+        replay(
+            lake,
+            paths,
+            ReplayConfig(
+                num_partitions=8,
+                table_list=("user.acct",),
+                segments_per_batch=1,
+                sink_mode="delta",
+            ),
+        )
+        lake.compact()
+        t = lake.read_table()
+        upd = t["updated_at"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_pylist(),
+                "bal_str": [str(v) for v in t["bal"].to_pylist()],
+                "updated_ms": upd.astype(np.int64),
+                "tag": t["tag"].to_pylist(),
+                "payload_hex": [b.hex().upper() for b in t["payload"].to_pylist()],
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def cdc_projection_flat(sf_dir: str):

@@ -112,6 +112,25 @@ def apply_ddl(schema: pa.Schema, ddl: dict[str, Any], dropped: set | None = None
     op = ddl["op"]
     if op in _NOOP_DDL_VERBS:
         return schema  # journal-recorded no-op (index/DCL verbs)
+    if op == "base_schema":
+        # arbitrary user-table payloads (the RowsLogBuffer.fetchValue
+        # type families: decimal / temporal / binary / string /
+        # numeric): a journal whose FIRST entry is base_schema replaces
+        # the v0 tokenized-sequence base with the user table's shape —
+        # the CREATE TABLE statement seeding Canal's TableMetaTSDB
+        # (DatabaseTableMeta.java:177-216 apply of the first snapshot).
+        # Everything downstream (widen/rename/drop, merge-on-read
+        # up-cast, per-partition reduce) is payload-agnostic.
+        fields = [
+            pa.field(n, type_from_name(t), nullable=(n != "doc_id"))
+            for n, t in ddl["fields"]
+        ]
+        names = [f.name for f in fields]
+        if "doc_id" not in names:
+            raise SchemaEvolutionError("base_schema needs the 'doc_id' key column")
+        if len(set(names)) != len(names):
+            raise SchemaEvolutionError("base_schema has duplicate column names")
+        return pa.schema(fields)
     if op == "add_column":
         name = ddl["name"]
         if schema.get_field_index(name) != -1:
@@ -211,10 +230,15 @@ def attach_renames(schema: pa.Schema, ddls: list[dict[str, Any]]) -> pa.Schema:
 
 
 def lake_schema(ddls: list[dict[str, Any]]) -> pa.Schema:
-    """v0 schema + replay of the DDL journal (TableMetaTSDB replay)."""
+    """v0 schema + replay of the DDL journal (TableMetaTSDB replay).
+    A ``base_schema`` first entry replaces v0 with an arbitrary user
+    table shape (see apply_ddl); anywhere else it is illegal — a
+    mid-stream base swap would orphan every file already written."""
     s = LAKE_SCHEMA_V0
     dropped: set = set()
-    for d in ddls:
+    for i, d in enumerate(ddls):
+        if d["op"] == "base_schema" and i != 0:
+            raise SchemaEvolutionError("base_schema is only legal as the first journal entry")
         s = apply_ddl(s, d, dropped)
     return attach_renames(s, ddls)
 

@@ -70,3 +70,42 @@ def test_illegal_ddl_rejected():
         apply_ddl(s, {"op": "drop_column", "name": "doc_id"})
     with pytest.raises(SchemaEvolutionError):
         apply_ddl(s, {"op": "alter_engine", "name": "source"})
+
+
+def test_base_schema_seed_replaces_v0():
+    """base_schema (RowsLogBuffer.fetchValue type-family analog): a
+    first-entry seed replaces the v0 tokenized base with an arbitrary
+    user-table shape; downstream widen/rename machinery applies on top;
+    anywhere but first is illegal."""
+    import pyarrow as pa
+
+    base = {
+        "op": "base_schema",
+        "fields": [
+            ["doc_id", "string"],
+            ["bal", "int64"],
+            ["updated_at", "timestamp[s]"],
+            ["payload", "binary"],
+        ],
+    }
+    s = lake_schema([base])
+    assert s.field("doc_id").type == pa.string() and not s.field("doc_id").nullable
+    assert s.field("bal").type == pa.int64()
+    assert s.field("payload").type == pa.binary()
+    s2 = lake_schema(
+        [
+            base,
+            {"op": "widen_type", "name": "bal", "to": "decimal"},
+            {"op": "widen_type", "name": "updated_at", "to": "timestamp[ms]"},
+            {"op": "add_column", "name": "note", "type": "string"},
+        ]
+    )
+    assert s2.field("bal").type == pa.decimal128(38, 0)
+    assert s2.field("updated_at").type == pa.timestamp("ms")
+    assert s2.field("note").type == pa.string()
+    with pytest.raises(SchemaEvolutionError):
+        lake_schema([{"op": "add_column", "name": "x", "type": "int32"}, base])
+    with pytest.raises(SchemaEvolutionError):
+        lake_schema([{"op": "base_schema", "fields": [["bal", "int64"]]}])  # no doc_id
+    with pytest.raises(SchemaEvolutionError):
+        lake_schema([{"op": "base_schema", "fields": [["doc_id", "string"], ["doc_id", "string"]]}])

@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_samples": q.corpus_samples,  # hash + domain-mix sampling, merged
         "corpus_shard_assign": q.corpus_shard_assign,  # distributed row_number
         "corpus_span_dedup": q.corpus_span_dedup,  # C4-style span dedup
-        "cdc_props_decode": q.cdc_props_decode,  # JSON payload field decode
+        "cdc_json_patch": q.cdc_json_patch,  # JSON column + partial-update patch events
         "cdc_mq_routing": q.cdc_mq_routing,  # pk-hash MQ partition routing
         "cdc_payload_mask": q.cdc_payload_mask,  # PII-style payload scrub
         "corpus_token_histogram": q.corpus_token_histogram,
@@ -491,12 +491,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM t
         """,
-        "cdc_props_decode": """
-            SELECT event_type,
-                   CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
-                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-            FROM events GROUP BY event_type
+        "cdc_json_patch": """
+            SELECT 'u' || event_id AS doc_id,
+              CASE WHEN event_id % 3 = 1 THEN 'upd' ELSE event_type END AS kind,
+              CASE WHEN event_id % 3 = 0 THEN -1
+                   WHEN event_id % 3 = 1 THEN (CASE WHEN event_id % 6 = 1 THEN 99 ELSE -1 END)
+                   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS meta_k,
+              CASE WHEN event_id % 3 = 0 THEN event_id % 7 ELSE -1 END AS meta_q,
+              CASE WHEN event_id % 3 = 1 THEN event_id % 5 ELSE -1 END AS meta_r
+            FROM events WHERE event_id % 10 <> 7
         """,
         "corpus_span_dedup": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

@@ -1207,40 +1207,198 @@ def corpus_shard_assign(sf_dir: str):
     )
 
 
-def cdc_props_decode(sf_dir: str):
-    """Semi-structured payload decode: pull the integer field `k` out of
-    the JSON `props` column, then aggregate per event_type."""
-    from clever_canal_ray.functions.cdc_ops import extract_json_int
+def cdc_json_patch(sf_dir: str):
+    """Structured JSON column + partial-update (patch) events end-to-end
+    — the JsonConversion.java:9 / JsonDiffConversion.java analog: a lake
+    whose ``meta`` column holds the events table's ``props`` JSON,
+    replayed through (seg0) full-image updates + deletes and (seg1)
+    patch events: remove/set chains, a set below a missing parent
+    (JSON_SET parity: no-op), patches onto deleted rows and onto ghost
+    docs (UPDATE matching 0 rows: no resurrection). Replaces the old
+    cdc_props_decode gate — JSON field extraction is still hash-gated
+    here (the output extracts patched fields; extract_json_int keeps
+    its pytest). Oracle: json_extract over events.props + CASE.
 
-    ds = _read(sf_dir, "events", columns=["event_type", "props"])
-    out = extract_json_int(ds, "props", "k", "k")
+    Final columns: doc_id, kind, meta_k/meta_q/meta_r (-1 = absent)."""
+    import re as _re
+    import shutil
+    import uuid
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", sort=False)["k"]
+    import pyarrow.parquet as pq_
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.functions.json_patch import canonical
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.schema import event_schema, lake_schema
+    from clever_canal_ray.state.manifest import Lake
+
+    base_ddl = {
+        "op": "base_schema",
+        "fields": [["doc_id", "string"], ["meta", "string"], ["kind", "string"]],
+    }
+    payload = lake_schema([base_ddl])
+    ev = pq_.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "event_type", "props"]
+    )
+    eid = ev["event_id"].to_numpy()
+    etype = np.asarray(ev["event_type"].to_numpy(zero_copy_only=False), dtype=object)
+    props = np.asarray(ev["props"].to_numpy(zero_copy_only=False), dtype=object)
+    doc = np.char.add("u", eid.astype(str)).astype(object)
+
+    initial = pa.Table.from_arrays(
+        [
+            pa.array(doc, pa.string()),
+            pa.array(props, pa.string()),
+            pa.array(etype, pa.string()),
+        ],
+        schema=pa.schema(list(payload)),
+    )
+
+    sch = event_schema(payload, include_patch=True)
+    payload_t = pa.struct(list(payload))
+
+    def seg(fields: dict, n: int, seg_id: int) -> pa.Table:
+        arrays = []
+        for f in sch:
+            if f.name == "segment_id":
+                arrays.append(pa.array(np.full(n, seg_id, np.int32), pa.int32()))
+            elif f.name in fields:
+                v = fields[f.name]
+                arrays.append(v if isinstance(v, pa.Array) else pa.array(v, f.type))
+            elif f.name == "txn_commit":
+                arrays.append(pa.array(np.ones(n, bool), pa.bool_()))
+            elif f.name == "execute_ts":
+                arrays.append(pa.array(np.full(n, 1_700_000_000_000, np.int64), pa.timestamp("ms")))
+            elif f.name in ("seq_in_txn", "schema_version"):
+                arrays.append(pa.array(np.zeros(n, np.int32), pa.int32()))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=sch)
+
+    work = os.path.join("/tmp", f"ccr_jp_{uuid.uuid4().hex}")
+    os.makedirs(work)
+    try:
+        # seg0: full updates for id%3==1, deletes for id%10==7
+        m1 = eid % 3 == 1
+        n1 = int(m1.sum())
+        a1 = pa.StructArray.from_arrays(
+            [
+                pa.array(doc[m1], pa.string()),
+                pa.array([canonical({"r": int(i % 5)}) for i in eid[m1]], pa.string()),
+                pa.array(np.full(n1, "upd", dtype=object), pa.string()),
+            ],
+            fields=list(payload),
+        )
+        md = eid % 10 == 7
+        nd = int(md.sum())
+        off1 = np.arange(1, n1 + 1, dtype=np.int64)
+        offd = np.arange(n1 + 1, n1 + nd + 1, dtype=np.int64)
+        seg0 = pa.concat_tables(
+            [
+                seg(
+                    {
+                        "offset": pa.array(off1, pa.int64()),
+                        "txn_id": pa.array(off1, pa.int64()),
+                        "op": np.full(n1, "U", dtype=object),
+                        "table": np.full(n1, "lake.j", dtype=object),
+                        "doc_id": pa.array(doc[m1], pa.string()),
+                        "after": a1,
+                    },
+                    n1,
+                    0,
+                ),
+                seg(
+                    {
+                        "offset": pa.array(offd, pa.int64()),
+                        "txn_id": pa.array(offd, pa.int64()),
+                        "op": np.full(nd, "D", dtype=object),
+                        "table": np.full(nd, "lake.j", dtype=object),
+                        "doc_id": pa.array(doc[md], pa.string()),
+                    },
+                    nd,
+                    0,
+                ),
+            ]
+        )
+        # seg1: patch chains — %3==0 (remove k, add q, no-op nested set),
+        # %6==1 (set k=99 onto the seg0 full image), ghosts (0-row match)
+        m0 = eid % 3 == 0
+        n0 = int(m0.sum())
+        chain0 = [
+            json.dumps(
+                [
+                    {"col": "meta", "op": "remove", "path": "$.k"},
+                    {"col": "meta", "op": "set", "path": "$.q", "value": int(i % 7)},
+                    {"col": "meta", "op": "set", "path": "$.nested.x", "value": 5},
+                ]
+            )
+            for i in eid[m0]
+        ]
+        m61 = eid % 6 == 1
+        n61 = int(m61.sum())
+        chain61 = [json.dumps([{"col": "meta", "op": "set", "path": "$.k", "value": 99}])] * n61
+        ghosts = [f"ghost{i}" for i in range(10)]
+        chaing = [json.dumps([{"col": "meta", "op": "set", "path": "$.a", "value": 1}])] * 10
+        base = n1 + nd
+        parts = []
+        for docs_, chains in ((doc[m0], chain0), (doc[m61], chain61), (np.array(ghosts, dtype=object), chaing)):
+            n = len(chains)
+            offs = np.arange(base + 1, base + n + 1, dtype=np.int64)
+            base += n
+            parts.append(
+                seg(
+                    {
+                        "offset": pa.array(offs, pa.int64()),
+                        "txn_id": pa.array(offs, pa.int64()),
+                        "op": np.full(n, "U", dtype=object),
+                        "table": np.full(n, "lake.j", dtype=object),
+                        "doc_id": pa.array(docs_, pa.string()),
+                        "patch": pa.array(chains, pa.string()),
+                    },
+                    n,
+                    1,
+                )
+            )
+        seg1 = pa.concat_tables(parts)
+        paths = []
+        for i, t_ in enumerate((seg0, seg1)):
+            p_ = os.path.join(work, f"segment-{i:05d}.parquet")
+            pq_.write_table(t_, p_)
+            paths.append(p_)
+        lake = Lake.create(
+            os.path.join(work, "lake"), initial, num_partitions=8, ddl_journal=[base_ddl]
+        )
+        replay(
+            lake,
+            paths,
+            ReplayConfig(num_partitions=8, segments_per_batch=1, sink_mode="delta"),
+        )
+        lake.compact()
+        t = lake.read_table()
+        metas = t["meta"].to_pylist()
+
+        def field(key):
+            rx = _re.compile(r'"' + key + r'":\s*(-?\d+)')
+            out = np.full(len(metas), -1, dtype=np.int64)
+            for i, s in enumerate(metas):
+                if s is None:
+                    continue
+                m_ = rx.search(s)
+                if m_:
+                    out[i] = int(m_.group(1))
+            return out
+
         return pd.DataFrame(
             {
-                "event_type": g.count().index,
-                "n_k": g.count().to_numpy(),
-                "sum_k": g.sum().to_numpy(),
-                "max_k": g.max().to_numpy(),
+                "doc_id": t["doc_id"].to_pylist(),
+                "kind": t["kind"].to_pylist(),
+                "meta_k": field("k"),
+                "meta_q": field("q"),
+                "meta_r": field("r"),
             }
         )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", sort=False)
-        out = pd.DataFrame(
-            {
-                "event_type": g["n_k"].sum().index,
-                "n_k": g["n_k"].sum().to_numpy(dtype=np.int64),
-                "sum_k": g["sum_k"].sum().to_numpy(dtype=np.int64),
-                "max_k": g["max_k"].max().to_numpy(dtype=np.int64),
-            }
-        )
-        return out
-
-    from clever_canal_ray.stages.agg import bucketed_groupby
-
-    return bucketed_groupby(out, ["event_type"], partial, final, num_buckets=8)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def corpus_span_dedup(sf_dir: str):

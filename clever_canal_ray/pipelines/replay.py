@@ -438,8 +438,8 @@ def _execute_batch(
             import pyarrow.parquet as pq
 
             names = [set(pq.read_schema(p).names) for p in segment_paths]
-            need_rekey, need_xa = False, False
-            for col in ("new_doc_id", "xa_id"):
+            need_rekey, need_xa, need_patch = False, False, False
+            for col in ("new_doc_id", "xa_id", "patch"):
                 has = [col in ns for ns in names]
                 if any(has) and not all(has):
                     raise ValueError(
@@ -450,20 +450,34 @@ def _execute_batch(
                     )
                 if col == "new_doc_id":
                     need_rekey = all(has)
-                else:
+                elif col == "xa_id":
                     need_xa = all(has)
+                else:
+                    need_patch = all(has)
+            if need_patch and (cfg.salt_factor > 1 or cfg.pipeline_depth > 1):
+                # patch folding needs every row of a doc in ONE apply
+                # group (salting scatters them) and an up-to-date base
+                # for residual chains (pipelined batches see a stale
+                # part_files snapshot)
+                raise ValueError(
+                    "partial-JSON patch streams require salt_factor=1 and "
+                    "pipeline_depth=1 (patch rows fold per doc against the "
+                    "current base partition state)"
+                )
             columns = combine_read_columns(
                 need_table_col=need_table,
                 need_txn=cfg.gtid_dedup,
                 need_rekey=need_rekey,
                 need_xa=need_xa,
+                need_patch=need_patch,
             )
             ds = rd.read_parquet(segment_paths, filter=flt, columns=columns)
         else:
             ds = rd.read_parquet(segment_paths, filter=flt)
+    has_patch = "patch" in (ds.schema().names or [])
     combine = make_combine_fn(
         cfg, target_payload, hwm, plan.ack, routing=routing, txn_hwm=txn_hwm,
-        xa_commits=plan.xa_commits,
+        xa_commits=plan.xa_commits, has_patch=has_patch,
     )
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=cfg.batch_size)
     if cfg.salt_factor > 1:

@@ -356,7 +356,12 @@ EVENT_META_FIELDS = [
 ]
 
 
-def event_schema(payload: pa.Schema, include_rekey: bool = False, include_xa: bool = False) -> pa.Schema:
+def event_schema(
+    payload: pa.Schema,
+    include_rekey: bool = False,
+    include_xa: bool = False,
+    include_patch: bool = False,
+) -> pa.Schema:
     """Event-log schema for a given lake payload schema version.
 
     ``before``/``after`` are struct columns over the payload fields
@@ -385,6 +390,12 @@ def event_schema(payload: pa.Schema, include_rekey: bool = False, include_xa: bo
         fields.append(pa.field("new_doc_id", pa.string()))
     if include_xa:
         fields.append(pa.field("xa_id", pa.int64()))
+    if include_patch:
+        # partial-JSON update (JsonDiffConversion.java analog): a JSON
+        # array of {"col","op","path","value"} ops applied to the row's
+        # current value instead of a full after image (which is null on
+        # patch rows) — see functions/json_patch.py for the semantics
+        fields.append(pa.field("patch", pa.string()))
     fields.append(pa.field("before", payload_struct))
     fields.append(pa.field("after", payload_struct))
     return pa.schema(fields)

@@ -84,6 +84,7 @@ def make_combine_fn(
     routing: dict[str, tuple[int, int]] | None = None,
     txn_hwm: int = -1,
     xa_commits: tuple = (),
+    has_patch: bool = False,
 ):
     """Build the map_batches body for one micro-batch (closure carries
     only small immutable config — broadcast once per task by Ray).
@@ -167,7 +168,7 @@ def make_combine_fn(
             batch = batch.filter(pa.array(keep))  # the only payload copy
             pos = pos[keep]
         if batch.num_rows == 0:
-            return _empty_combined(target_payload)
+            return _empty_combined(target_payload, has_patch=has_patch)
 
         # 1a. PK-change expansion: a row with non-null new_doc_id is an
         # UPDATE whose primary key changed (LogEventConvert.parseOneRow
@@ -206,7 +207,7 @@ def make_combine_fn(
                     batch = batch.filter(pa.array(keep_t))
                     pos = pos[keep_t]
                     if batch.num_rows == 0:
-                        return _empty_combined(target_payload)
+                        return _empty_combined(target_payload, has_patch=has_patch)
                     tbl_np = tbl_np[keep_t]
                     tcodes, tuniq = pd.factorize(tbl_np)
 
@@ -223,7 +224,12 @@ def make_combine_fn(
             codes = codes.astype(np.int64) * len(tuniq) + tcodes
             codes = pd.factorize(codes)[0]
         n_unique = codes.max() + 1 if len(codes) else 0
-        if n_unique < 0.7 * len(codes):
+        # partial-JSON patch rows (JsonDiffConversion analog) fold onto
+        # PRIOR rows of their doc — the keep-last collapse would drop
+        # the image a patch needs; patch-bearing batches ship every row
+        # and the apply stage does the single ordered fold per doc
+        any_patch = has_patch and batch["patch"].null_count < batch.num_rows
+        if n_unique < 0.7 * len(codes) and not any_patch:
             order = np.lexsort((pos, codes))  # by key, then position
             last_of_key = np.ones(len(order), dtype=bool)
             last_of_key[:-1] = codes[order[:-1]] != codes[order[1:]]
@@ -306,7 +312,12 @@ def make_combine_fn(
             pa.array(counts, pa.int64()),
         ]
         names = COMBINE_META + [f"p_{n}" for n in payload_names if n != "doc_id"]
-        return pa.Table.from_arrays(meta + cols, names=names)
+        arrays = meta + cols
+        if has_patch:
+            pcol = batch["patch"]
+            arrays.append(pcol.combine_chunks() if isinstance(pcol, pa.ChunkedArray) else pcol)
+            names = names + ["__patch"]
+        return pa.Table.from_arrays(arrays, names=names)
 
     return combine
 
@@ -319,6 +330,7 @@ def combine_read_columns(
     need_txn: bool = False,
     need_rekey: bool = False,
     need_xa: bool = False,
+    need_patch: bool = False,
 ) -> list[str]:
     cols = ["segment_id", "offset", "op", "doc_id", "after"]
     if need_table_col:
@@ -331,10 +343,12 @@ def combine_read_columns(
         cols.append("new_doc_id")
     if need_xa:
         cols.append("xa_id")
+    if need_patch:
+        cols.append("patch")
     return cols
 
 
-def _empty_combined(target_payload: pa.Schema) -> pa.Table:
+def _empty_combined(target_payload: pa.Schema, has_patch: bool = False) -> pa.Table:
     names = COMBINE_META + [f"p_{f.name}" for f in target_payload if f.name != "doc_id"]
     arrays = [
         pa.array([], pa.int32()),
@@ -343,4 +357,7 @@ def _empty_combined(target_payload: pa.Schema) -> pa.Table:
         pa.array([], pa.bool_()),
         pa.array([], pa.int64()),
     ] + [pa.array([], f.type) for f in target_payload if f.name != "doc_id"]
+    if has_patch:
+        names = names + ["__patch"]
+        arrays.append(pa.array([], pa.string()))
     return pa.Table.from_arrays(arrays, names=names)

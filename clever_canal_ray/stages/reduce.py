@@ -58,6 +58,106 @@ def lww_reduce(group: pa.Table, payload_names: list[str]) -> tuple[pa.Table, np.
     return group.take(pa.array(winners)), ev_counts[codes[winners]].astype(np.int64), pos[winners]
 
 
+def fold_patch_rows(group: pa.Table, payload_names: list[str], read_base) -> pa.Table:
+    """Fold partial-JSON patch rows (``__patch`` column — the
+    JsonDiffConversion.java analog) into full rows, per doc in position
+    order: a full image or delete RESETS state; patches after an image
+    apply onto it; LEADING patches (no image in the window) form a
+    residual chain resolved against the partition's base rows
+    (``read_base()`` — lazy, partition-local, only called when residuals
+    exist). A residual patch whose doc is absent from the base is an
+    UPDATE matching 0 rows — dropped, never creates a row.
+
+    Python-per-PATCH-DOC by design: docs without patch rows pass
+    through untouched in one vectorized filter; partial-JSON events are
+    the rare case (the reference emits them only for diff-logged JSON
+    columns)."""
+    import json as _json
+
+    from clever_canal_ray.functions.json_patch import apply_chain_to_row
+
+    patch_np = np.asarray(group["__patch"].to_numpy(zero_copy_only=False), dtype=object)
+    g2 = group.drop_columns(["__patch"])
+    has = np.array([p is not None for p in patch_np], dtype=bool)
+    if not has.any():
+        return g2
+    doc = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=object)
+    pos = group["pos"].to_numpy(zero_copy_only=False)
+    is_del = group["is_del"].to_numpy(zero_copy_only=False).astype(bool)
+    nev = group["n_events"].to_numpy(zero_copy_only=False)
+    patch_docs = set(doc[has])
+    in_pd = np.array([d in patch_docs for d in doc], dtype=bool)
+    passthrough = g2.filter(pa.array(~in_pd))
+
+    idxs = np.where(in_pd)[0]
+    idxs = idxs[np.argsort(pos[idxs], kind="stable")]
+    per_doc: dict = {}
+    for i in idxs:
+        per_doc.setdefault(doc[i], []).append(int(i))
+
+    def row_payload(i: int) -> dict:
+        return {
+            n: (g2["doc_id"][i].as_py() if n == "doc_id" else g2[f"p_{n}"][i].as_py())
+            for n in payload_names
+        }
+
+    base_map = None  # doc_id -> payload row dict, built on first residual
+    out_rows: list[dict] = []
+    for d, rows in per_doc.items():
+        state, chain, n_ev = ("none", None), [], 0
+        for i in rows:
+            n_ev += int(nev[i])
+            if patch_np[i] is not None:
+                ops = _json.loads(patch_np[i])
+                if state[0] == "del":
+                    continue  # patch on a deleted row: UPDATE of 0 rows
+                chain.extend(ops)
+                if state[0] == "none":
+                    state = ("residual", None)
+            elif is_del[i]:
+                state, chain = ("del", i), []
+            else:
+                state, chain = ("full", i), []
+        last_i = rows[-1]
+        meta = {"pid": g2["pid"][last_i].as_py(), "pos": int(pos[last_i]), "n_events": n_ev}
+        if state[0] == "del":
+            out_rows.append({**meta, "is_del": True, **row_payload(state[1]), "doc_id": d})
+        elif state[0] == "full":
+            payload = row_payload(state[1])
+            if chain:
+                payload = apply_chain_to_row(payload, chain)
+            out_rows.append({**meta, "is_del": False, **payload})
+        else:  # residual: resolve against the base partition state
+            if base_map is None:
+                base = read_base()
+                base_map = {}
+                if base is not None and base.num_rows:
+                    bdoc = base["doc_id"].to_pylist()
+                    bcols = {n: base[n].to_pylist() for n in payload_names if n != "doc_id"}
+                    for j, bd in enumerate(bdoc):
+                        base_map[bd] = {"doc_id": bd, **{n: v[j] for n, v in bcols.items()}}
+            if d not in base_map:
+                continue  # UPDATE matched 0 rows — no-op, no resurrection
+            out_rows.append(
+                {**meta, "is_del": False, **apply_chain_to_row(base_map[d], chain)}
+            )
+    if not out_rows:
+        return passthrough
+    # synthesized winners in the group's column layout
+    synth = {name: [] for name in g2.column_names}
+    for r in out_rows:
+        for name in g2.column_names:
+            if name in ("pid", "doc_id", "pos", "is_del", "n_events"):
+                synth[name].append(r[name])
+            else:
+                synth[name].append(r[name[2:]])  # p_<payload col>
+    synth_t = pa.Table.from_arrays(
+        [pa.array(synth[n], g2.schema.field(n).type) for n in g2.column_names],
+        schema=g2.schema,
+    )
+    return pa.concat_tables([passthrough, synth_t])
+
+
 def make_desalt_fn(salt_factor: int):
     """Stage between the salted shuffle and the final merge: collapse
     salted sub-partitions back to the true pid with a partial LWW
@@ -120,8 +220,34 @@ def make_partition_upsert_fn(
         # metadata would make Ray block schemas unhashable on read
         tp_clean = pa.schema(list(tp))
         payload_names = [f.name for f in tp]
-        win, counts, _ = lww_reduce(group, payload_names)
+        # events_in BEFORE any patch fold: a patch matching 0 rows is an
+        # applied (no-op) event, not a lost one
         events_in = int(np.asarray(group["n_events"]).sum())
+        if "__patch" in group.column_names:
+            existing_now = part_files.get(pid, [])
+
+            def read_base():
+                if not existing_now:
+                    return None
+                return merge_partition_files(
+                    [pq.read_table(os.path.join(lake_dir, rel)) for rel in existing_now], tp
+                )
+
+            group = fold_patch_rows(group, payload_names, read_base)
+            if group.num_rows == 0:  # every row was a 0-row-match patch
+                return pa.Table.from_pydict(
+                    {
+                        "pid": pa.array([pid], pa.int32()),
+                        "file": pa.array([None], pa.string()),
+                        "rows": pa.array([0], pa.int64()),
+                        "rows_upserted": pa.array([0], pa.int64()),
+                        "rows_deleted": pa.array([0], pa.int64()),
+                        "events_in": pa.array([events_in], pa.int64()),
+                        "mode": pa.array(["noop"], pa.string()),
+                    },
+                    schema=METRICS_SCHEMA,
+                )
+        win, counts, _ = lww_reduce(group, payload_names)
 
         is_del = win["is_del"].to_numpy(zero_copy_only=False).astype(bool)
 

@@ -681,6 +681,12 @@ class Lake:
             parts = dict(cur.partitions)
         rows_upserted = rows_deleted = events_in = 0
         for pid, info in touched.items():
+            if info.get("mode") == "noop":
+                # patch-only partition where every patch matched 0 rows
+                # (stages/reduce.fold_patch_rows): no file written, but
+                # the events still count as applied
+                events_in += int(info.get("events_in", 0))
+                continue
             if info.get("mode") == "append":  # delta sink: add a change file
                 prev = parts.get(str(pid), {"files": [], "rows": 0})
                 parts[str(pid)] = {

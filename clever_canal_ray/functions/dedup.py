@@ -232,102 +232,251 @@ class MinHasher:
         return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc to ``bands`` rows: (band, band_hash, doc_id, sig)."""
+        """ONE row per doc: (doc_id, sig list). Band hashes are derived
+        downstream from the signature (cheap vectorized fold) so the
+        LSH exchange never replicates the signature per band."""
         sigs = self.signatures_batch(batch["text"].to_numpy())
-        n = len(batch)
-        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        doc_ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
-        banded = sigs.reshape(n, self.bands, self.rows)
-        band_hash = np.zeros((n, self.bands), dtype=np.uint64)
-        for r in range(self.rows):
-            band_hash = band_hash * np.uint64(1_000_003) + banded[:, :, r]
         return pd.DataFrame(
             {
-                "band": band_ids,
-                "band_hash": band_hash.reshape(-1).astype(np.int64),
-                "doc_id": doc_ids,
-                "sig": list(np.repeat(sigs.astype(np.int64), self.bands, axis=0)),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "sig": list(sigs.astype(np.int64)),
             }
         )
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, num_hashes) signatures -> (n, bands) band hashes."""
+        banded = sigs.reshape(len(sigs), self.bands, self.rows)
+        bh = np.zeros((len(sigs), self.bands), dtype=np.uint64)
+        for r in range(self.rows):
+            bh = bh * np.uint64(1_000_003) + banded[:, :, r]
+        return bh
 
 
 def hash_text(text: str) -> int:
     return int(_stable_u64([text])[0])
 
 
-def minhash_lsh_pairs(ds, threshold: float = 0.7, num_hashes: int = 64, bands: int = 16, k: int = 3, seed: int = 1234):
+def _sig_transport(num_hashes: int) -> pa.Schema:
+    # signatures travel as ONE fixed-size binary blob per row (8 bytes
+    # per minhash) — compact, null-safe through pandas group blocks
+    # (a list<int64> column with nulls breaks TensorArray concat)
+    return pa.schema(
+        [
+            ("key", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("sig", pa.binary(8 * num_hashes)),
+            ("role", pa.int8()),  # 0 = pair side a, 1 = pair side b, 2 = doc signature
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 1234,
+    num_buckets: int = 64,
+):
     """Near-duplicate pairs via MinHash banding.
 
-    Pipeline: signatures+banding (actor pool) → groupby(band,band_hash)
-    → per-bucket candidate pairs verified with the signature-estimated
-    Jaccard (mean equal minhash) ≥ threshold. Returns (a, b, est_jaccard).
+    Pipeline (the 100-TB shape — nothing in the LSH exchange carries a
+    signature): signatures once per doc (actor pool, materialized and
+    reused) → band rows of just (band, band_hash, doc_id) — 24 bytes
+    per doc per band, NOT sig-bearing — → groupby(bucket of band_hash)
+    → per-LSH-bucket candidate id pairs → bucketed pair dedup → the
+    signatures hash-join back onto the CANDIDATE pairs only (two
+    id-bucketed exchanges over O(candidates) rows, mirror of
+    minhash_lsh_pairs_verified's text join) where the estimated
+    Jaccard (mean equal minhash) ≥ threshold filter runs. Returns
+    (a, b, est_jaccard) with int64 ids, a < b.
+
+    The earlier shape shipped the full 64×u64 signature on every band
+    row — ``bands`` copies of every signature through the widest
+    shuffle (8 KB/doc at the defaults; 131 GB of exchange per 16M
+    docs). Candidate pairs sharing ≥1 band but estimating below
+    threshold are now filtered one stage later; the pair set and
+    est values are unchanged.
     """
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.where(eq >= threshold)[0]
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_j.append(round(float(eq[h]), 6))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
-
-    def bucket_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
-        """One hash bucket = many (band, band_hash) LSH buckets; pair
-        generation loops only over multi-doc buckets (rare)."""
-        outs = []
-        for _, g in group.groupby(["band", "band_hash"], sort=False):
-            if len(g) >= 2:
-                outs.append(bucket_pairs(g))
-        if not outs:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        return pd.concat(outs, ignore_index=True)
+    import pyarrow.compute as pc
 
     from clever_canal_ray.config import actor_pool
+    from clever_canal_ray.functions.corpus import _fast_u64
 
-    banded = ds.map_batches(
+    rows = num_hashes // bands
+
+    sigs = ds.map_batches(
         MinHasher,
         fn_constructor_args=(num_hashes, bands, k, seed),
         batch_format="pandas",
         concurrency=actor_pool(),
-    )
+    ).materialize()  # reused twice: band explode + candidate-pair est join
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (df["band_hash"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(np.int64)
-        return df
+    hasher_cfg = (num_hashes, bands, k, seed)
 
-    pairs = (
-        banded.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(lambda g: bucket_pairs_vec(g.drop(columns="__bucket")), batch_format="pandas")
-    )
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sig = np.stack(df["sig"].to_numpy()).astype(np.uint64)
+        n = len(df)
+        mh = MinHasher(*hasher_cfg)
+        bh = mh.band_hashes(sig)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "__bucket": (bh.reshape(-1) % np.uint64(num_buckets)).astype(np.int64),
+            }
+        )
 
-    # same pair may surface from several bands — final vectorized dedup
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
+    def bucket_cand(group: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket = many (band, band_hash) LSH buckets.
+        Fully vectorized: lexsort -> run-length detect equal (band,
+        band_hash) runs -> per-RUN-SIZE batched triu pair expansion
+        (runs are overwhelmingly size 2; a pandas per-group loop here
+        measured 27s per 100k docs)."""
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+        if len(group) < 2:
+            return empty
+        b = group["band"].to_numpy()
+        h = group["band_hash"].to_numpy()
+        d = group["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, h, b))
+        b, h, d = b[order], h[order], d[order]
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        outs_a, outs_b = [], []
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            idx = starts[counts == m]
+            mat = d[idx[:, None] + np.arange(m)[None, :]]  # docs ascending per run
+            iu, ju = np.triu_indices(int(m), k=1)
+            outs_a.append(mat[:, iu].reshape(-1))
+            outs_b.append(mat[:, ju].reshape(-1))
+        if not outs_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
 
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__bucket"] = (
-            _stable_u64(df["a"].astype(str).str.cat(df["b"].astype(str), sep="\x00").to_numpy())
-            % np.uint64(64)
+            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
+            % np.uint64(num_buckets)
         ).astype(np.int64)
         return df
 
-    return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
+    cand = (
+        sigs.map_batches(explode_bands, batch_format="pandas")
         .groupby("__bucket")
-        .map_groups(lambda g: dedup_pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        .map_groups(lambda g: bucket_cand(g.drop(columns="__bucket")), batch_format="pandas")
+        # same pair may surface from several bands — vectorized dedup
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
+            batch_format="pandas",
+        )
+    )
+
+    # --- est-jaccard join: signatures meet CANDIDATE pairs only ---
+    transport = _sig_transport(num_hashes)
+    blob_t = pa.binary(8 * num_hashes)
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        a = a.cast(pa.int64())
+        b = b.cast(pa.int64())
+        n = t.num_rows
+        side = lambda key, role: pa.Table.from_arrays(  # noqa: E731
+            [
+                key,
+                a,
+                b,
+                pa.nulls(n, blob_t),
+                pa.array(np.full(n, role, np.int8()), pa.int8()),
+            ],
+            schema=transport,
+        )
+        return pa.concat_tables([side(a, 0), side(b, 1)])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+        flat = sig_col.cast(pa.list_(pa.int64())).flatten().to_numpy(zero_copy_only=False)
+        blobs = pa.Array.from_buffers(
+            blob_t, n, [None, pa.py_buffer(np.ascontiguousarray(flat, dtype="<i8").tobytes())]
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["doc_id"], pa.int64()).combine_chunks(),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                blobs,
+                pa.array(np.full(n, 2, np.int8()), pa.int8()),
+            ],
+            schema=transport,
+        )
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (_fast_u64(df["key"].to_numpy()) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return df
+
+    def join_sigs(g: pd.DataFrame) -> pd.DataFrame:
+        sig_side = g[g["role"] == 2][["key", "sig"]].rename(columns={"sig": "side_sig"})
+        pairs = g[g["role"] < 2].drop(columns=["sig", "__bucket"])
+        return pairs.merge(sig_side, on="key", how="inner").drop(columns=["key"])
+
+    joined = (
+        cand.map_batches(pair_sides, batch_format="pyarrow")
+        .union(sigs.map_batches(sig_rows, batch_format="pyarrow"))
+        .map_batches(key_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(join_sigs, batch_format="pandas")
+    )
+
+    def est_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "est_jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+        a_rows = g[g["role"] == 0][["a", "b", "side_sig"]].rename(columns={"side_sig": "sig_a"})
+        b_rows = g[g["role"] == 1][["a", "b", "side_sig"]].rename(columns={"side_sig": "sig_b"})
+        m = a_rows.merge(b_rows, on=["a", "b"], how="inner")
+        if not len(m):
+            return empty
+        sa = np.frombuffer(b"".join(m["sig_a"]), dtype="<i8").reshape(len(m), -1)
+        sb = np.frombuffer(b"".join(m["sig_b"]), dtype="<i8").reshape(len(m), -1)
+        est = np.round((sa == sb).mean(axis=1), 6)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy(np.int64)[keep],
+                "b": m["b"].to_numpy(np.int64)[keep],
+                "est_jaccard": est[keep],
+            }
+        )
+
+    return (
+        joined.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: est_pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        # map_groups hands downstream one tiny block per bucket; coalesce
+        # so consumers (verify join, clustering) don't pay per-block costs
+        .repartition(32, shuffle=False)
     )
 
 
@@ -466,6 +615,7 @@ def minhash_lsh_pairs_verified(
         joined.map_batches(pair_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(lambda g: verify(g), batch_format="pandas")
+        .repartition(32, shuffle=False)  # coalesce per-bucket blocks for consumers
     )
 
 
@@ -495,7 +645,16 @@ def connected_components(
             }
         )
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    # coalesce to <= num_buckets blocks (shuffle=False repartition is a
+    # cheap split/merge): upstream bucketed stages can hand us hundreds
+    # of tiny per-group blocks, and every iteration below pays a
+    # per-block scheduling + sort cost on edges AND labels — measured
+    # 25x on a 10k-edge graph fed from an 800-block pair dataset
+    edges = (
+        pairs_ds.map_batches(to_edges, batch_format="pandas")
+        .repartition(num_buckets, shuffle=False)
+        .materialize()
+    )
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -545,6 +704,7 @@ def connected_components(
             .map_batches(bucket, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(lambda g: reduce_min(g.drop(columns="__bucket")), batch_format="pandas")
+            .repartition(num_buckets, shuffle=False)
             .materialize()
         )
         n_changed = new_labels.sum("changed")
@@ -558,6 +718,65 @@ def connected_components(
         )
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: int = 64):
+    """The corpus AFTER near-dup clustering: drop every doc whose
+    cluster label is not its own id (each component keeps its min-id
+    member — the keeper `connected_components` elected). The apply
+    step after pairs → verify → cluster, mirroring
+    ``exact_dedup_survivors`` for the near-duplicate path.
+
+    Fully distributed: the drop-id set (one row per REMOVED doc — at
+    heavy duplication the majority of the corpus) never lands on the
+    driver. Drop ids and doc rows hash-shuffle into the same id
+    buckets (one bucketed exchange) and each bucket filters with a
+    zero-copy Arrow anti-join (inverted ``pc.is_in``)."""
+    import pyarrow.compute as pc
+
+    sch = ds.schema()
+    doc_schema = getattr(sch, "base_schema", sch)
+    if not isinstance(doc_schema, pa.Schema):
+        doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
+    id_type = doc_schema.field(id_col).type
+    transport = pa.schema(list(doc_schema) + [pa.field("__drop", pa.bool_())])
+
+    def docs_side(t: pa.Table) -> pa.Table:
+        arrays = [t.column(f.name) for f in doc_schema]
+        return pa.Table.from_arrays(
+            arrays + [pa.array(np.zeros(t.num_rows, bool))], schema=transport
+        )
+
+    def drop_side(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        cluster = t["cluster"].to_numpy(zero_copy_only=False)
+        ids = pa.array(node[cluster != node]).cast(id_type)
+        n = len(ids)
+        cols = [ids if f.name == id_col else pa.nulls(n, f.type) for f in doc_schema]
+        return pa.Table.from_arrays(cols + [pa.array(np.ones(n, bool))], schema=transport)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from clever_canal_ray.functions.corpus import _fast_u64
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (_fast_u64(ids) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        is_drop = t["__drop"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        drop_ids = ids.filter(pa.array(is_drop))
+        mask = pc.and_(pa.array(~is_drop), pc.invert(pc.is_in(ids, value_set=drop_ids)))
+        return t.filter(mask).drop_columns(["__drop", "__bucket"])
+
+    u = ds.map_batches(docs_side, batch_format="pyarrow").union(
+        components_ds.map_batches(drop_side, batch_format="pyarrow")
+    )
+    return (
+        u.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(anti_join, batch_format="pyarrow")
+    )
 
 
 # --- SimHash --------------------------------------------------------------

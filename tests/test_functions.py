@@ -174,6 +174,26 @@ def test_connected_components_chains_and_singletons(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 50: 50, 51: 50, 80: 80, 81: 80, 82: 80}
 
 
+def test_neardup_survivors_drops_non_min_members(ray_session):
+    """neardup_survivors keeps each component's min-id doc plus every
+    unclustered doc, via the bucketed anti-join (no driver set)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import connected_components, neardup_survivors
+
+    docs = pd.DataFrame(
+        {"doc_id": list(range(10)), "text": [f"t{i}" for i in range(10)]}
+    )
+    pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 8]})  # {1,2,3} and {7,8}
+    comps = connected_components(rd.from_pandas(pairs))
+    out = neardup_survivors(rd.from_pandas(docs), comps, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 4, 5, 6, 7, 9]
+    # payload columns survive the round trip
+    assert set(out.columns) == {"doc_id", "text"}
+    assert dict(zip(out["doc_id"], out["text"]))[7] == "t7"
+
+
 def test_ivf_ann_recall_vs_brute_force(ray_session):
     """IVF (k-means cells + n_probe search) finds most of the exact
     top-k; probing all cells recovers it exactly."""

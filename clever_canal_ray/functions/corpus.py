@@ -365,15 +365,20 @@ def topk_per_group(
     return bucketed_groupby(ds, [group_col], local_topk, local_topk, num_buckets=num_buckets)
 
 
-def exact_quantiles(ds, col: str, qs: list[float], num_buckets: int = 16) -> pd.DataFrame:
+def exact_quantiles(
+    ds, col: str, qs: list[float], num_buckets: int = 16, max_distinct: int = 2_000_000
+) -> pd.DataFrame:
     """EXACT distribution quantiles via a distributed value histogram.
 
-    Scale assumption (documented per the custom-operator rule): the
-    column's DISTINCT-value count is bounded (ints, scores, lengths —
-    token counts at 100 TB still have ~10^5 distinct values), so the
-    merged (value, count) histogram fits the driver even when the row
-    count does not. Topology: per-batch ``value_counts`` partial → one
-    bucketed shuffle on value → per-bucket sum → driver merge + scan.
+    Scale assumption (ENFORCED, not advisory): the column's
+    DISTINCT-value count is bounded (ints, scores, lengths — token
+    counts at 100 TB still have ~10^5 distinct values), so the merged
+    (value, count) histogram fits the driver even when the row count
+    does not. The histogram size is counted distributed BEFORE the
+    driver pull and a ``ValueError`` points to :func:`approx_quantiles`
+    (constant-size partials) when it exceeds ``max_distinct``.
+    Topology: per-batch ``value_counts`` partial → one bucketed shuffle
+    on value → per-bucket sum → driver merge + scan.
 
     Quantile rule = SQL ``percentile_disc``: the smallest value whose
     cumulative fraction ≥ q.
@@ -386,12 +391,17 @@ def exact_quantiles(ds, col: str, qs: list[float], num_buckets: int = 16) -> pd.
     def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("value", sort=False)["n"].sum().reset_index()
 
-    hist = (
-        bucketed_groupby(ds, ["value"], partial, merge_partials, num_buckets=num_buckets)
-        .to_pandas()
-        .sort_values("value")
-        .reset_index(drop=True)
-    )
+    hist_ds = bucketed_groupby(
+        ds, ["value"], partial, merge_partials, num_buckets=num_buckets
+    ).materialize()
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"exact_quantiles: column {col!r} has {n_distinct} distinct values "
+            f"(> max_distinct={max_distinct}); the merged histogram would not fit "
+            "the driver — use approx_quantiles for unbounded-cardinality columns"
+        )
+    hist = hist_ds.to_pandas().sort_values("value").reset_index(drop=True)
     total = int(hist["n"].sum()) if len(hist) else 0
     if total == 0:
         # empty input: no value can satisfy any quantile

@@ -256,6 +256,49 @@ def hash_text(text: str) -> int:
     return int(_stable_u64([text])[0])
 
 
+def _broadcast_candidate_ids(cand, cap: int = 10_000_000):
+    """Distinct doc ids touched by candidate pairs — sorted int64, as a
+    ``ray.put`` broadcast. The SEMI-JOIN PUSHDOWN for the signature /
+    text joins: only O(candidates) docs need their payload shipped into
+    the join, so the corpus side filters against this set instead of
+    shuffling whole-corpus signatures/texts (measured at 16M docs: the
+    unfiltered 10-11 GB sides pinned the executor's memory reservations
+    and starved the join to 1-2 tasks). Returns None when the
+    per-block-distinct upper bound exceeds ``cap`` (bounds the driver
+    pull to ~80 MB of int64) — callers fall back to shipping the full
+    side through the bucketed join."""
+    import pyarrow.compute as pc
+
+    def ids_block(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [
+                    t["a"].combine_chunks().cast(pa.int64()),
+                    t["b"].combine_chunks().cast(pa.int64()),
+                ]
+            )
+        )
+        return pa.Table.from_arrays([u], names=["id"])
+
+    try:
+        per_block = cand.map_batches(ids_block, batch_format="pyarrow").materialize()
+    except Exception:
+        return None  # non-int64-castable ids -> full-side fallback
+    if per_block.count() > cap:
+        return None
+    ids = np.unique(per_block.to_pandas()["id"].to_numpy())
+    return ray.put(ids)
+
+
+def _member_mask(values: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Membership of values in a sorted id array — searchsorted, no
+    per-batch hash-set build."""
+    v = values.astype(np.int64, copy=False)
+    pos = np.searchsorted(sorted_ids, v)
+    pos_c = np.minimum(pos, len(sorted_ids) - 1) if len(sorted_ids) else pos
+    return (pos < len(sorted_ids)) & (sorted_ids[pos_c] == v) if len(sorted_ids) else np.zeros(len(v), bool)
+
+
 def _sig_transport(num_hashes: int) -> pa.Schema:
     # signatures travel as ONE fixed-size binary blob per row (8 bytes
     # per minhash) — compact, null-safe through pandas group blocks
@@ -383,11 +426,25 @@ def minhash_lsh_pairs(
             lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
             batch_format="pandas",
         )
+        # PHASE SPLIT (measured at 16M docs): the candidate id table is
+        # tiny (16 B/pair) next to the corpus — materializing it here
+        # means the est-jaccard join below starts from a ready dataset
+        # instead of chaining a union + 2 more sorts onto the 2-sort
+        # banding pipeline in ONE streaming DAG. With everything in one
+        # DAG the executor's per-operator memory reservations starved
+        # the union (short side queued, long side's producer
+        # output-backpressured) down to 1-2 running tasks cluster-wide.
+        .repartition(32, shuffle=False)
+        .materialize()
     )
 
     # --- est-jaccard join: signatures meet CANDIDATE pairs only ---
     transport = _sig_transport(num_hashes)
     blob_t = pa.binary(8 * num_hashes)
+    # semi-join pushdown: only docs appearing in a candidate pair ship
+    # their signature into the join (None above the broadcast cap ->
+    # full-side fallback)
+    cand_ids_ref = _broadcast_candidate_ids(cand)
 
     def pair_sides(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
@@ -408,6 +465,13 @@ def minhash_lsh_pairs(
         return pa.concat_tables([side(a, 0), side(b, 1)])
 
     def sig_rows(t: pa.Table) -> pa.Table:
+        if cand_ids_ref is not None:
+            ids = ray.get(cand_ids_ref)
+            keep = _member_mask(
+                t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+                ids,
+            )
+            t = t.filter(pa.array(keep))
         n = t.num_rows
         sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
         flat = sig_col.cast(pa.list_(pa.int64())).flatten().to_numpy(zero_copy_only=False)
@@ -527,8 +591,23 @@ def minhash_lsh_pairs_verified(
     transported as strings (cast back as needed).
     """
     cand = minhash_lsh_pairs(
-        ds, threshold=threshold * 0.8, num_hashes=num_hashes, bands=bands, k=k, seed=seed
-    )
+        ds,
+        threshold=threshold * 0.8,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        seed=seed,
+        num_buckets=num_buckets,
+        # est-filtered pairs are a small table; same phase split as in
+        # minhash_lsh_pairs — the text join below gets a ready input 1
+        # so its union streams instead of starving (see cand comment
+        # there)
+    ).materialize()
+
+    # semi-join pushdown: only docs in a candidate pair ship their text
+    # (falls back to the full corpus side above the broadcast cap, or
+    # when ids aren't int64-castable)
+    cand_ids_ref = _broadcast_candidate_ids(cand)
 
     def pair_sides(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -546,6 +625,13 @@ def minhash_lsh_pairs_verified(
     def doc_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if cand_ids_ref is not None:
+            ids = ray.get(cand_ids_ref)
+            keep = _member_mask(
+                t[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+                ids,
+            )
+            t = t.filter(pa.array(keep))
         n = t.num_rows
         key = pc.cast(t[id_col], pa.string()).combine_chunks()
         txt = pc.cast(t[text_col], pa.string()).combine_chunks()
@@ -838,6 +924,134 @@ def char_jaccard(a: str, b: str) -> float:
     """Character-set Jaccard — mirrors DuckDB's ``jaccard(s1, s2)``."""
     sa, sb = set(a), set(b)
     return len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_CHARSET_BITS = 1024  # codepoint bound of the bitmask (128 bytes/doc)
+
+
+def _charset_masks(texts: np.ndarray) -> np.ndarray:
+    """(n, 128) uint8 bitmask of each text's character SET, codepoints
+    < 1024 (ASCII + Latin-1 + Latin Extended + combining marks). Raises
+    on higher codepoints — callers needing full Unicode should shingle
+    through MinHash instead; a hashed fold here would silently collide."""
+    masks = np.zeros((len(texts), _CHARSET_BITS // 8), dtype=np.uint8)
+    for i, t in enumerate(texts):
+        cps = np.unique(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
+        if len(cps) and int(cps[-1]) >= _CHARSET_BITS:
+            raise ValueError(
+                f"charset_jaccard_pairs: codepoint {int(cps[-1])} >= {_CHARSET_BITS} "
+                "(bitmask alphabet bound); use minhash_lsh_pairs for full-Unicode text"
+            )
+        np.bitwise_or.at(
+            masks[i], cps >> 3, (np.uint8(1) << (cps & np.uint32(7)).astype(np.uint8))
+        )
+    return masks
+
+
+def charset_jaccard_pairs(
+    ds,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_id: int | None = None,
+    n_groups: int = 8,
+    round_digits: int | None = None,
+):
+    """EXACT character-set Jaccard pairs ≥ threshold (the DuckDB
+    ``jaccard(s1, s2)`` semantics), fully distributed via the same
+    triangle block-join as :func:`embedding_dup_pairs` (reference
+    parity: this is the n-gram/character Jaccard near-dup family).
+
+    Each doc is reduced ONCE to a 1024-bit charset bitmask (128 bytes —
+    the only thing that travels; text never enters the exchange), each
+    mask is exploded to its ``n_groups`` unordered group-pair buckets
+    so every doc pair co-locates in exactly one bucket, and per bucket
+    the pairwise |A∩B| / |A∪B| is a vectorized byte-AND + popcount-LUT
+    over the two sides' mask matrices. Compute is the inherent n²/2 of
+    exact all-pairs spread over G(G+1)/2 buckets; transport is n·G·128
+    bytes. Returns (a, b, jac) with a < b.
+
+    ``round_digits`` (e.g. 4) rounds half-away-from-zero BEFORE the
+    threshold compare — SQL ``ROUND(jaccard(s1,s2), 4) >= t`` parity
+    for oracle gates; default None thresholds the raw ratio.
+    """
+    src = ds if max_id is None else ds.filter(expr=f"{id_col} < {max_id}")
+
+    def to_masks(df: pd.DataFrame) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _fast_u64
+
+        masks = _charset_masks(df[text_col].to_numpy())
+        n = len(df)
+        blob = masks.tobytes()
+        mask_bytes = np.empty(n, dtype=object)
+        mask_bytes[:] = [blob[i * 128 : (i + 1) * 128] for i in range(n)]
+        ids = df[id_col].to_numpy()
+        g = (_fast_u64(ids) % np.uint64(n_groups)).astype(np.int64)
+        rep_g = np.repeat(g, n_groups)
+        rep_x = np.tile(np.arange(n_groups, dtype=np.int64), n)
+        lo = np.minimum(rep_g, rep_x)
+        hi = np.maximum(rep_g, rep_x)
+        return pd.DataFrame(
+            {
+                "__gp": lo * n_groups + hi,
+                "__side": (rep_g <= rep_x).astype(np.int8),
+                id_col: np.repeat(ids, n_groups),
+                "mask": np.repeat(mask_bytes, n_groups),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "jac": pd.Series(dtype="float64"),
+            }
+        )
+        gp = int(g["__gp"].iloc[0])
+        same = (gp // n_groups) == (gp % n_groups)
+        if same:
+            sub = g.drop_duplicates(id_col)
+            a_ids = b_ids = sub[id_col].to_numpy()
+            a_m = b_m = np.frombuffer(b"".join(sub["mask"]), np.uint8).reshape(len(sub), -1)
+        else:
+            a = g[g["__side"] == 1]
+            b = g[g["__side"] == 0]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            a_ids, b_ids = a[id_col].to_numpy(), b[id_col].to_numpy()
+            a_m = np.frombuffer(b"".join(a["mask"]), np.uint8).reshape(len(a), -1)
+            b_m = np.frombuffer(b"".join(b["mask"]), np.uint8).reshape(len(b), -1)
+        pop_a = _POP8[a_m].sum(axis=1, dtype=np.int32)
+        pop_b = _POP8[b_m].sum(axis=1, dtype=np.int32) if not same else pop_a
+        inter = _POP8[a_m[:, None, :] & b_m[None, :, :]].sum(axis=2, dtype=np.int32)
+        union = pop_a[:, None] + pop_b[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        if round_digits is not None:
+            scale = 10.0**round_digits
+            jac = np.floor(jac * scale + 0.5) / scale
+        ai, bi = np.where(jac >= threshold)
+        if same:
+            keep = a_ids[ai] < b_ids[bi]
+            ai, bi = ai[keep], bi[keep]
+        if len(ai) == 0:
+            return empty
+        ia, ib = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ia, ib).astype(np.int64),
+                "b": np.maximum(ia, ib).astype(np.int64),
+                "jac": jac[ai, bi],
+            }
+        )
+
+    return (
+        src.map_batches(to_masks, batch_format="pandas")
+        .groupby("__gp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
 
 
 # --- embedding cosine near-dup -------------------------------------------

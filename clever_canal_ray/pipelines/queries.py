@@ -927,20 +927,15 @@ def simhash_docs(sf_dir: str):
 
 
 def ngram_jaccard_pairs(sf_dir: str):
-    """Character-set Jaccard over small doc pairs — DuckDB jaccard() mirror."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(expr="doc_id < 60")
-    docs = ds.to_pandas()
+    """Character-set Jaccard over doc pairs — DuckDB jaccard() mirror,
+    fully distributed (charset-bitmask triangle block-join; the text
+    never enters the exchange and no pair forms on the driver)."""
+    from clever_canal_ray.functions.dedup import charset_jaccard_pairs
 
-    import itertools
-
-    from clever_canal_ray.functions.dedup import char_jaccard
-
-    rows = []
-    for (ia, ta), (ib, tb) in itertools.combinations(zip(docs["doc_id"], docs["text"]), 2):
-        j = round(char_jaccard(ta, tb), 4)
-        if j >= 0.5:
-            rows.append((int(min(ia, ib)), int(max(ia, ib)), j))
-    return pd.DataFrame(rows, columns=["a", "b", "jac"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # round_digits=4 -> half-away rounding BEFORE the threshold, the
+    # oracle's ROUND(jaccard(s1,s2), 4) >= 0.5 semantics
+    return charset_jaccard_pairs(ds, threshold=0.5, max_id=60, round_digits=4)
 
 
 def ann_topk(sf_dir: str):

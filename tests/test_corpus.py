@@ -92,6 +92,14 @@ def test_exact_quantiles_percentile_disc_rule(ray_session):
         assert v == s[k - 1], (q, v, s[k - 1])
 
 
+def test_exact_quantiles_distinct_cap_guard(ray_session):
+    """The bounded-distinct scale assumption is enforced before the
+    driver pull, pointing at approx_quantiles."""
+    vals = np.arange(500, dtype="int64")  # all distinct
+    with pytest.raises(ValueError, match="approx_quantiles"):
+        exact_quantiles(_ds(pd.DataFrame({"x": vals})), col="x", qs=[0.5], max_distinct=100)
+
+
 @pytest.mark.parametrize("bucket_size", [8, 64, 1000])
 def test_pack_sequences_prefix_sum_across_buckets(ray_session, bucket_size):
     # ids NOT dense (gaps) and n_tok varied: offsets must equal the

@@ -194,6 +194,49 @@ def test_neardup_survivors_drops_non_min_members(ray_session):
     assert dict(zip(out["doc_id"], out["text"]))[7] == "t7"
 
 
+def test_charset_jaccard_pairs_matches_serial(ray_session):
+    """Distributed charset triangle join == serial all-pairs char_jaccard."""
+    import itertools
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import char_jaccard, charset_jaccard_pairs
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefghijklmnop XYZ0123!éü")  # incl. latin-1
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": ["".join(rng.choice(alphabet, size=rng.integers(3, 30))) for _ in range(40)],
+        }
+    )
+    out = (
+        charset_jaccard_pairs(rd.from_pandas(docs), threshold=0.5, n_groups=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    expect = []
+    for (ia, ta), (ib, tb) in itertools.combinations(zip(docs["doc_id"], docs["text"]), 2):
+        j = char_jaccard(ta, tb)
+        if j >= 0.5:
+            expect.append((min(ia, ib), max(ia, ib), j))
+    expect = pd.DataFrame(expect, columns=["a", "b", "jac"]).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(out) == len(expect) > 0
+    assert list(out["a"]) == list(expect["a"]) and list(out["b"]) == list(expect["b"])
+    assert np.allclose(out["jac"], expect["jac"], atol=1e-12)
+
+
+def test_charset_jaccard_unicode_bound_raises(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import charset_jaccard_pairs
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["ok", "中文 text"]})
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        charset_jaccard_pairs(rd.from_pandas(docs)).to_pandas()
+
+
 def test_ivf_ann_recall_vs_brute_force(ray_session):
     """IVF (k-means cells + n_probe search) finds most of the exact
     top-k; probing all cells recovers it exactly."""

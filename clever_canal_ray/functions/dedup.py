@@ -314,6 +314,100 @@ def _sig_transport(num_hashes: int) -> pa.Schema:
     )
 
 
+def _minhash_pairs_small(ds, threshold, num_hashes, bands, k, seed, num_buckets):
+    """Gate-scale fast path: ONE streaming execution (two exchanges, no
+    materialize barriers, no actor pool — MinHasher setup is a handful
+    of seed constants, so per-batch construction beats actor spin-up).
+    Band rows DO carry the signature here; at ≤ a few hundred thousand
+    docs the sig-bearing exchange is a few hundred MB and the fixed
+    cost of the large path's four executions dominates instead
+    (measured: 10 s → ~3 s at 5k docs). Pair set and est values are
+    identical to the large path by construction."""
+    hasher_cfg = (num_hashes, bands, k, seed)
+
+    def explode_with_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        mh = MinHasher(*hasher_cfg)
+        sigs = mh.signatures_batch(df["text"].to_numpy())
+        bh = mh.band_hashes(sigs)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "sig": list(np.repeat(sigs.astype(np.int64), bands, axis=0)),
+                "__bucket": (bh.reshape(-1) % np.uint64(num_buckets)).astype(np.int64),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized est-filtered pairs: lexsort → run-length detect
+        equal (band, band_hash) runs → per-run-size triu expansion →
+        one (sig_a == sig_b).mean over all pairs of that size."""
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "est_jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        b = group["band"].to_numpy()
+        h = group["band_hash"].to_numpy()
+        d = group["doc_id"].to_numpy().astype(np.int64)
+        sig = np.stack(group["sig"].to_numpy())
+        order = np.lexsort((d, h, b))
+        b, h, d, sig = b[order], h[order], d[order], sig[order]
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        outs = []
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            idx = starts[counts == m]
+            mat = idx[:, None] + np.arange(m)[None, :]
+            iu, ju = np.triu_indices(int(m), k=1)
+            ia = mat[:, iu].reshape(-1)
+            ib = mat[:, ju].reshape(-1)
+            est = np.round((sig[ia] == sig[ib]).mean(axis=1), 6)
+            keep = est >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"a": d[ia][keep], "b": d[ib][keep], "est_jaccard": est[keep]}
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _fast_u64
+
+        df = df.copy()
+        df["__bucket"] = (
+            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(explode_with_sigs, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
+            batch_format="pandas",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     threshold: float = 0.7,
@@ -322,6 +416,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     seed: int = 1234,
     num_buckets: int = 64,
+    small_input: bool | None = None,
+    small_threshold: int = 200_000,
 ):
     """Near-duplicate pairs via MinHash banding.
 
@@ -342,7 +438,21 @@ def minhash_lsh_pairs(
     docs). Candidate pairs sharing ≥1 band but estimating below
     threshold are now filtered one stage later; the pair set and
     est values are unchanged.
+
+    Inputs at or below ``small_threshold`` docs dispatch to the
+    single-execution gate-scale path (``_minhash_pairs_small`` —
+    sig-bearing band rows are harmless there and the large path's
+    four-execution fixed cost dominates). ``small_input`` forces the
+    choice; None auto-detects via ``ds.count()`` (metadata-only for
+    parquet reads).
     """
+    if small_input is None:
+        try:
+            small_input = ds.count() <= small_threshold
+        except Exception:
+            small_input = False
+    if small_input:
+        return _minhash_pairs_small(ds, threshold, num_hashes, bands, k, seed, num_buckets)
     import pyarrow.compute as pc
 
     from clever_canal_ray.config import actor_pool

@@ -194,6 +194,43 @@ def test_neardup_survivors_drops_non_min_members(ray_session):
     assert dict(zip(out["doc_id"], out["text"]))[7] == "t7"
 
 
+def test_minhash_small_and_large_paths_identical(ray_session):
+    """The gate-scale single-execution path and the 100-TB
+    signature-free path return the SAME pair set and est values."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(120):
+        words = list(rng.choice(vocab, size=30))
+        ids.append(2 * i)
+        texts.append(" ".join(words))
+        if i % 3 == 0:  # planted near-dup: 2 words changed
+            w2 = list(words)
+            w2[5], w2[17] = "zzz", "qqq"
+            ids.append(2 * i + 1)
+            texts.append(" ".join(w2))
+    docs = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "text": texts})
+
+    outs = {}
+    for small in (True, False):
+        df = (
+            minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.5, small_input=small)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        outs[small] = df
+    assert len(outs[True]) > 0
+    pd.testing.assert_frame_equal(
+        outs[True][["a", "b", "est_jaccard"]].astype({"a": "int64", "b": "int64"}),
+        outs[False][["a", "b", "est_jaccard"]].astype({"a": "int64", "b": "int64"}),
+    )
+
+
 def test_charset_jaccard_pairs_matches_serial(ray_session):
     """Distributed charset triangle join == serial all-pairs char_jaccard."""
     import itertools

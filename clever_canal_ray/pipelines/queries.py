@@ -838,14 +838,24 @@ def text_token_counts(sf_dir: str):
     (text.token_counts / text.token_counts_regex)."""
     from clever_canal_ray.functions.text import TOKEN_RE
 
-    def both(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["doc_id"]].copy()
-        out["n_tok_ws"] = batch["text"].str.split(" ").str.len().astype("int64")
-        out["n_tok_bpe"] = batch["text"].str.findall(TOKEN_RE).str.len().astype("int64")
-        return out
+    def both(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok_ws": pc.cast(
+                    pc.add(pc.count_substring(t["text"], pattern=" "), 1), pa.int64()
+                ),
+                "n_tok_bpe": pc.cast(
+                    pc.count_substring_regex(t["text"], pattern=TOKEN_RE.pattern),
+                    pa.int64(),
+                ),
+            }
+        )
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        both, batch_format="pandas"
+        both, batch_format="pyarrow"
     )
 
 
@@ -854,13 +864,11 @@ def text_quality(sf_dir: str):
     caps at 50 rows): both are per-doc map_batches over the same read,
     so the merge shares the scan."""
 
-    def both(batch: pd.DataFrame) -> pd.DataFrame:
-        out = quality_scores(batch)
-        out["fp"] = fingerprints(batch)["fp"].to_numpy()
-        return out
+    def both(t: pa.Table) -> pa.Table:
+        return quality_scores(t).append_column("fp", fingerprints(t)["fp"])
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        both, batch_format="pandas"
+        both, batch_format="pyarrow"
     )
 
 
@@ -1094,7 +1102,7 @@ def corpus_token_quantiles(sf_dir: str):
     from clever_canal_ray.functions.corpus import exact_quantiles
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        token_counts, batch_format="pandas"
+        token_counts, batch_format="pyarrow"
     )
     out = exact_quantiles(ds, col="n_tokens", qs=[0.5, 0.9, 0.99])
     return out.astype({"q": "float64", "value": "int64"})
@@ -1107,7 +1115,7 @@ def corpus_pack_sequences(sf_dir: str):
     from clever_canal_ray.functions.corpus import pack_sequences
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        token_counts, batch_format="pandas"
+        token_counts, batch_format="pyarrow"
     )
     out = pack_sequences(ds, order_col="doc_id", n_tok_col="n_tokens", ctx=2048)
 

@@ -411,8 +411,8 @@ def test_quality_scores_stopword_columnar(ray_session):
 
     texts = ["the a and of to in is", "no stop words here", "", "the the the", "x " * 200]
     df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
-    out = quality_scores(df)
-    for t, ratio in zip(texts, out["stop_ratio"]):
+    out = quality_scores(df)  # Arrow table out (pandas input coerced)
+    for t, ratio in zip(texts, out["stop_ratio"].to_pylist()):
         ws = t.split(" ")
         assert ratio == round(sum(1 for w in ws if w in STOPWORDS) / len(ws), 6)
 

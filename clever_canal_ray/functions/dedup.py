@@ -1028,21 +1028,50 @@ def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: in
 # --- SimHash --------------------------------------------------------------
 
 
+def _ws_tokens(texts) -> tuple[np.ndarray, pa.Array]:
+    """Whitespace-split a text column Arrow-native with python
+    ``str.split()`` parity (empty boundary tokens dropped): returns
+    (per-doc token counts int64, flat token StringArray). One C++
+    split pass, zero per-row Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(np.asarray(texts, dtype=object), type=pa.string())
+    split = pc.utf8_split_whitespace(texts)
+    flat = split.flatten()
+    ne = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    lens = (
+        pc.list_value_length(split)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(ne) and not ne.all():
+        c = np.zeros(len(ne) + 1, np.int64)
+        np.cumsum(~ne, out=c[1:])
+        ends = np.cumsum(lens)
+        lens = lens - (c[ends] - c[ends - lens])
+        flat = flat.filter(pa.array(ne))
+    return lens, flat
+
+
 def simhash_u64(texts, word_hash=None) -> np.ndarray:
-    """64-bit SimHash over word unigrams, fully columnar: one
-    str.split, one hash pass over the flattened words, per-doc bit
+    """64-bit SimHash over word unigrams, fully columnar: one Arrow
+    C++ split, one hash pass over the flattened words, per-doc bit
     votes via np.add.reduceat. ``word_hash``: callable over an object
     array of words -> uint64 array (default: pandas hash_array; pass an
     md5-based hash for a DuckDB-mirrorable variant)."""
     word_hash = word_hash or _stable_u64
-    s = pd.Series(texts, dtype=object)
-    word_lists = s.str.split()
-    lens = word_lists.str.len().fillna(0).astype(np.int64).to_numpy()
-    out_vals = np.zeros(len(s), dtype=np.uint64)
+    lens, flat_arr = _ws_tokens(texts)
+    out_vals = np.zeros(len(lens), dtype=np.uint64)
     ok = lens > 0
     if ok.any():
         doc_lens = lens[ok]
-        flat = np.concatenate(word_lists[ok].to_numpy())
+        if not ok.all():
+            flat_arr = flat_arr.filter(pa.array(np.repeat(ok, lens)))
+        flat = flat_arr.to_numpy(zero_copy_only=False)
         hs = np.asarray(word_hash(flat), dtype=np.uint64)
         offs = np.zeros(len(doc_lens), np.int64)
         np.cumsum(doc_lens[:-1], out=offs[1:])
@@ -1060,17 +1089,23 @@ def simhash_u64(texts, word_hash=None) -> np.ndarray:
 def md5_u64(words) -> np.ndarray:
     """First 8 md5 bytes as LITTLE-endian uint64 — matches DuckDB's
     ``md5_number_upper`` exactly (verified: md5_number_upper('hello')
-    == int.from_bytes(md5(b'hello').digest()[:8], 'little'))."""
+    == int.from_bytes(md5(b'hello').digest()[:8], 'little')).
+
+    The digest runs once per DISTINCT word (factorize = one C hash
+    pass over the occurrences, then scatter) — on natural corpora the
+    vocabulary is orders of magnitude smaller than the token stream."""
     import hashlib
 
-    return np.fromiter(
+    codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+    hs = np.fromiter(
         (
             int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-            for w in np.asarray(words, dtype=object)
+            for w in uniq
         ),
         dtype=np.uint64,
-        count=len(words),
+        count=len(uniq),
     )
+    return hs[codes]
 
 
 def simhash64(batch: pd.DataFrame, word_hash=None) -> pd.DataFrame:

@@ -380,6 +380,7 @@ def run_scaling() -> dict:
     # extra wall time
     reps = int(os.environ.get("CCR_SCALING_REPS", "3"))
     lo_secs, hi_secs, wlo_secs, lo_eps, hi_eps = [], [], [], [], []
+    lo_cores, hi_cores = [], []
     for _ in range(reps):
         r_lo, r_wlo, r_hi = run(lo), run(lo, events=weak_events), run(hi)
         lo_secs.append(r_lo["value"])
@@ -387,6 +388,12 @@ def run_scaling() -> dict:
         hi_secs.append(r_hi["value"])
         lo_eps.append(r_lo["events_per_sec"])
         hi_eps.append(r_hi["events_per_sec"])
+        # delivered-core sandwich around each leg's best rep: the legs
+        # only compare cleanly when the host delivered BOTH levels'
+        # full vCPU allotment (the round-3 8->32 failure measured the
+        # host, not the engine — this makes that visible per leg)
+        lo_cores.append(r_lo["calibration"]["delivered_cores_around_best_rep"])
+        hi_cores.append(r_hi["calibration"]["delivered_cores_around_best_rep"])
     sec_lo, sec_hi, sec_wlo = min(lo_secs), min(hi_secs), min(wlo_secs)
     strong = (sec_lo / sec_hi) / (hi / lo)
     weak = sec_wlo / sec_hi
@@ -415,6 +422,8 @@ def run_scaling() -> dict:
         "all_sec_lo": lo_secs,
         "all_sec_hi": hi_secs,
         "all_sec_weak_lo": wlo_secs,
+        "delivered_cores_lo": lo_cores,
+        "delivered_cores_hi": hi_cores,
         "sf": SF_DIR,
     }
 

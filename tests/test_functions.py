@@ -134,10 +134,29 @@ def test_real_decoder_gated():
 
 def test_rolling_fingerprints_deterministic():
     docs = _near_dup_docs(n=6)
-    a = rolling_fingerprints(docs)["rolling_fp"].tolist()
-    b = rolling_fingerprints(docs)["rolling_fp"].tolist()
+    a = rolling_fingerprints(docs)["rolling_fp"].to_pylist()
+    b = rolling_fingerprints(docs)["rolling_fp"].to_pylist()
     assert a == b
     assert len(set(a)) > 1
+
+
+def test_rolling_fingerprints_matches_row_reference():
+    """The flat batch kernel (Arrow buffer bytes, masked flat k-gram
+    hashes, van Herk sliding min, lexsort unique-xor) reproduces the
+    per-row reference bit-for-bit, incl. the <k-byte, single-window
+    and boundary-length edge cases."""
+    from clever_canal_ray.functions.text import _rolling_fp_row
+
+    rng = np.random.default_rng(11)
+    texts = ["", "a", "abcdefg", "abcdefgh", "x" * 7, "x" * 8, "x" * 23, "x" * 24]
+    vocab = list("abcdefghij KLMNO.,!?")
+    texts += [
+        "".join(rng.choice(vocab, size=int(rng.integers(0, 200)))) for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = rolling_fingerprints(df)["rolling_fp"].to_pylist()
+    ref = [int(_rolling_fp_row(t)) for t in texts]
+    assert out == ref
 
 
 def test_minhash_verified_pairs(ray_session):

@@ -1129,17 +1129,32 @@ def _charset_masks(texts: np.ndarray) -> np.ndarray:
     """(n, 128) uint8 bitmask of each text's character SET, codepoints
     < 1024 (ASCII + Latin-1 + Latin Extended + combining marks). Raises
     on higher codepoints — callers needing full Unicode should shingle
-    through MinHash instead; a hashed fold here would silently collide."""
-    masks = np.zeros((len(texts), _CHARSET_BITS // 8), dtype=np.uint8)
-    for i, t in enumerate(texts):
-        cps = np.unique(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
-        if len(cps) and int(cps[-1]) >= _CHARSET_BITS:
+    through MinHash instead; a hashed fold here would silently collide.
+
+    One flat pass across the batch: the joined codepoint stream is
+    deduped as (doc, codepoint) pairs, then a single unbuffered
+    scatter-or sets the bits (no per-document loop)."""
+    n = len(texts)
+    masks = np.zeros((n, _CHARSET_BITS // 8), dtype=np.uint8)
+    if not n:
+        return masks
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    if len(cps):
+        top = int(cps.max())
+        if top >= _CHARSET_BITS:
             raise ValueError(
-                f"charset_jaccard_pairs: codepoint {int(cps[-1])} >= {_CHARSET_BITS} "
+                f"charset_jaccard_pairs: codepoint {top} >= {_CHARSET_BITS} "
                 "(bitmask alphabet bound); use minhash_lsh_pairs for full-Unicode text"
             )
+        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pairs = np.unique(doc * np.int64(_CHARSET_BITS) + cps.astype(np.int64))
+        d, cp = pairs // _CHARSET_BITS, pairs % _CHARSET_BITS
+        flat = masks.reshape(-1)
         np.bitwise_or.at(
-            masks[i], cps >> 3, (np.uint8(1) << (cps & np.uint32(7)).astype(np.uint8))
+            flat,
+            d * (_CHARSET_BITS // 8) + (cp >> 3),
+            (np.uint8(1) << (cp & 7).astype(np.uint8)),
         )
     return masks
 

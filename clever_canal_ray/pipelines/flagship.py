@@ -84,9 +84,16 @@ def derive_change_events(sf_dir: str, n_docs: int, with_index_verb: bool = False
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     starts = (eid * 1_000_003) % VOCAB
-    flat = np.concatenate(
-        [((s + np.arange(ln)) % VOCAB) for s, ln in zip(starts, lengths)]
-    ).astype(np.int32) if lengths.sum() else np.array([], dtype=np.int32)
+    total = int(lengths.sum())
+    if total:
+        # tokens[i][j] = (start_i + j) % VOCAB, flattened — one
+        # repeat/arange pass, no per-event loop
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            offsets[:-1].astype(np.int64), lengths
+        )
+        flat = ((np.repeat(starts, lengths) + pos) % VOCAB).astype(np.int32)
+    else:
+        flat = np.array([], dtype=np.int32)
 
     payload = pa.struct(list(LAKE_SCHEMA_V0))
     after = pa.StructArray.from_arrays(

@@ -279,7 +279,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality": f"""
-            SELECT doc_id,
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+                 cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+                 tot AS (SELECT sum(c) AS t FROM cnt),
+                 -- unigram-LM mean token NLL: ln(total) - avg(ln(count)),
+                 -- x1e4 half-up (mirrors functions.text.lm_nll_batch)
+                 lm AS (SELECT doc_id,
+                               CAST(floor(1e4 * (ln(t) - avg(ln(c))) + 0.5) AS BIGINT)
+                                   AS lm_nll_e4
+                        FROM toks JOIN cnt USING (w), tot
+                        GROUP BY doc_id, t)
+            SELECT d.doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    round(CAST(len(list_filter(string_split(text, ' '),
                                               x -> list_contains({STOPLIST_SQL}, x))) AS DOUBLE)
@@ -289,8 +300,9 @@ def oracle_sql() -> dict[str, str]:
                         AND round(CAST(len(list_filter(string_split(text, ' '),
                                                        x -> list_contains({STOPLIST_SQL}, x))) AS DOUBLE)
                                   / len(string_split(text, ' ')), 6) > 0.02 AS INTEGER) AS is_quality,
-                   md5(lower(text)) AS fp
-            FROM documents
+                   md5(lower(text)) AS fp,
+                   lm.lm_nll_e4
+            FROM documents d JOIN lm USING (doc_id)
         """,
         "lang_id": r"""
             WITH d AS (SELECT doc_id, lower(substr(text,1,500)) AS head,

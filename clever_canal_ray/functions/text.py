@@ -341,6 +341,110 @@ class Tokenize:
         return out
 
 
+# --- unigram-LM quality scoring (CCNet-style LM filter analog) -----------
+
+
+def unigram_counts_broadcast(
+    ds, text_col: str = "text", num_buckets: int = 64, top_v: int | None = None
+):
+    """PASS 1 of the unigram-LM scorer: global token counts as a
+    broadcast lookup — (sorted word array, aligned counts, total) via
+    ``ray.put``, built from ONE bucketed (word, count) exchange
+    (per-batch partial counts first, so only distinct words leave each
+    batch; the string payload crosses the shuffle once).
+
+    ``top_v``: at 100-TB scale the full vocabulary cannot land on the
+    driver — keep the ``top_v`` most frequent words (ties by word) and
+    let scoring floor out-of-vocab tokens at count 1 (Laplace-ish).
+    None (gate scale / bounded vocabs) keeps every word — the exactly
+    SQL-mirrorable setting.
+    """
+    import ray
+
+    from clever_canal_ray.stages.agg import bucketed_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lists = df[text_col].str.split(" ")  # string_split(text,' ') parity
+        flat = lists.explode().to_numpy()
+        codes, uniq = pd.factorize(flat)
+        return pd.DataFrame({"w": uniq, "c": np.bincount(codes).astype(np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False).agg(c=("c", "sum")).reset_index()
+
+    counts = bucketed_groupby(
+        ds, ["w"], partial, final, num_buckets=num_buckets
+    ).to_pandas()  # driver pull bounded: one row per DISTINCT word (top_v caps it)
+    total = int(counts["c"].sum())
+    if top_v is not None and len(counts) > top_v:
+        counts = counts.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
+    counts = counts.sort_values("w").reset_index(drop=True)
+    words = counts["w"].to_numpy()
+    cvals = counts["c"].to_numpy(dtype=np.int64)
+    return ray.put((words, cvals, total))
+
+
+def lm_nll_batch(texts, vocab_ref, scale: int = 10_000) -> np.ndarray:
+    """PASS 2 kernel: per-doc mean token negative log-likelihood under
+    the unigram LM, scaled to int64 (×``scale``, half-up) so the SQL
+    mirror is stable. nll = ln(total) − mean(ln c_w); out-of-vocab
+    words (only possible under a ``top_v`` cap) floor at count 1."""
+    import ray
+
+    words, cvals, total = ray.get(vocab_ref) if not isinstance(vocab_ref, tuple) else vocab_ref
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(np.asarray(texts, dtype=object), type=pa.string())
+    import pyarrow.compute as pc
+
+    split = pc.split_pattern(texts, pattern=" ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten().to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(flat)
+    pos = np.searchsorted(words, uniq)
+    pos_c = np.minimum(pos, max(len(words) - 1, 0))
+    hit = (pos < len(words)) & (words[pos_c] == uniq) if len(words) else np.zeros(len(uniq), bool)
+    ln_u = np.where(hit, np.log(cvals[pos_c].astype(np.float64)), 0.0)  # ln(1)=0 OOV floor
+    ln_flat = ln_u[codes]
+    csum = np.zeros(len(ln_flat) + 1, np.float64)
+    np.cumsum(ln_flat, out=csum[1:])
+    ends = np.cumsum(lens)
+    mean_ln = (csum[ends] - csum[ends - lens]) / lens  # every doc has >=1 token ('' counts)
+    nll = np.log(float(total)) - mean_ln
+    return np.floor(nll * scale + 0.5).astype(np.int64)
+
+
+def unigram_lm_scores(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    top_v: int | None = None,
+):
+    """CCNet-style unigram language-model quality score per document
+    (mean token NLL under the corpus' own unigram distribution; low =
+    typical text, high = rare-token soup). Two passes, both the 100-TB
+    shape: ONE bucketed (word, count) exchange whose result broadcasts
+    once via ``ray.put`` (``top_v``-capped at scale), then a streaming
+    score pass — no per-doc state, no second shuffle.
+
+    SQL mirror (exact when ``top_v=None``): counts CTE + join + avg(ln)
+    — see ``__ray_entry__.oracle_sql['text_quality']``.
+    """
+    ref = unigram_counts_broadcast(ds, text_col=text_col, num_buckets=num_buckets, top_v=top_v)
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[id_col],
+                "lm_nll_e4": pa.array(lm_nll_batch(t[text_col], ref)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # --- language ID (n-gram/function-word heuristic, rows-only check) -------
 
 _LANG_MARKERS = {

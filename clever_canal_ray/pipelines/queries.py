@@ -860,16 +860,21 @@ def text_token_counts(sf_dir: str):
 
 
 def text_quality(sf_dir: str):
-    """Quality heuristics + md5 fingerprint, one merged gate (driver
-    caps at 50 rows): both are per-doc map_batches over the same read,
-    so the merge shares the scan."""
+    """Quality heuristics + md5 fingerprint + unigram-LM NLL score,
+    one merged gate (driver caps at 50 queries): the LM count pass is
+    one bucketed (word, count) exchange broadcast via ``ray.put``;
+    quality, fingerprint and LM scoring then share ONE map_batches
+    over the same column-pruned read."""
+    from clever_canal_ray.functions.text import lm_nll_batch, unigram_counts_broadcast
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab_ref = unigram_counts_broadcast(ds)
 
     def both(t: pa.Table) -> pa.Table:
-        return quality_scores(t).append_column("fp", fingerprints(t)["fp"])
+        out = quality_scores(t).append_column("fp", fingerprints(t)["fp"])
+        return out.append_column("lm_nll_e4", pa.array(lm_nll_batch(t["text"], vocab_ref)))
 
-    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        both, batch_format="pyarrow"
-    )
+    return ds.map_batches(both, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str):

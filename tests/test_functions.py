@@ -422,6 +422,61 @@ def test_langid_model_passthrough(ray_session):
     assert out["pred_lang"].tolist() == ["xx", "xx"]
 
 
+def test_unigram_lm_scores_matches_serial(ray_session):
+    """Distributed two-pass LM scorer == serial reference; a doc made
+    of rare tokens scores higher NLL than one made of common tokens;
+    top_v cap floors out-of-vocab counts at 1."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.text import unigram_lm_scores
+
+    texts = (
+        ["the cat sat on the mat"] * 20
+        + ["the dog ran to the park"] * 10
+        + ["zyx qwv jkl pqr stu vwx"]  # rare-token soup
+        + ["", "the", "a  b"]  # empty / single / double-space edges
+    )
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+    cnt = Counter(w for t in texts for w in t.split(" "))
+    total = sum(cnt.values())
+
+    def serial_nll(t):
+        ws = t.split(" ")
+        return math.floor(
+            1e4 * (math.log(total) - sum(math.log(cnt[w]) for w in ws) / len(ws)) + 0.5
+        )
+
+    out = (
+        unigram_lm_scores(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["lm_nll_e4"].tolist() == [serial_nll(t) for t in texts]
+    nll = dict(zip(out["doc_id"], out["lm_nll_e4"]))
+    assert nll[30] > nll[0]  # rare soup scores worse than common text
+
+    # top_v cap: OOV words floor at count 1 -> ln(1)=0 -> nll = ln(total)
+    capped = (
+        unigram_lm_scores(rd.from_pandas(df), top_v=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    kept = [w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+
+    def capped_nll(t):
+        ws = t.split(" ")
+        s = sum(math.log(cnt[w]) if w in kept else 0.0 for w in ws) / len(ws)
+        return math.floor(1e4 * (math.log(total) - s) + 0.5)
+
+    assert capped["lm_nll_e4"].tolist() == [capped_nll(t) for t in texts]
+
+
 def test_quality_scores_stopword_columnar(ray_session):
     """Columnar stopword count equals the per-row loop."""
     import pandas as pd

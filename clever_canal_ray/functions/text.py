@@ -357,7 +357,11 @@ class Tokenize:
 
 
 def unigram_counts_broadcast(
-    ds, text_col: str = "text", num_buckets: int = 64, top_v: int | None = None
+    ds,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    top_v: int | None = None,
+    max_vocab: int = 5_000_000,
 ):
     """PASS 1 of the unigram-LM scorer: global token counts as a
     broadcast lookup — (sorted word array, aligned counts, total) via
@@ -384,9 +388,20 @@ def unigram_counts_broadcast(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("w", sort=False).agg(c=("c", "sum")).reset_index()
 
-    counts = bucketed_groupby(
-        ds, ["w"], partial, final, num_buckets=num_buckets
-    ).to_pandas()  # driver pull bounded: one row per DISTINCT word (top_v caps it)
+    counts_ds = bucketed_groupby(ds, ["w"], partial, final, num_buckets=num_buckets)
+    if top_v is None:
+        # the pull below lands one row per DISTINCT word on the driver
+        # — guard it like exact_quantiles: count distributed FIRST and
+        # refuse unbounded vocabularies instead of silently OOMing
+        counts_ds = counts_ds.materialize()
+        n_vocab = counts_ds.count()
+        if n_vocab > max_vocab:
+            raise ValueError(
+                f"unigram_counts_broadcast: {n_vocab} distinct words > max_vocab="
+                f"{max_vocab}; pass top_v=N to cap the broadcast vocabulary "
+                "(OOV tokens floor at count 1)"
+            )
+    counts = counts_ds.to_pandas()
     total = int(counts["c"].sum())
     if top_v is not None and len(counts) > top_v:
         counts = counts.sort_values(["c", "w"], ascending=[False, True]).head(top_v)

@@ -213,3 +213,50 @@ def test_chunk_tokens_covers_every_token_once_per_window(ray_session, seed, ctx,
         # no window is redundant: every chunk after the first starts
         # inside the doc
         assert (starts < n).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FF),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rolling_fingerprints_property(texts):
+    """Flat batch winnowing kernel == per-row reference on arbitrary
+    (incl. multi-byte-utf8, whitespace-only, boundary-length) texts."""
+    import numpy as np
+    import pandas as pd
+
+    from clever_canal_ray.functions.text import _rolling_fp_row, rolling_fingerprints
+
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = rolling_fingerprints(df)["rolling_fp"].to_pylist()
+    assert out == [int(_rolling_fp_row(t)) for t in texts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(2, 4),
+)
+def test_minhash_signatures_property(texts, k):
+    """Arrow-split batch signature kernel == per-doc reference for
+    arbitrary ASCII texts and shingle sizes (empty-token boundary
+    parity with python str.split)."""
+    import numpy as np
+
+    from clever_canal_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_hashes=16, bands=4, k=k)
+    ref = np.stack([mh.signature(t) for t in texts])
+    got = mh.signatures_batch(texts)
+    assert np.array_equal(ref, got)

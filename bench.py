@@ -139,6 +139,9 @@ def _probe_kernel_small() -> float:
     return time.time() - t0
 
 
+_PAR_PROBE_WARMED = False
+
+
 def parallel_probe() -> float:
     """Delivered-core estimate (float, ≤ NUM_CPUS)."""
     import ray
@@ -147,6 +150,12 @@ def parallel_probe() -> float:
     def k(_i: int) -> float:
         return _probe_kernel_small()
 
+    global _PAR_PROBE_WARMED
+    if not _PAR_PROBE_WARMED:
+        # untimed warm wave: the session's first NUM_CPUS-wide round
+        # pays Ray worker cold-start, which would deflate the estimate
+        ray.get([k.remote(i) for i in range(NUM_CPUS)])
+        _PAR_PROBE_WARMED = True
     single = min(_probe_kernel_small() for _ in range(2))
     t0 = time.time()
     ray.get([k.remote(i) for i in range(NUM_CPUS)])

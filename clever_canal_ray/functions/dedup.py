@@ -203,8 +203,6 @@ class MinHasher:
         shingle runs. No per-document Python loop. Accepts a pyarrow
         string Array/ChunkedArray zero-copy; lists/ndarrays are
         coerced once."""
-        import pyarrow.compute as pc
-
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         if not isinstance(texts, pa.Array):
@@ -213,26 +211,7 @@ class MinHasher:
         sig = np.empty((n, self.num_hashes), dtype=np.uint64)
         if n == 0:
             return sig
-        split = pc.utf8_split_whitespace(texts)
-        # Arrow keeps empty boundary tokens (" a" -> ["", "a"]) where
-        # python str.split drops them — mask for bit-parity. Counting
-        # uses cumsum-diff, not reduceat (reduceat mishandles
-        # zero-length docs).
-        flat_all = split.flatten()
-        ne = pc.greater(pc.binary_length(flat_all), 0).to_numpy(zero_copy_only=False)
-        lens_all = (
-            pc.list_value_length(split)
-            .fill_null(0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        if len(ne) and not ne.all():
-            c = np.zeros(len(ne) + 1, np.int64)
-            np.cumsum(~ne, out=c[1:])
-            ends_all = np.cumsum(lens_all)
-            lens = lens_all - (c[ends_all] - c[ends_all - lens_all])
-        else:
-            lens = lens_all
+        lens, flat = _ws_tokens(texts)  # str.split() parity incl. empty tokens
         short = lens < self.k
         if short.any():
             th = _stable_u64(
@@ -243,11 +222,7 @@ class MinHasher:
         ok = ~short
         if ok.any():
             doc_lens = lens[ok]
-            tok = split if ok.all() else split.filter(pa.array(ok))
-            flat_arr = tok.flatten()
-            ne_ok = pc.greater(pc.binary_length(flat_arr), 0)
-            if len(flat_arr) and not pc.all(ne_ok).as_py():
-                flat_arr = flat_arr.filter(ne_ok)
+            flat_arr = flat if ok.all() else flat.filter(pa.array(np.repeat(ok, lens)))
             wh = _stable_u64(flat_arr.to_numpy(zero_copy_only=False))
             sh_all = self._shingle_hashes(wh, self.k)
             # keep only shingles fully inside one document

@@ -150,6 +150,12 @@ def rolling_fingerprints(batch, k: int = 8, window: int = 16) -> pa.Table:
     t = _text_table(batch)
     arr = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
     n = len(arr)
+    if n == 0 or pa.types.is_null(arr.type):
+        # empty batch / all-None column (Arrow infers null type, which
+        # has no offsets buffer): every fp is 0, same as zero-byte text
+        return pa.table(
+            {"doc_id": t["doc_id"], "rolling_fp": pa.array(np.zeros(n, np.int64))}
+        )
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1].astype(
@@ -182,7 +188,6 @@ def rolling_fingerprints(batch, k: int = 8, window: int = 16) -> pa.Table:
     pos_in_doc = np.arange(m) - np.repeat(offsets[:-1], lens)[:m]
     valid = pos_in_doc <= (np.repeat(lens, lens)[:m] - k)
     h = h_all[valid]
-    hdoc = np.repeat(np.arange(n), lens)[:m][valid]
     hlen = np.maximum(lens - k + 1, 0)  # grams per doc (0 for short)
     hoff = np.zeros(n, dtype=np.int64)
     np.cumsum(hlen[:-1], out=hoff[1:])
@@ -401,13 +406,36 @@ def unigram_counts_broadcast(
                 f"{max_vocab}; pass top_v=N to cap the broadcast vocabulary "
                 "(OOV tokens floor at count 1)"
             )
-    counts = counts_ds.to_pandas()
-    total = int(counts["c"].sum())
-    if top_v is not None and len(counts) > top_v:
-        counts = counts.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
-    counts = counts.sort_values("w").reset_index(drop=True)
-    words = counts["w"].to_numpy()
-    cvals = counts["c"].to_numpy(dtype=np.int64)
+        counts = counts_ds.to_pandas()
+        total = int(counts["c"].sum())
+    else:
+        # the cap must apply DISTRIBUTED: each block keeps its local
+        # top_v (global top-v is a subset of the per-block top-v union
+        # — counts are already final per word), so the driver pull is
+        # bounded by blocks x top_v, never the full vocabulary. The
+        # total token count still sums over EVERY word (one scalar per
+        # block), not just the kept ones.
+        counts_ds = counts_ds.materialize()
+        tot_parts = counts_ds.map_batches(
+            lambda df: pd.DataFrame({"t": [df["c"].sum()]}), batch_format="pandas"
+        ).to_pandas()
+        total = int(tot_parts["t"].sum())
+
+        def block_top(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) <= top_v:
+                return df
+            return df.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
+
+        counts = counts_ds.map_batches(block_top, batch_format="pandas").to_pandas()
+        if len(counts) > top_v:
+            counts = counts.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
+    if len(counts):
+        counts = counts.sort_values("w").reset_index(drop=True)
+        words = counts["w"].to_numpy()
+        cvals = counts["c"].to_numpy(dtype=np.int64)
+    else:  # top_v=0 / empty corpus: Ray drops the schema of empty pulls
+        words = np.array([], dtype=object)
+        cvals = np.array([], dtype=np.int64)
     return ray.put((words, cvals, total))
 
 
@@ -429,10 +457,16 @@ def lm_nll_batch(texts, vocab_ref, scale: int = 10_000) -> np.ndarray:
     lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = split.flatten().to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(flat)
-    pos = np.searchsorted(words, uniq)
-    pos_c = np.minimum(pos, max(len(words) - 1, 0))
-    hit = (pos < len(words)) & (words[pos_c] == uniq) if len(words) else np.zeros(len(uniq), bool)
-    ln_u = np.where(hit, np.log(cvals[pos_c].astype(np.float64)), 0.0)  # ln(1)=0 OOV floor
+    if len(words):
+        pos = np.searchsorted(words, uniq)
+        pos_c = np.minimum(pos, len(words) - 1)
+        hit = (pos < len(words)) & (words[pos_c] == uniq)
+        # ln over hit counts only: np.where evaluates both branches, so
+        # an eager cvals[pos_c] would IndexError on an empty vocab
+        ln_u = np.zeros(len(uniq), np.float64)
+        ln_u[hit] = np.log(cvals[pos_c[hit]].astype(np.float64))
+    else:
+        ln_u = np.zeros(len(uniq), np.float64)  # everything OOV: ln(1)=0
     ln_flat = ln_u[codes]
     csum = np.zeros(len(ln_flat) + 1, np.float64)
     np.cumsum(ln_flat, out=csum[1:])

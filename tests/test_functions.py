@@ -140,6 +140,16 @@ def test_rolling_fingerprints_deterministic():
     assert len(set(a)) > 1
 
 
+def test_rolling_fingerprints_empty_and_null_batches():
+    """Empty batches and all-None text columns (Arrow infers a null
+    type with no offsets buffer) must not crash — fp is 0, like
+    zero-byte text."""
+    empty = rolling_fingerprints(pd.DataFrame({"doc_id": [], "text": []}))
+    assert empty.num_rows == 0
+    nulls = rolling_fingerprints(pd.DataFrame({"doc_id": [1, 2], "text": [None, None]}))
+    assert nulls["rolling_fp"].to_pylist() == [0, 0]
+
+
 def test_rolling_fingerprints_matches_row_reference():
     """The flat batch kernel (Arrow buffer bytes, masked flat k-gram
     hashes, van Herk sliding min, lexsort unique-xor) reproduces the
@@ -475,6 +485,15 @@ def test_unigram_lm_scores_matches_serial(ray_session):
         return math.floor(1e4 * (math.log(total) - s) + 0.5)
 
     assert capped["lm_nll_e4"].tolist() == [capped_nll(t) for t in texts]
+
+    # top_v=0 (empty broadcast vocab): every token OOV -> nll = ln(total)
+    zero = (
+        unigram_lm_scores(rd.from_pandas(df), top_v=0)
+        .to_pandas()["lm_nll_e4"]
+        .unique()
+        .tolist()
+    )
+    assert zero == [math.floor(1e4 * math.log(total) + 0.5)]
 
 
 def test_quality_scores_stopword_columnar(ray_session):

@@ -73,6 +73,12 @@ class ChangeConsumer:
         self._inflight: list[dict] = []  # [{"batch_id", "start", "ack"}]
         self._next_batch_id = 0
         self._subscribed = False
+        # decode cache: rows already read past the delivered cursor
+        # (each get reads ~2x its window for txn-boundary headroom; the
+        # overflow used to be discarded and re-decoded next get). Pure
+        # in-memory — a restart rebuilds it from the segments, the
+        # durable cursor/ledger are untouched.
+        self._pending: pa.Table | None = None
         self._load()
 
     # -- persistence (meta.dat.json analog) -------------------------------
@@ -123,17 +129,33 @@ class ChangeConsumer:
         start = self._delivered
         limit = max(int(batch_size), 1)
         while True:
-            events = self._read_after(start, limit)
-            if events is None or events.num_rows == 0:
+            t_full = self._read_after(start, limit)
+            if t_full is None or t_full.num_rows == 0:
                 return None
+            events = t_full.slice(0, limit)
             ack = self._last_commit(events)
             if ack is not None:
                 break
             if events.num_rows < limit:
-                return None  # stream exhausted mid-txn: incomplete tail stays
+                # stream exhausted mid-txn: incomplete tail stays — but
+                # keep it DECODED so the next get (after new segments
+                # settle) doesn't re-read it
+                self._pending = t_full
+                return None
             # txn longer than the window: grow until its commit row appears
             limit *= 2
-        events = self._truncate_to(events, ack)
+        # cut at ack with ZERO-COPY slices: t_full is position-ordered,
+        # so rows <= ack are a prefix — the delivered window — and the
+        # rest (window overflow + txn-headroom over-read) becomes the
+        # pending decode cache for the next get. The old filter-based
+        # cut copied the struct-heavy table twice per get.
+        pos_all = pack_position(
+            t_full["segment_id"].to_numpy(zero_copy_only=False),
+            t_full["offset"].to_numpy(zero_copy_only=False),
+        )
+        idx = int(np.searchsorted(pos_all, int(pack_position(ack[0], ack[1])), side="right"))
+        self._pending = t_full.slice(idx) if idx < t_full.num_rows else None
+        events = t_full.slice(0, idx)
         # F1-F6 delivery filters AFTER the ack cut: a filtered-out row
         # still advances the position (the F7 position-advance rule)
         m = filter_mask(events, self.cfg)
@@ -177,6 +199,7 @@ class ChangeConsumer:
         self._cursor = pos
         self._delivered = pos
         self._inflight = []
+        self._pending = None  # decode cache is relative to delivered
         self._persist()
         return pos
 
@@ -186,11 +209,41 @@ class ChangeConsumer:
         subsequent gets (with fresh batch ids)."""
         self._inflight = []
         self._delivered = self._cursor
+        self._pending = None  # decode cache is relative to delivered
         self._persist()
 
     # -- internals --------------------------------------------------------
 
     def _read_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
+        """Up to ``limit`` position-ordered rows after ``start``: the
+        pending decode cache first (its rows are exactly the
+        already-decoded stream after the delivered cursor == start),
+        then disk from the cache's tail onward. Does not mutate the
+        cache — the grow loop in get_without_ack may call again with a
+        larger limit."""
+        chunks: list[pa.Table] = []
+        have = 0
+        disk_from = start
+        if self._pending is not None and self._pending.num_rows:
+            chunks.append(self._pending)
+            have = self._pending.num_rows
+            last = self._pending.slice(self._pending.num_rows - 1, 1)
+            disk_from = (
+                int(last["segment_id"][0].as_py()),
+                int(last["offset"][0].as_py()),
+            )
+        if have < limit:
+            disk = self._read_disk_after(disk_from, limit - have)
+            if disk is not None:
+                chunks.append(disk)
+        if not chunks:
+            return None
+        t = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
+        if t.num_rows == 0:
+            return None
+        return t.slice(0, max(limit, 1))
+
+    def _read_disk_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
         paths = discover_segments(self.dirs)
         if not paths:
             return None
@@ -210,13 +263,15 @@ class ChangeConsumer:
         if not batches:
             return None
         t = pa.Table.from_batches(batches)
-        # global position order
+        # global position order; segments usually arrive ordered, so
+        # only pay the full-table take when they genuinely interleave
         pos = pack_position(
             t["segment_id"].to_numpy(zero_copy_only=False),
             t["offset"].to_numpy(zero_copy_only=False),
         )
-        t = t.take(pa.array(np.argsort(pos, kind="stable")))
-        return t.slice(0, max(limit, 1))
+        if len(pos) > 1 and (np.diff(pos) < 0).any():
+            t = t.take(pa.array(np.argsort(pos, kind="stable")))
+        return t  # overflow beyond limit lands in the pending cache
 
     @staticmethod
     def _last_commit(t: pa.Table) -> tuple[int, int] | None:
@@ -229,11 +284,3 @@ class ChangeConsumer:
         i = int(np.argmax(np.where(commit, pos, -1)))
         return int(seg[i]), int(off[i])
 
-    @staticmethod
-    def _truncate_to(t: pa.Table, ack: tuple[int, int]) -> pa.Table:
-        pos = pack_position(
-            t["segment_id"].to_numpy(zero_copy_only=False),
-            t["offset"].to_numpy(zero_copy_only=False),
-        )
-        keep = pos <= int(pack_position(ack[0], ack[1]))
-        return t.filter(pa.array(keep))

@@ -1090,6 +1090,130 @@ def simhash64(batch: pd.DataFrame, word_hash=None) -> pd.DataFrame:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array via the byte LUT."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int | None = None,
+    word_hash=None,
+    num_buckets: int = 64,
+):
+    """Near-duplicate pairs by SimHash Hamming distance — the banded
+    LSH completion of :func:`simhash_u64` (reference parity: the
+    simhash dedup family; same shape as Manku et al.'s
+    near-duplicate-detection tables).
+
+    RECALL 1 by pigeonhole: the 64-bit fingerprint splits into
+    ``bands`` contiguous bit-bands (default ``max_hamming + 1``); any
+    pair within ``max_hamming`` differing bits must agree exactly on
+    at least one band, so banding misses nothing. Candidates verify
+    with an exact popcount of XOR. Distribution mirrors the MinHash
+    path: band rows of (band, band_val, doc_id, sim) — sim is 8
+    bytes, so carrying it on the band row is cheap even at 100-TB
+    scale (unlike the 8 KB MinHash signatures) — one
+    ``groupby(bucket)`` exchange, per-bucket vectorized run-length
+    pair generation, bucketed pair dedup. Returns (a, b, hamming)
+    with a < b, int64 ids.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if not (1 <= bands <= 64):
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    edges = np.linspace(0, 64, bands + 1).astype(np.int64)  # contiguous bit ranges
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sim = simhash_u64(df[text_col].to_numpy(), word_hash)
+        n = len(df)
+        vals = []
+        for b in range(bands):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            mask = np.uint64((1 << (hi - lo)) - 1) if hi - lo < 64 else np.uint64(2**64 - 1)
+            vals.append((sim >> np.uint64(lo)) & mask)
+        band_val = np.stack(vals, axis=1).reshape(-1)  # row-major: doc x band
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        bucket = (
+            (band_val * np.uint64(1_099_511_628_211) + band_idx.astype(np.uint64))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band": band_idx,
+                "band_val": band_val.view(np.int64),
+                "doc_id": np.repeat(df[id_col].to_numpy(), bands),
+                "sim": np.repeat(sim.view(np.int64), bands),
+                "__bucket": bucket,
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        b = group["band"].to_numpy()
+        h = group["band_val"].to_numpy()
+        d = group["doc_id"].to_numpy().astype(np.int64)
+        s = group["sim"].to_numpy().view(np.uint64)
+        order = np.lexsort((d, h, b))
+        b, h, d, s = b[order], h[order], d[order], s[order]
+        new_run = np.ones(len(b), dtype=bool)
+        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        outs = []
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            idx = starts[counts == m]
+            mat = idx[:, None] + np.arange(m)[None, :]
+            iu, ju = np.triu_indices(int(m), k=1)
+            ia = mat[:, iu].reshape(-1)
+            ib = mat[:, ju].reshape(-1)
+            ham = _popcount64(s[ia] ^ s[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame({"a": d[ia][keep], "b": d[ib][keep], "hamming": ham[keep]})
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _fast_u64
+
+        df = df.copy()
+        df["__bucket"] = (
+            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
+            batch_format="pandas",
+        )
+    )
+
+
 def char_jaccard(a: str, b: str) -> float:
     """Character-set Jaccard — mirrors DuckDB's ``jaccard(s1, s2)``."""
     sa, sb = set(a), set(b)

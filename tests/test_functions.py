@@ -817,3 +817,47 @@ def test_random_projection_preserves_similarity(ray_session):
     g1 = red @ red.T
     corr = np.corrcoef(g0.ravel(), g1.ravel())[0, 1]
     assert corr > 0.7
+
+
+def test_simhash_dup_pairs_matches_serial(ray_session):
+    """Banded SimHash hamming pairs == serial all-pairs reference, and
+    the pigeonhole recall guarantee holds (bands = max_hamming + 1
+    misses NO pair within the bound)."""
+    import itertools
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import simhash_dup_pairs, simhash_u64
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(400)]
+    texts, ids = [], []
+    for i in range(80):
+        words = list(rng.choice(vocab, size=60))
+        ids.append(2 * i)
+        texts.append(" ".join(words))
+        if i % 2 == 0:  # planted near-dup: one word swapped
+            w2 = list(words)
+            w2[7] = "swapped"
+            ids.append(2 * i + 1)
+            texts.append(" ".join(w2))
+    docs = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "text": texts})
+
+    max_h = 6
+    out = (
+        simhash_dup_pairs(rd.from_pandas(docs), max_hamming=max_h)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # serial reference: exact all-pairs hamming
+    sims = simhash_u64(np.asarray(texts, dtype=object))
+    by_id = dict(zip(ids, sims))
+    want = {}
+    for x, y in itertools.combinations(sorted(ids), 2):
+        h = bin(int(by_id[x]) ^ int(by_id[y])).count("1")
+        if h <= max_h:
+            want[(x, y)] = h
+    got = {(int(r.a), int(r.b)): int(r.hamming) for r in out.itertuples()}
+    assert got == want
+    assert len(want) > 0  # the planted near-dups actually qualify

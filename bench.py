@@ -315,7 +315,11 @@ def run_once() -> dict:
         queries = {"compaction": round(compact_sec, 3)}
     else:
         compact_mode_sec, _, _ = bench_replay(meta, sink_mode="compact", compact_after=False)
-        queries = bench_queries()
+        # min of 2 passes: the query block is ~15 s of work and this
+        # VM's multi-minute throttle phases otherwise turn one unlucky
+        # window into a 5-10x artifact on individual queries
+        q1, q2 = bench_queries(), bench_queries()
+        queries = {k: min(q1[k], q2[k]) for k in q1}
         queries["replay_compact_mode"] = round(compact_mode_sec, 3)
         queries["compaction"] = round(compact_sec, 3)
     result = {

@@ -1090,6 +1090,48 @@ def simhash64(batch: pd.DataFrame, word_hash=None) -> pd.DataFrame:
     return out
 
 
+def near_dedup_corpus(
+    ds,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 1234,
+    num_buckets: int = 64,
+):
+    """ONE-CALL near-duplicate dedup — the full chain a training
+    pipeline runs, composed from the soak-proven pieces
+    (scripts/soak_dedup.py at 16M docs, recall 1.0, zero false pairs):
+    MinHash banding → exact word-shingle-Jaccard verify →
+    distributed connected components → survivors anti-join. Keeps
+    each duplicate component's minimum-id member and every unpaired
+    doc; returns the filtered corpus with the input schema. Ids must
+    be int64-castable (they ride the verify join as strings)."""
+    pairs = minhash_lsh_pairs_verified(
+        ds,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+    )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": df["a"].astype("int64"), "b": df["b"].astype("int64")})
+
+    comps = connected_components(
+        pairs.map_batches(to_int, batch_format="pandas"), num_buckets=min(num_buckets, 16)
+    ).materialize()  # tiny next to the corpus: one row per clustered doc
+    return neardup_survivors(ds, comps, id_col=id_col, num_buckets=num_buckets)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Per-element popcount of a uint64 array via the byte LUT."""
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)

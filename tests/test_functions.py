@@ -861,3 +861,40 @@ def test_simhash_dup_pairs_matches_serial(ray_session):
     got = {(int(r.a), int(r.b)): int(r.hamming) for r in out.itertuples()}
     assert got == want
     assert len(want) > 0  # the planted near-dups actually qualify
+
+
+def test_near_dedup_corpus_matches_serial_union_find(ray_session):
+    """The one-call chain (banding -> exact verify -> components ->
+    survivors) == a serial union-find over exact all-pairs shingle
+    Jaccard: identical survivor sets, schema preserved."""
+    import itertools
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import near_dedup_corpus, shingle_jaccard
+
+    docs = _near_dup_docs(n=30)
+    docs["source"] = [f"s{i % 3}" for i in range(len(docs))]  # schema carry-through
+
+    out = near_dedup_corpus(rd.from_pandas(docs), threshold=0.6).to_pandas()
+    assert set(out.columns) == {"doc_id", "text", "source"}
+
+    # serial reference: union-find over exact-jaccard pairs
+    ids = docs["doc_id"].tolist()
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        if shingle_jaccard(by_id[a], by_id[b]) >= 0.6:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    keep = {i for i in ids if find(i) == i}
+    assert set(out["doc_id"]) == keep
+    assert len(keep) < len(ids)  # the planted dups actually deduped

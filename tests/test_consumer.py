@@ -260,3 +260,52 @@ def test_consumer_protocol_random_sequences(fx, tmp_path):
         full["offset"].to_numpy(zero_copy_only=False),
     )
     assert remaining == int((all_pos > acked_pos).sum())
+
+
+def test_pending_cache_across_segment_arrival(fx, tmp_path):
+    """The decode cache must compose with tail-follow: drain with the
+    last segment HIDDEN (the incomplete tail stays pending), then the
+    segment 'arrives' and the resumed drain must deliver exactly the
+    same rows, in the same order, as an uninterrupted drain."""
+    import shutil
+
+    spec, info, total, root = fx
+
+    ref = ChangeConsumer(os.path.join(root, "segments"), str(tmp_path / "ref"))
+    ref.subscribe()
+    want = [t for _, t in _drain(ref, batch_size=64)]
+    want_pos = np.concatenate(
+        [
+            pack_position(
+                t["segment_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False),
+            )
+            for t in want
+        ]
+    )
+
+    # copy the fixture and hide the last segment
+    segs_dir = str(tmp_path / "segments")
+    shutil.copytree(os.path.join(root, "segments"), segs_dir)
+    names = sorted(os.listdir(segs_dir))
+    hidden = os.path.join(str(tmp_path), names[-1])
+    os.rename(os.path.join(segs_dir, names[-1]), hidden)
+
+    c = ChangeConsumer(segs_dir, str(tmp_path / "state"))
+    c.subscribe()
+    got = [t for _, t in _drain(c, batch_size=64)]
+    assert c._pending is None or c._pending.num_rows >= 0  # cache may hold a tail
+    # the segment arrives; SAME consumer continues via its cache + disk
+    os.rename(hidden, os.path.join(segs_dir, names[-1]))
+    got += [t for _, t in _drain(c, batch_size=64)]
+
+    got_pos = np.concatenate(
+        [
+            pack_position(
+                t["segment_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False),
+            )
+            for t in got
+        ]
+    )
+    assert np.array_equal(got_pos, want_pos)

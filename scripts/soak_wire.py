@@ -65,6 +65,7 @@ def main(n_events: int = 4_000_000, batch_size: int = 250_000) -> None:
     ip = ChangeConsumer(os.path.join(root, "segments"), os.path.join(root, "state"), client_id="inproc")
     ip.subscribe()
     rows_ip = 0
+    possum_ip = 0  # cheap exact content check: sum of packed positions
     t0 = time.time()
     while True:
         got = ip.get_without_ack(batch_size)
@@ -72,6 +73,9 @@ def main(n_events: int = 4_000_000, batch_size: int = 250_000) -> None:
             break
         bid, t = got
         rows_ip += t.num_rows
+        possum_ip += int(t["offset"].to_pandas().sum()) + int(
+            t["segment_id"].to_pandas().sum()
+        )
         ip.ack(bid)
     inproc_sec = time.time() - t0
     assert rows_ip == info["n_events"], (rows_ip, info["n_events"])
@@ -82,6 +86,7 @@ def main(n_events: int = 4_000_000, batch_size: int = 250_000) -> None:
         c = WireConsumer(srv.host, srv.port, client_id="soak")
         c.subscribe()
         rows = 0
+        possum = 0
         wire_bytes = 0
         batches = 0
         last_bid = -1
@@ -94,12 +99,16 @@ def main(n_events: int = 4_000_000, batch_size: int = 250_000) -> None:
             assert bid == last_bid + 1 or last_bid == -1, (bid, last_bid)  # FIFO
             last_bid = bid
             rows += t.num_rows
+            possum += int(t["offset"].to_pandas().sum()) + int(
+                t["segment_id"].to_pandas().sum()
+            )
             wire_bytes += t.nbytes
             batches += 1
             c.ack(bid)
         drain_sec = time.time() - t0
         c.close()
         assert rows == info["n_events"], (rows, info["n_events"])
+        assert possum == possum_ip, "wire leg delivered different rows than in-process"
         meta = json.load(open(os.path.join(root, "state", "meta-soak.json")))
         assert meta["cursor"][0] >= 0 and not meta["inflight"]
         print(

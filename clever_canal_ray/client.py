@@ -77,8 +77,10 @@ class ChangeConsumer:
         # (each get reads ~2x its window for txn-boundary headroom; the
         # overflow used to be discarded and re-decoded next get). Pure
         # in-memory — a restart rebuilds it from the segments, the
-        # durable cursor/ledger are untouched.
+        # durable cursor/ledger are untouched. Valid only for the
+        # segment set it was read from (_pending_paths).
         self._pending: pa.Table | None = None
+        self._pending_paths: tuple = ()
         self._load()
 
     # -- persistence (meta.dat.json analog) -------------------------------
@@ -215,12 +217,23 @@ class ChangeConsumer:
     # -- internals --------------------------------------------------------
 
     def _read_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
-        """Up to ``limit`` position-ordered rows after ``start``: the
+        """At least ``limit`` position-ordered rows after ``start`` (up
+        to ~2× for txn-boundary headroom — the caller slices its window
+        and the overflow becomes the next get's pending cache): the
         pending decode cache first (its rows are exactly the
         already-decoded stream after the delivered cursor == start),
         then disk from the cache's tail onward. Does not mutate the
         cache — the grow loop in get_without_ack may call again with a
-        larger limit."""
+        larger limit.
+
+        The cache is only valid while the SEGMENT SET is unchanged: a
+        group/multi-dir journal may land a new segment whose positions
+        interleave BELOW the cached tail, and a disk read from the tail
+        would skip it forever. Any new path drops the cache and falls
+        back to a full re-read from the delivered cursor."""
+        paths = tuple(discover_segments(self.dirs))
+        if self._pending is not None and paths != self._pending_paths:
+            self._pending = None
         chunks: list[pa.Table] = []
         have = 0
         disk_from = start
@@ -236,12 +249,13 @@ class ChangeConsumer:
             disk = self._read_disk_after(disk_from, limit - have)
             if disk is not None:
                 chunks.append(disk)
+        self._pending_paths = paths
         if not chunks:
             return None
         t = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
         if t.num_rows == 0:
             return None
-        return t.slice(0, max(limit, 1))
+        return t
 
     def _read_disk_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
         paths = discover_segments(self.dirs)

@@ -151,6 +151,49 @@ def exact_dedup_survivors(
 # --- MinHash + LSH --------------------------------------------------------
 
 
+def _run_pair_indices(b: np.ndarray, h: np.ndarray, order_within: np.ndarray):
+    """All unordered index pairs within equal-``(b, h)`` runs, ordered
+    by ``order_within`` inside a run — the shared LSH-bucket pair
+    expansion (MinHash bands, SimHash bands). Returns ``(perm, ia,
+    ib)``: apply ``perm`` to any payload column, then index with
+    ia/ib. Fully vectorized: lexsort → run-length detect → per-RUN-SIZE
+    batched triu expansion (a per-group pandas loop measured 27 s per
+    100k docs)."""
+    order = np.lexsort((order_within, h, b))
+    bs, hs = b[order], h[order]
+    new_run = np.ones(len(bs), dtype=bool)
+    new_run[1:] = (bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1])
+    run_id = np.cumsum(new_run) - 1
+    counts = np.bincount(run_id)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ias, ibs = [], []
+    for m in np.unique(counts):
+        if m < 2:
+            continue
+        idx = starts[counts == m]
+        mat = idx[:, None] + np.arange(m)[None, :]
+        iu, ju = np.triu_indices(int(m), k=1)
+        ias.append(mat[:, iu].reshape(-1))
+        ibs.append(mat[:, ju].reshape(-1))
+    if not ias:
+        e = np.array([], dtype=np.int64)
+        return order, e, e
+    return order, np.concatenate(ias), np.concatenate(ibs)
+
+
+def _pair_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Bucket (a, b) pair rows for the dedup exchange — the same pair
+    surfacing from several bands must land in ONE bucket."""
+    from clever_canal_ray.functions.corpus import _fast_u64
+
+    df = df.copy()
+    df["__bucket"] = (
+        (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
+        % np.uint64(num_buckets)
+    ).astype(np.int64)
+    return df
+
+
 class MinHasher:
     """Actor-pool stage: seeded universal-hash parameters built once per
     actor; per-batch signature computation is a vectorized loop over
@@ -371,50 +414,22 @@ def _minhash_pairs_small(ds, threshold, num_hashes, bands, k, seed, num_buckets)
         b = group["band"].to_numpy()
         h = group["band_hash"].to_numpy()
         d = group["doc_id"].to_numpy().astype(np.int64)
-        sig = np.stack(group["sig"].to_numpy())
-        order = np.lexsort((d, h, b))
-        b, h, d, sig = b[order], h[order], d[order], sig[order]
-        new_run = np.ones(len(b), dtype=bool)
-        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
-        run_id = np.cumsum(new_run) - 1
-        counts = np.bincount(run_id)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        outs = []
-        for m in np.unique(counts):
-            if m < 2:
-                continue
-            idx = starts[counts == m]
-            mat = idx[:, None] + np.arange(m)[None, :]
-            iu, ju = np.triu_indices(int(m), k=1)
-            ia = mat[:, iu].reshape(-1)
-            ib = mat[:, ju].reshape(-1)
-            est = np.round((sig[ia] == sig[ib]).mean(axis=1), 6)
-            keep = est >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {"a": d[ia][keep], "b": d[ib][keep], "est_jaccard": est[keep]}
-                    )
-                )
-        if not outs:
+        order, ia, ib = _run_pair_indices(b, h, d)
+        if not len(ia):
             return empty
-        return pd.concat(outs, ignore_index=True)
-
-    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        from clever_canal_ray.functions.corpus import _fast_u64
-
-        df = df.copy()
-        df["__bucket"] = (
-            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
-            % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        d = d[order]
+        sig = np.stack(group["sig"].to_numpy())[order]
+        est = np.round((sig[ia] == sig[ib]).mean(axis=1), 6)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": d[ia][keep], "b": d[ib][keep], "est_jaccard": est[keep]})
 
     return (
         ds.map_batches(explode_with_sigs, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(lambda g: bucket_pairs(g.drop(columns="__bucket")), batch_format="pandas")
-        .map_batches(pair_bucket, batch_format="pandas")
+        .map_batches(lambda df: _pair_bucket(df, num_buckets), batch_format="pandas")
         .groupby("__bucket")
         .map_groups(
             lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
@@ -509,11 +524,9 @@ def minhash_lsh_pairs(
         )
 
     def bucket_cand(group: pd.DataFrame) -> pd.DataFrame:
-        """One hash bucket = many (band, band_hash) LSH buckets.
-        Fully vectorized: lexsort -> run-length detect equal (band,
-        band_hash) runs -> per-RUN-SIZE batched triu pair expansion
-        (runs are overwhelmingly size 2; a pandas per-group loop here
-        measured 27s per 100k docs)."""
+        """One hash bucket = many (band, band_hash) LSH buckets; pair
+        expansion via the shared ``_run_pair_indices`` (runs are
+        overwhelmingly size 2)."""
         empty = pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
         )
@@ -522,40 +535,18 @@ def minhash_lsh_pairs(
         b = group["band"].to_numpy()
         h = group["band_hash"].to_numpy()
         d = group["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((d, h, b))
-        b, h, d = b[order], h[order], d[order]
-        new_run = np.ones(len(b), dtype=bool)
-        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
-        run_id = np.cumsum(new_run) - 1
-        counts = np.bincount(run_id)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        outs_a, outs_b = [], []
-        for m in np.unique(counts):
-            if m < 2:
-                continue
-            idx = starts[counts == m]
-            mat = d[idx[:, None] + np.arange(m)[None, :]]  # docs ascending per run
-            iu, ju = np.triu_indices(int(m), k=1)
-            outs_a.append(mat[:, iu].reshape(-1))
-            outs_b.append(mat[:, ju].reshape(-1))
-        if not outs_a:
+        order, ia, ib = _run_pair_indices(b, h, d)
+        if not len(ia):
             return empty
-        return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
-
-    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (
-            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
-            % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        d = d[order]
+        return pd.DataFrame({"a": d[ia], "b": d[ib]})
 
     cand = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(lambda g: bucket_cand(g.drop(columns="__bucket")), batch_format="pandas")
         # same pair may surface from several bands — vectorized dedup
-        .map_batches(pair_bucket, batch_format="pandas")
+        .map_batches(lambda df: _pair_bucket(df, num_buckets), batch_format="pandas")
         .groupby("__bucket")
         .map_groups(
             lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),
@@ -670,7 +661,7 @@ def minhash_lsh_pairs(
         )
 
     return (
-        joined.map_batches(pair_bucket, batch_format="pandas")
+        joined.map_batches(lambda df: _pair_bucket(df, num_buckets), batch_format="pandas")
         .groupby("__bucket")
         .map_groups(lambda g: est_pairs(g.drop(columns="__bucket")), batch_format="pandas")
         # map_groups hands downstream one tiny block per bucket; coalesce
@@ -1207,47 +1198,21 @@ def simhash_dup_pairs(
         h = group["band_val"].to_numpy()
         d = group["doc_id"].to_numpy().astype(np.int64)
         s = group["sim"].to_numpy().view(np.uint64)
-        order = np.lexsort((d, h, b))
-        b, h, d, s = b[order], h[order], d[order], s[order]
-        new_run = np.ones(len(b), dtype=bool)
-        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
-        run_id = np.cumsum(new_run) - 1
-        counts = np.bincount(run_id)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        outs = []
-        for m in np.unique(counts):
-            if m < 2:
-                continue
-            idx = starts[counts == m]
-            mat = idx[:, None] + np.arange(m)[None, :]
-            iu, ju = np.triu_indices(int(m), k=1)
-            ia = mat[:, iu].reshape(-1)
-            ib = mat[:, ju].reshape(-1)
-            ham = _popcount64(s[ia] ^ s[ib])
-            keep = ham <= max_hamming
-            if keep.any():
-                outs.append(
-                    pd.DataFrame({"a": d[ia][keep], "b": d[ib][keep], "hamming": ham[keep]})
-                )
-        if not outs:
+        order, ia, ib = _run_pair_indices(b, h, d)
+        if not len(ia):
             return empty
-        return pd.concat(outs, ignore_index=True)
-
-    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        from clever_canal_ray.functions.corpus import _fast_u64
-
-        df = df.copy()
-        df["__bucket"] = (
-            (_fast_u64(df["a"].to_numpy()) ^ (_fast_u64(df["b"].to_numpy()) >> np.uint64(1)))
-            % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+        d, s = d[order], s[order]
+        ham = _popcount64(s[ia] ^ s[ib])
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": d[ia][keep], "b": d[ib][keep], "hamming": ham[keep]})
 
     return (
         ds.map_batches(explode, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(lambda g: bucket_pairs(g.drop(columns="__bucket")), batch_format="pandas")
-        .map_batches(pair_bucket, batch_format="pandas")
+        .map_batches(lambda df: _pair_bucket(df, num_buckets), batch_format="pandas")
         .groupby("__bucket")
         .map_groups(
             lambda g: g.drop(columns="__bucket").drop_duplicates(["a", "b"]),

@@ -96,7 +96,7 @@ def main(n_events: int = 4_000_000, batch_size: int = 250_000) -> None:
             if got is None:
                 break
             bid, t = got
-            assert bid == last_bid + 1 or last_bid == -1, (bid, last_bid)  # FIFO
+            assert bid == last_bid + 1, (bid, last_bid)  # FIFO from batch 0
             last_bid = bid
             rows += t.num_rows
             possum += int(t["offset"].to_pandas().sum()) + int(

@@ -263,10 +263,12 @@ def test_consumer_protocol_random_sequences(fx, tmp_path):
 
 
 def test_pending_cache_across_segment_arrival(fx, tmp_path):
-    """The decode cache must compose with tail-follow: drain with the
-    last segment HIDDEN (the incomplete tail stays pending), then the
-    segment 'arrives' and the resumed drain must deliver exactly the
-    same rows, in the same order, as an uninterrupted drain."""
+    """The decode cache must compose with tail-follow: a get's
+    txn-headroom over-read stays pending (asserted NON-empty — the
+    cache path genuinely runs), then a new segment 'arrives' — the
+    cache must be invalidated (new paths may interleave below the
+    cached tail in multi-dir journals) and the continued drain must
+    deliver exactly the rows an uninterrupted drain delivers."""
     import shutil
 
     spec, info, total, root = fx
@@ -287,17 +289,24 @@ def test_pending_cache_across_segment_arrival(fx, tmp_path):
     # copy the fixture and hide the last segment
     segs_dir = str(tmp_path / "segments")
     shutil.copytree(os.path.join(root, "segments"), segs_dir)
-    names = sorted(os.listdir(segs_dir))
+    names = sorted(n for n in os.listdir(segs_dir) if n.endswith(".parquet"))
     hidden = os.path.join(str(tmp_path), names[-1])
     os.rename(os.path.join(segs_dir, names[-1]), hidden)
 
     c = ChangeConsumer(segs_dir, str(tmp_path / "state"))
     c.subscribe()
-    got = [t for _, t in _drain(c, batch_size=64)]
-    assert c._pending is None or c._pending.num_rows >= 0  # cache may hold a tail
-    # the segment arrives; SAME consumer continues via its cache + disk
+    got = []
+    bid, t = c.get_without_ack(64)
+    got.append(t)
+    c.ack(bid)
+    # the 2x headroom over-read must be cached, not discarded
+    assert c._pending is not None and c._pending.num_rows > 0
+    cached_paths = c._pending_paths
+    # the segment arrives; the SAME consumer must invalidate its cache
+    # (the new path set) and still deliver everything exactly once
     os.rename(hidden, os.path.join(segs_dir, names[-1]))
     got += [t for _, t in _drain(c, batch_size=64)]
+    assert c._pending_paths != cached_paths
 
     got_pos = np.concatenate(
         [

@@ -68,6 +68,18 @@ class ReplayConfig:
     #               partitions auto-compact at compact_threshold files
     sink_mode: str = "compact"
     compact_threshold: int = 8
+    # auto-compaction strategy when a delta partition reaches
+    # compact_threshold files:
+    #   "major" — merge-on-read the WHOLE partition (base + deltas) and
+    #             rewrite one file (read-optimal; write cost
+    #             O(partition bytes) — at 100-TB scale the base dwarfs
+    #             the deltas, so every threshold crossing rewrites it)
+    #   "minor" — fold the accumulated deltas plus this batch's changes
+    #             into ONE delta file, never reading or rewriting the
+    #             base (LSM minor compaction; write cost O(delta
+    #             bytes)). Partitions stay at ≤2 files; run
+    #             Lake.compact() for the single-file read fast-path.
+    compact_mode: str = "major"
     # GTID-style failover dedup: ALSO drop events whose logical txn_id
     # is <= the manifest's txn_hwm. Enables switching to a mirror /
     # archived copy of the stream whose file positions are incomparable

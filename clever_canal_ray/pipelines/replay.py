@@ -493,6 +493,7 @@ def _execute_batch(
         # not fire; the driver compacts after the commits instead
         compact_threshold=10**9 if force_pure_delta else cfg.compact_threshold,
         pid_schemas=pid_schemas,
+        compact_mode=cfg.compact_mode,
     )
     metrics_rows = ds.groupby("pid").map_groups(upsert, batch_format="pyarrow").take_all()
     return {
@@ -711,6 +712,8 @@ def replay(lake: Lake, segment_paths: list[str], cfg: ReplayConfig | None = None
     position filter makes the overlap cheap — replay-from-cursor).
     """
     cfg = cfg or ReplayConfig()
+    if cfg.compact_mode not in ("major", "minor"):
+        raise ValueError(f"compact_mode must be 'major' or 'minor', got {cfg.compact_mode!r}")
     paths = list(segment_paths)
     if cfg.pipeline_depth > 1 and cfg.sink_mode == "delta":
         return _replay_pipelined(lake, paths, cfg)
@@ -971,8 +974,9 @@ def _replay_pipelined(lake: Lake, paths: list[str], cfg: ReplayConfig) -> Manife
             m = replay_batch(lake, control_group, cfg)
             pending = _files_past_position(control_group, m.hwm)
 
-    # driver-side compaction for partitions past the threshold
+    # driver-side compaction for partitions past the threshold (minor
+    # mode folds deltas only — the base file is never rewritten here)
     over = [int(p) for p, info in m.partitions.items() if len(info["files"]) > cfg.compact_threshold]
     if over:
-        m = lake.compact(pids=over)
+        m = lake.compact(pids=over, mode=cfg.compact_mode)
     return m

@@ -196,6 +196,7 @@ def make_partition_upsert_fn(
     sink_mode: str = "compact",
     compact_threshold: int = 8,
     pid_schemas: dict[int, pa.Schema] | None = None,
+    compact_mode: str = "major",
 ):
     """Build the map_groups body. ``part_files`` maps pid -> relative
     Parquet paths of the partition's current files (from the base
@@ -272,6 +273,33 @@ def make_partition_upsert_fn(
                     "rows_deleted": pa.array([int(is_del.sum())], pa.int64()),
                     "events_in": pa.array([events_in], pa.int64()),
                     "mode": pa.array(["append"], pa.string()),
+                },
+                schema=METRICS_SCHEMA,
+            )
+
+        if sink_mode == "delta" and compact_mode == "minor" and existing:
+            # minor auto-compact: the threshold crossed, but instead of
+            # rewriting the whole partition, fold the accumulated DELTA
+            # files plus this batch's winners into one delta. The base
+            # (files[0]) is never read — hot-path maintenance cost stays
+            # O(delta bytes) regardless of partition size.
+            from clever_canal_ray.state.manifest import merge_delta_files
+
+            delta = pa.Table.from_arrays(payload_cols, schema=tp_clean)
+            delta = ensure_helper_columns(delta, seq=batch_id, deleted=pa.array(is_del))
+            olds = [pq.read_table(os.path.join(lake_dir, rel)) for rel in existing[1:]]
+            merged = merge_delta_files(olds + [delta], tp)
+            rel = _write_file(lake_dir, merged, pid, batch_id)
+            base_rows = pq.read_metadata(os.path.join(lake_dir, existing[0])).num_rows
+            return pa.Table.from_pydict(
+                {
+                    "pid": pa.array([pid], pa.int32()),
+                    "file": pa.array([rel], pa.string()),
+                    "rows": pa.array([base_rows + merged.num_rows], pa.int64()),
+                    "rows_upserted": pa.array([int((~is_del).sum())], pa.int64()),
+                    "rows_deleted": pa.array([int(is_del.sum())], pa.int64()),
+                    "events_in": pa.array([events_in], pa.int64()),
+                    "mode": pa.array(["replace_deltas"], pa.string()),
                 },
                 schema=METRICS_SCHEMA,
             )

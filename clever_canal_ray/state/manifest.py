@@ -123,6 +123,46 @@ def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table
     return upcast_table(_strip_helpers(out.filter(alive)), target)
 
 
+def merge_delta_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table:
+    """Minor-compaction merge of one partition's DELTA files (the base
+    file excluded): last-writer-wins per doc_id by (__seq, file order),
+    but — unlike :func:`merge_partition_files` — tombstones are KEPT and
+    every winner retains its ORIGINAL per-row ``__seq``. The output is
+    itself a valid delta file: read paths order versions by ``__seq``
+    alone (see ``read_dataset``), so preserving per-row seqs keeps the
+    total order against both the untouched base and any future deltas.
+
+    The LSM "minor compaction" analog: bounds a partition's file count
+    without ever rewriting the (potentially much larger) base file —
+    the maintenance write cost is O(delta bytes), not O(partition
+    bytes). Reference trade-off mirror: MemoryEventStoreWithBuffer's
+    ring never rewrites acked history either (SURVEY.md §3)."""
+    import numpy as np
+    import pandas as pd
+
+    target_h = pa.schema(
+        list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+        metadata=target.metadata,  # carries the rename map for upcast
+    )
+    parts = [upcast_table(ensure_helper_columns(t, seq=-1), target_h) for t in tables]
+    merged = pa.concat_tables(parts)
+    clean = pa.schema(list(target_h))  # data files carry no schema metadata
+    if merged.num_rows == 0:
+        return clean.empty_table()
+    doc = merged["doc_id"].to_numpy(zero_copy_only=False)
+    seq = merged["__seq"].to_numpy(zero_copy_only=False)
+    # file order breaks same-__seq ties exactly like the rank stride in
+    # merge_partition_files (kept as a separate sort key so the stored
+    # per-row __seq values are never altered)
+    rank = np.repeat(np.arange(len(parts), dtype=np.int64), [t.num_rows for t in parts])
+    codes, _ = pd.factorize(doc)
+    order = np.lexsort((rank, seq, codes))
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = codes[order[:-1]] != codes[order[1:]]
+    out = merged.take(pa.array(order[last]))
+    return out.replace_schema_metadata(None)
+
+
 # per-(batch, partition) metrics sidecar schema (FIXTURES.md §4)
 METRICS_PARTITION_SCHEMA = pa.schema(
     [
@@ -693,6 +733,15 @@ class Lake:
                     "files": prev["files"] + [info["file"]],
                     "rows": int(prev["rows"]) + int(info["rows"]),
                 }
+            elif info.get("mode") == "replace_deltas":
+                # minor auto-compact (compact_mode="minor"): the file
+                # folds every accumulated delta PLUS this batch's
+                # changes; the base file stays untouched
+                prev = parts.get(str(pid), {"files": [], "rows": 0})
+                parts[str(pid)] = {
+                    "files": prev["files"][:1] + [info["file"]],
+                    "rows": int(info["rows"]),
+                }
             else:  # compact sink: the file IS the partition now
                 parts[str(pid)] = {"files": [info["file"]], "rows": int(info["rows"])}
             rows_upserted += int(info.get("rows_upserted", 0))
@@ -1080,20 +1129,42 @@ class Lake:
             return METRICS_PARTITION_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files])
 
-    def compact(self, pids: list[int] | None = None) -> Manifest:
-        """Rewrite multi-file partitions to single files (no batch
-        consumed; manifest version bump only). The delta-mode
-        maintenance operation."""
+    def compact(self, pids: list[int] | None = None, mode: str = "major") -> Manifest:
+        """Bound multi-file partitions (no batch consumed; manifest
+        version bump only). The delta-mode maintenance operation.
+
+        ``mode="major"`` (default): full merge-on-read rewrite — every
+        partition collapses to ONE read-optimal file; write cost is
+        O(partition bytes).
+
+        ``mode="minor"``: fold each partition's accumulated DELTA files
+        into one delta, never reading or rewriting the base file
+        (``files[0]``) — the LSM minor-compaction analog; write cost is
+        O(delta bytes), partitions end at ≤2 files. Run a major compact
+        when the read path should return to single-file fast-path."""
+        if mode not in ("major", "minor"):
+            raise ValueError(f"mode must be 'major' or 'minor', got {mode!r}")
         cur = self.current()
         parts = dict(cur.partitions)
+        min_files = 1 if mode == "major" else 2
         todo = [
             (pid_s, info["files"])
             for pid_s, info in parts.items()
-            if len(info["files"]) > 1 and (pids is None or int(pid_s) in pids)
+            if len(info["files"]) > min_files and (pids is None or int(pid_s) in pids)
         ]
 
-        def compact_one(pid_s: str, files: list[str]) -> tuple[str, str, int]:
+        def compact_one(pid_s: str, files: list[str]) -> tuple[str, list[str], int]:
             target = cur.schema_of_pid(int(pid_s))
+            if mode == "minor":
+                deltas = [pq.read_table(os.path.join(self.dir, f)) for f in files[1:]]
+                merged = merge_delta_files(deltas, target)
+                base_rows = pq.read_metadata(os.path.join(self.dir, files[0])).num_rows
+                if merged.num_rows == 0:  # deltas were all empty
+                    return pid_s, files[:1], base_rows
+                rel = self._write_part_file(merged, int(pid_s), batch_id=cur.last_batch_id + 1)
+                # "rows" for delta partitions counts file rows (the same
+                # sum the append path accumulates), not live rows
+                return pid_s, [files[0], rel], base_rows + merged.num_rows
             tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
             merged = merge_partition_files(tables, target)
             # seq = last committed batch: the compacted file holds
@@ -1101,7 +1172,7 @@ class Lake:
             rel = self._write_part_file(
                 merged, int(pid_s), batch_id=cur.last_batch_id + 1, seq=cur.last_batch_id
             )
-            return pid_s, rel, merged.num_rows
+            return pid_s, [rel], merged.num_rows
 
         try:
             import ray
@@ -1116,8 +1187,8 @@ class Lake:
             results = ray.get([remote.remote(p, fs) for p, fs in todo])
         else:
             results = [compact_one(p, fs) for p, fs in todo]
-        for pid_s, rel, rows in results:
-            parts[pid_s] = {"files": [rel], "rows": rows}
+        for pid_s, files, rows in results:
+            parts[pid_s] = {"files": files, "rows": rows}
         # surface the single-writer race the same way commit_batch does:
         # a commit that landed while we compacted must not be clobbered
         latest = self.current()

@@ -72,6 +72,82 @@ def test_delta_matches_compact(ray_session, fx, tmp_path):
     assert_tables_equal(a.read_table(), b.read_table())
 
 
+def test_minor_compact_folds_deltas_without_touching_base(ray_session, fx, tmp_path):
+    """lake.compact(mode='minor'): every partition ends at <=2 files,
+    the base file path is UNCHANGED (never rewritten), and both read
+    paths still match the oracle."""
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    m = replay(lake, info["segment_paths"], cfg)
+    bases = {p: i["files"][0] for p, i in m.partitions.items()}
+    assert any(len(i["files"]) > 2 for i in m.partitions.values())
+    m2 = lake.compact(mode="minor")
+    assert all(len(i["files"]) <= 2 for i in m2.partitions.values())
+    for p, i in m2.partitions.items():
+        assert i["files"][0] == bases[p], "minor compact must not rewrite the base"
+    assert_tables_equal(lake.read_table(), oracle)
+    import pyarrow as pa
+
+    ds_tbl = lake.read_dataset().to_pandas()
+    assert_tables_equal(pa.Table.from_pandas(ds_tbl, preserve_index=False), oracle)
+    # a follow-up major compact converges to single files and agrees
+    m3 = lake.compact()
+    assert all(len(i["files"]) == 1 for i in m3.partitions.values())
+    assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_minor_auto_compaction_inline(ray_session, fx, tmp_path):
+    """compact_mode='minor' in the replay hot path: threshold
+    crossings fold deltas inline (mode=replace_deltas) — the base file
+    written by the first batch is never rewritten afterwards — and the
+    converged state equals the oracle."""
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=2)
+    cfg = ReplayConfig(
+        num_partitions=2,
+        segments_per_batch=1,
+        sink_mode="delta",
+        compact_threshold=3,
+        compact_mode="minor",
+    )
+    m = replay(lake, info["segment_paths"], cfg)
+    assert all(len(i["files"]) <= 3 for i in m.partitions.values())
+    # base files are the create-time (batch 0) files; they must still
+    # be the head of every partition's file list — never rewritten
+    for i in m.partitions.values():
+        assert i["files"][0].split("/")[-1].startswith("b00000000-")
+    assert_tables_equal(lake.read_table(), oracle)
+
+
+def test_minor_matches_major_and_compact_sink(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, oracle = fx
+    a = Lake.create(str(tmp_path / "a"), lake_tbl, num_partitions=4)
+    b = Lake.create(str(tmp_path / "b"), lake_tbl, num_partitions=4)
+    replay(a, info["segment_paths"], ReplayConfig(num_partitions=4, sink_mode="compact"))
+    replay(
+        b,
+        info["segment_paths"],
+        ReplayConfig(
+            num_partitions=4,
+            segments_per_batch=1,
+            sink_mode="delta",
+            compact_threshold=3,
+            compact_mode="minor",
+        ),
+    )
+    assert_tables_equal(a.read_table(), b.read_table())
+
+
+def test_compact_mode_validated(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=2)
+    with pytest.raises(ValueError, match="compact_mode"):
+        replay(lake, info["segment_paths"], ReplayConfig(compact_mode="bogus"))
+    with pytest.raises(ValueError, match="mode"):
+        lake.compact(mode="bogus")
+
+
 def test_gc_removes_compacted_deltas(ray_session, fx, tmp_path):
     """gc() deletes files no retained manifest references; recent
     rollback still works; older rollback loses its files (documented)."""

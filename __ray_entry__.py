@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "ann_topk": q.ann_topk,
         "embedding_dups": q.embedding_dups,
-        "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN
+        "asof_latest_order": q.asof_latest_order,  # oracle: DuckDB ASOF JOIN + band join (merged temporal-join gate)
         "events_windowed": q.events_windowed,  # oracle: tumbling windows in SQL
         "events_hopping": q.events_hopping,  # oracle: generate_series window explode
         "events_sessionized": q.events_sessionized,  # oracle: lag/gap window functions
@@ -408,9 +408,13 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_order": """
             WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                         FROM orders GROUP BY o_custkey, o_orderdate)
-            SELECT e.event_id, o.o_orderkey
+            SELECT 'asof' AS join_kind, e.event_id AS left_id, o.o_orderkey AS right_id
             FROM events e ASOF JOIN od o
               ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+            UNION ALL
+            SELECT 'range' AS join_kind, b.event_id AS left_id, a.event_id AS right_id
+            FROM events a JOIN events b ON a.user_id = b.user_id
+              AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts < a.ts
         """,
         "events_windowed": """
             SELECT (CAST(epoch_ms(ts) AS BIGINT) // 3600000) * 3600000 AS window_start,

@@ -91,6 +91,94 @@ def asof_join(
     )
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_lo: str,
+    right_hi: str,
+    num_buckets: int = 32,
+):
+    """Interval (range) join, inner: every ``left_ds`` row is matched to
+    EVERY ``right_ds`` row sharing the key whose half-open interval
+    ``[right_lo, right_hi)`` contains ``left_on`` — the point-in-interval
+    band join (validity-history lookup, events-into-windows shape).
+
+    Unlike :func:`asof_join` (latest single match) each left row can
+    produce many output rows; the per-key cost is |L_k| x |R_k| inside
+    the bucket — the standard MPP band-join inner loop (hash join on the
+    key, vectorized band filter). The bounded side should be the
+    interval (right) side, e.g. a version/validity history.
+
+    Scale design mirrors asof_join: ONE bucketed hash shuffle per side
+    on the join key, vectorized per-bucket merge+mask. Partitioning
+    assumption: one key's rows (both sides) fit a bucket group.
+
+    ``left_on`` / ``right_lo`` / ``right_hi`` may be numeric or
+    datetime-coercible; column sets of the two sides must be disjoint.
+    """
+    left_cols = left_ds.schema().names
+    right_cols = right_ds.schema().names
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"range_join requires disjoint column names; shared: {sorted(overlap)}")
+    all_cols = list(left_cols) + list(right_cols)
+
+    def coerce(s: pd.Series) -> pd.Series:
+        # numeric bands stay numeric; everything else (datetime64,
+        # strings, object Timestamps after the union's NaN-padding)
+        # goes through to_datetime
+        if pd.api.types.is_numeric_dtype(s):
+            return s
+        return pd.to_datetime(s)
+
+    def tag(side: int, on_cols: list[str], by_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            for c in on_cols:
+                out[c] = coerce(out[c])
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = np.nan
+            out = out[all_cols]
+            out["__side"] = np.int8(side)
+            out["__bucket"] = (
+                stable_hash(df[by_col].astype(str).to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return out
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, [left_on], left_by), batch_format="pandas").union(
+        right_ds.map_batches(tag(1, [right_lo, right_hi], right_by), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][list(left_cols)].copy()
+        rf = g[g["__side"] == 1][list(right_cols)].copy()
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(columns=all_cols)
+        # union NaN-padding can promote columns to object in mixed
+        # blocks — restore real dtypes, then re-coerce the band columns
+        lf = lf.infer_objects()
+        rf = rf.infer_objects()
+        lf[left_on] = coerce(lf[left_on])
+        rf[right_lo] = coerce(rf[right_lo])
+        rf[right_hi] = coerce(rf[right_hi])
+        out = lf.merge(rf, left_on=left_by, right_on=right_by, how="inner")
+        mask = (out[right_lo].to_numpy() <= out[left_on].to_numpy()) & (
+            out[left_on].to_numpy() < out[right_hi].to_numpy()
+        )
+        return out.loc[mask, all_cols]
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(lambda g: merge(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+
 def session_windows(ds, key_col: str, ts_col: str, gap_ms: int):
     """Gap-based sessionization: a key's events sorted by event time are
     cut into sessions wherever the gap to the previous event exceeds

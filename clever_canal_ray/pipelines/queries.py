@@ -697,12 +697,23 @@ def cdc_xa(sf_dir: str):
 
 
 def asof_latest_order(sf_dir: str):
-    """Distributed backward AS-OF join (an operator Ray Data lacks):
-    each event matched to the user's latest order at/before its ts —
-    one bucketed shuffle per side + per-bucket merge_asof. Oracle:
-    DuckDB ASOF JOIN. The right side is first reduced to one order per
-    (custkey, date) so the as-of tie-break is deterministic."""
-    from clever_canal_ray.functions.joins import asof_join
+    """Merged temporal-join gate (two operators Ray Data lacks):
+
+    - ``asof`` leg: distributed backward AS-OF join — each event
+      matched to the user's latest order at/before its ts (one
+      bucketed shuffle per side + per-bucket merge_asof; the right
+      side is first reduced to one order per (custkey, date) so the
+      as-of tie-break is deterministic). Oracle: DuckDB ASOF JOIN.
+    - ``range`` leg: distributed interval (band) join — each event
+      matched to every SAME-USER event it trails by under 6 hours
+      (hit.ts in [probe.ts - 6h, probe.ts)); the probe side carries
+      the half-open interval, the hit side the point. Oracle: plain
+      inequality join.
+
+    Both legs emit (join_kind, left_id, right_id); for the range leg
+    left_id = the earlier (hit) event, right_id = the probe event.
+    """
+    from clever_canal_ray.functions.joins import asof_join, range_join
     from clever_canal_ray.stages.agg import bucketed_groupby
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
@@ -718,19 +729,68 @@ def asof_latest_order(sf_dir: str):
     orders = bucketed_groupby(
         orders_raw, ["o_custkey", "o_orderdate"], day_max, day_max, num_buckets=16
     )
-    out = asof_join(
+    asof_out = asof_join(
         ev, orders, left_by="user_id", right_by="o_custkey", left_on="ts", right_on="o_orderdate"
     )
 
-    def proj(df: pd.DataFrame) -> pd.DataFrame:
+    def proj_asof(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "event_id": df["event_id"].astype("int64"),
-                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "join_kind": "asof",
+                "left_id": df["event_id"].astype("int64"),
+                "right_id": df["o_orderkey"].astype("int64"),
             }
         )
 
-    return out.map_batches(proj, batch_format="pandas")
+    # range leg: self-join of events via disjoint renames; the probe
+    # side's interval is derived per batch (ts - 6h, exclusive hi = ts)
+    hits = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def as_probe(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        return pd.DataFrame(
+            {
+                "probe_id": df["event_id"].astype("int64"),
+                "probe_user": df["user_id"].astype("int64"),
+                "lo": ts - pd.Timedelta(hours=6),
+                "hi": ts,
+            }
+        )
+
+    def as_hit(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hit_id": df["event_id"].astype("int64"),
+                "hit_ts": pd.to_datetime(df["ts"]),
+                "hit_user": df["user_id"].astype("int64"),
+            }
+        )
+
+    probes = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]).map_batches(
+        as_probe, batch_format="pandas"
+    )
+    range_out = range_join(
+        hits.map_batches(as_hit, batch_format="pandas"),
+        probes,
+        left_by="hit_user",
+        right_by="probe_user",
+        left_on="hit_ts",
+        right_lo="lo",
+        right_hi="hi",
+    )
+
+    def proj_range(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_kind": "range",
+                "left_id": df["hit_id"].astype("int64"),
+                "right_id": df["probe_id"].astype("int64"),
+            }
+        )
+
+    return asof_out.map_batches(proj_asof, batch_format="pandas").union(
+        range_out.map_batches(proj_range, batch_format="pandas")
+    )
 
 
 def events_windowed(sf_dir: str):

@@ -898,3 +898,80 @@ def test_near_dedup_corpus_matches_serial_union_find(ray_session):
     keep = {i for i in ids if find(i) == i}
     assert set(out["doc_id"]) == keep
     assert len(keep) < len(ids)  # the planted dups actually deduped
+
+
+def test_range_join_semantics_and_fanout(ray_session):
+    """Interval join: half-open [lo, hi) bounds, per-key isolation,
+    multi-match fanout, and rows split across input blocks (the
+    bucketed shuffle must co-locate a key's rows)."""
+    import ray
+
+    from clever_canal_ray.functions.joins import range_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    left = pd.DataFrame(
+        {
+            "l_id": [1, 2, 3, 4, 5],
+            "l_key": [10, 10, 10, 20, 30],
+            "l_ts": [base, base + 5 * m, base + 10 * m, base, base],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "r_id": [100, 101, 102, 103],
+            "r_key": [10, 10, 20, 40],
+            "lo": [base, base + 5 * m, base, base],
+            "hi": [base + 10 * m, base + 6 * m, base + 1 * m, base + 60 * m],
+        }
+    )
+    lds = ray.data.from_pandas([left.iloc[:2], left.iloc[2:]])
+    rds = ray.data.from_pandas([right.iloc[:2], right.iloc[2:]])
+    out = (
+        range_join(
+            lds, rds, left_by="l_key", right_by="r_key",
+            left_on="l_ts", right_lo="lo", right_hi="hi",
+        )
+        .to_pandas()
+        .sort_values(["l_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    # l1@0: in [0,10) of r100 only; l2@5: in r100 AND r101 (fanout);
+    # l3@10: hi is EXCLUSIVE -> no match in r100, outside r101;
+    # l4 (key 20): lo inclusive -> matches r102; l5 (key 30): no right key
+    pairs = list(zip(out["l_id"].astype(int), out["r_id"].astype(int)))
+    assert pairs == [(1, 100), (2, 100), (2, 101), (4, 102)]
+    # joined rows carry both sides' columns
+    assert {"l_id", "l_key", "l_ts", "r_id", "r_key", "lo", "hi"} <= set(out.columns)
+
+
+def test_range_join_numeric_bands_and_empty_side(ray_session):
+    """Numeric band columns stay numeric (no datetime coercion), and an
+    empty side yields an empty result rather than an error."""
+    import ray
+
+    from clever_canal_ray.functions.joins import range_join
+
+    left = pd.DataFrame({"a_id": [1, 2], "a_key": ["x", "x"], "v": [5.0, 50.0]})
+    right = pd.DataFrame({"b_id": [7], "b_key": ["x"], "vlo": [0.0], "vhi": [10.0]})
+    out = range_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        left_by="a_key", right_by="b_key", left_on="v", right_lo="vlo", right_hi="vhi",
+    ).to_pandas()
+    assert list(zip(out["a_id"].astype(int), out["b_id"].astype(int))) == [(1, 7)]
+
+    empty_right = ray.data.from_pandas(right.iloc[:0])
+    out2 = range_join(
+        ray.data.from_pandas(left),
+        empty_right,
+        left_by="a_key", right_by="b_key", left_on="v", right_lo="vlo", right_hi="vhi",
+    ).to_pandas()
+    assert len(out2) == 0
+
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(left),
+            left_by="a_key", right_by="a_key", left_on="v", right_lo="v", right_hi="v",
+        )

@@ -185,6 +185,14 @@ def _write_file(lake_dir: str, table: pa.Table, pid: int, batch_id: int) -> str:
     os.makedirs(d, exist_ok=True)
     rel = f"part={pid:05d}/b{batch_id:08d}-{uuid.uuid4().hex}.parquet"
     pq.write_table(table, os.path.join(lake_dir, rel), use_dictionary=False)
+    # key bloom sidecar for Lake.lookup file skipping (state/filestats):
+    # one SipHash pass over the keys, ~10 bits/key — noise next to the
+    # parquet encode above
+    from clever_canal_ray.state import filestats
+
+    filestats.write_sidecar(
+        os.path.join(lake_dir, rel), table["doc_id"].to_numpy(zero_copy_only=False)
+    )
     return rel
 
 

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from clever_canal_ray.schema import lake_schema, upcast_table, widen_union
+from clever_canal_ray.state import filestats
 from clever_canal_ray.state.partitioning import partition_ids
 
 
@@ -76,10 +77,17 @@ def ensure_helper_columns(table: pa.Table, seq: int, deleted=None) -> pa.Table:
     return table
 
 
-def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table:
+def merge_partition_files(
+    tables: list[pa.Table], target: pa.Schema, keep_seq: bool = False
+) -> pa.Table:
     """Merge-on-read of one partition's files (manifest list order):
     last-writer-wins per doc_id by (__seq, file order), tombstones
-    dropped, result up-cast to ``target`` without helper columns."""
+    dropped, result up-cast to ``target`` without helper columns.
+
+    ``keep_seq=True``: each winner retains its ORIGINAL per-row
+    ``__seq`` (the batch that wrote it) in the output — used by major
+    compaction so rewritten files stay exact under the
+    ``Lake.read_changes`` incremental filter (``__seq > floor``)."""
     import numpy as np
 
     target_h = pa.schema(
@@ -120,7 +128,12 @@ def merge_partition_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table
     winners = order[last]
     out = merged.take(pa.array(winners))
     alive = pc.invert(out["__deleted"].combine_chunks() if isinstance(out["__deleted"], pa.ChunkedArray) else out["__deleted"])
-    return upcast_table(_strip_helpers(out.filter(alive)), target)
+    out = out.filter(alive)
+    if keep_seq:
+        orig_seq = out["__seq"].to_numpy(zero_copy_only=False) // _SEQ_RANK_STRIDE
+        kept = upcast_table(_strip_helpers(out), target)
+        return kept.append_column("__seq", pa.array(orig_seq, pa.int64()))
+    return upcast_table(_strip_helpers(out), target)
 
 
 def merge_delta_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table:
@@ -592,6 +605,9 @@ class Lake:
             os.makedirs(d, exist_ok=True)
             rel = f"part={pid:05d}/b{0:08d}-{uuid.uuid4().hex}.parquet"
             pq.write_table(body, os.path.join(lake_dir, rel), use_dictionary=False)
+            filestats.write_sidecar(
+                os.path.join(lake_dir, rel), body["doc_id"].to_numpy(zero_copy_only=False)
+            )
             return pa.Table.from_pydict(
                 {
                     "pid": pa.array([pid], pa.int32()),
@@ -666,6 +682,9 @@ class Lake:
         # no dict encoding: token payloads are high-cardinality (see
         # stages/reduce._write_file)
         pq.write_table(table, os.path.join(self.dir, rel), use_dictionary=False)
+        filestats.write_sidecar(
+            os.path.join(self.dir, rel), table["doc_id"].to_numpy(zero_copy_only=False)
+        )
         return rel
 
     # -- commit (phase 2) -------------------------------------------------
@@ -1003,6 +1022,184 @@ class Lake:
             merge, batch_format="pyarrow"
         )
 
+    def lookup(
+        self,
+        doc_ids,
+        m: Manifest | None = None,
+        table: str | None = None,
+        return_stats: bool = False,
+    ):
+        """Distributed point lookup of CURRENT row state by primary key.
+
+        The lake-side ``get()`` a serving adapter needs (reference
+        parity: Canal ships no store — downstream adapters build one
+        per client; here the lake itself answers): each key routes to
+        its hash partition (1/P of the lake per key), the partition's
+        files are pruned with the per-file key blooms
+        (state/filestats — delta files that cannot contain any probed
+        key are never opened), survivors are read with a ``doc_id``
+        predicate (row-group pruning + row filter — only matching rows
+        materialize), and merge-on-read runs over just those rows.
+        Deleted / absent keys return no row.
+
+        Scale shape: cost is O(keys × files-per-partition), independent
+        of lake size; fan-out is one Ray task per touched partition
+        (driver-serial fallback when Ray is down). Multi-table lakes
+        must pass ``table``.
+
+        ``return_stats=True`` → ``(table, stats)`` with the pruning
+        evidence (files_total vs files_read).
+        """
+        import numpy as np
+
+        m = m or self.current()
+        if m.tables is not None and table is None:
+            raise ValueError("multi-table lake: lookup() requires table=")
+        if table is not None:
+            trec = m.tables[table]
+            base, p = trec["base_pid"], trec["num_partitions"]
+            out_schema = m.schema_of_table(table)
+        else:
+            base, p = 0, m.num_partitions
+            out_schema = m.payload_schema
+        keys = np.asarray(list(dict.fromkeys(doc_ids)), dtype=object)
+        stats = {"keys": len(keys), "partitions_touched": 0, "files_total": 0, "files_read": 0}
+        if len(keys) == 0:
+            empty = out_schema.empty_table()
+            return (empty, stats) if return_stats else empty
+        pids = base + partition_ids(keys, p)
+        h1, h2 = filestats.key_hashes(keys)
+        plans = []  # (pid, pruned abs paths, key values)
+        for pid in np.unique(pids):
+            info = m.partitions.get(str(int(pid)))
+            if not info:
+                continue
+            sel = pids == pid
+            paths = [os.path.join(self.dir, f) for f in info["files"]]
+            stats["files_total"] += len(paths)
+            # bloom prune (no false negatives: every file that holds a
+            # probed key survives; ~1% of non-holders survive too and
+            # just contribute 0 rows after the read filter)
+            pruned = [q for q in paths if filestats.file_may_contain_any(q, h1[sel], h2[sel])]
+            stats["files_read"] += len(pruned)
+            if pruned:
+                plans.append((int(pid), pruned, keys[sel].tolist()))
+        stats["partitions_touched"] = len(plans)
+
+        def fetch(paths: list[str], key_vals: list, pid_schema: pa.Schema, out_s: pa.Schema):
+            flt = pc.field("doc_id").isin(key_vals)
+            tbls = [pq.read_table(q, filters=flt) for q in paths]
+            return upcast_table(merge_partition_files(tbls, pid_schema), out_s)
+
+        ray_ok = False
+        try:
+            import ray
+
+            ray_ok = ray.is_initialized() and len(plans) > 1
+        except ImportError:  # pragma: no cover
+            pass
+        if ray_ok:
+            remote = ray.remote(num_cpus=1)(fetch)
+            results = ray.get(
+                [
+                    remote.remote(paths, kv, m.schema_of_pid(pid), out_schema)
+                    for pid, paths, kv in plans
+                ]
+            )
+        else:
+            results = [
+                fetch(paths, kv, m.schema_of_pid(pid), out_schema) for pid, paths, kv in plans
+            ]
+        results = [t for t in results if t.num_rows]
+        out = pa.concat_tables(results) if results else out_schema.empty_table()
+        return (out, stats) if return_stats else out
+
+    def read_changes(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        table: str | None = None,
+        latest_only: bool = False,
+    ):
+        """Incremental change feed between two manifest versions — the
+        Iceberg incremental-scan analog of a Canal client tailing the
+        instance (CanalConnector.get), replayed from the lake's own
+        manifest history instead of the live journal.
+
+        Returns a streaming ``ray.data.Dataset`` of the rows WRITTEN by
+        batches committed after ``since_version``: payload columns plus
+        ``__seq`` (the writing batch id) and ``__deleted`` (tombstone =
+        delete event). Only files ADDED since the old manifest are
+        read — a manifest-only diff, no I/O to plan — and rows filter to
+        ``__seq > old.last_batch_id``, which keeps compaction rewrites
+        in the window invisible: both minor and major compaction
+        preserve per-row ``__seq`` (``merge keep_seq``), so carried-over
+        rows fail the filter.
+
+        Caveat: MAJOR compaction physically drops tombstones, so a
+        delete committed before a major compact in the same window folds
+        into absence. Read the feed before major-compacting, or pass
+        ``to_version`` at the pre-compact manifest (``gc`` retains
+        ``keep_manifests`` versions).
+
+        ``latest_only=True``: collapse to one row per key (last writer
+        in the window, tombstones kept) — requires ``table=`` on
+        multi-table lakes (keys are only unique within a table).
+        """
+        import ray.data as rd
+
+        old = self.manifest_at(since_version)
+        new = self.manifest_at(to_version) if to_version is not None else self.current()
+        if new.tables is not None and table is not None:
+            trec = new.tables[table]
+            lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
+            target = new.schema_of_table(table)
+            p_count = trec["num_partitions"]
+        else:
+            if new.tables is not None and latest_only:
+                raise ValueError("multi-table lake: latest_only requires table=")
+            lo, hi = 0, 1 << 62
+            target = new.payload_schema
+            p_count = new.num_partitions
+        target_h = pa.schema(
+            list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+            metadata=target.metadata,
+        )
+        seq_floor = old.last_batch_id
+        files = []
+        for pid_s, info in new.partitions.items():
+            if not (lo <= int(pid_s) < hi):
+                continue
+            before = set(old.partitions.get(pid_s, {}).get("files", ()))
+            files.extend(
+                os.path.join(self.dir, f) for f in info["files"] if f not in before
+            )
+        clean_h = pa.schema(list(target_h))
+        if not files:
+            return rd.from_arrow(clean_h.empty_table())
+
+        def window_rows(t: pa.Table, s=target_h, floor=seq_floor) -> pa.Table:
+            t = upcast_table(ensure_helper_columns(t, seq=-1), s)
+            out = t.filter(pc.greater(t["__seq"], pa.scalar(floor, pa.int64())))
+            return out.replace_schema_metadata(None)
+
+        ds = rd.read_parquet(files).map_batches(window_rows, batch_format="pyarrow")
+        if not latest_only:
+            return ds
+
+        def tag(t: pa.Table, p=p_count) -> pa.Table:
+            pid = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), p)
+            return t.append_column("__pid", pa.array(pid, pa.int32()))
+
+        def collapse(group: pa.Table, s=target) -> pa.Table:
+            return merge_delta_files([group.drop_columns(["__pid"])], s)
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__pid")
+            .map_groups(collapse, batch_format="pyarrow")
+        )
+
     def gc(self, keep_manifests: int = 2, min_age_sec: float = 900.0) -> dict:
         """Garbage-collect data files no manifest in the retained window
         references (compacted-away deltas, orphans from failed tasks).
@@ -1040,7 +1237,13 @@ class Lake:
                 continue
             for name in os.listdir(os.path.join(self.dir, d)):
                 rel = f"{d}/{name}"
-                if rel not in live:
+                # a bloom sidecar lives and dies with its data file
+                data_rel = (
+                    rel[: -len(filestats.BLOOM_SUFFIX)]
+                    if name.endswith(filestats.BLOOM_SUFFIX)
+                    else rel
+                )
+                if data_rel not in live:
                     p = os.path.join(self.dir, rel)
                     if now - os.path.getmtime(p) < min_age_sec:
                         spared += 1  # possibly an in-flight batch's phase-1 file
@@ -1166,12 +1369,11 @@ class Lake:
                 # sum the append path accumulates), not live rows
                 return pid_s, [files[0], rel], base_rows + merged.num_rows
             tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
-            merged = merge_partition_files(tables, target)
-            # seq = last committed batch: the compacted file holds
-            # exactly the state up to that batch
-            rel = self._write_part_file(
-                merged, int(pid_s), batch_id=cur.last_batch_id + 1, seq=cur.last_batch_id
-            )
+            # keep_seq: rows retain the __seq of the batch that wrote
+            # them, so the rewrite stays invisible to read_changes'
+            # __seq > floor incremental filter
+            merged = merge_partition_files(tables, target, keep_seq=True)
+            rel = self._write_part_file(merged, int(pid_s), batch_id=cur.last_batch_id + 1)
             return pid_s, [rel], merged.num_rows
 
         try:

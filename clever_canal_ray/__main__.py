@@ -9,6 +9,7 @@
     python -m clever_canal_ray prometheus   --lake DIR
     python -m clever_canal_ray skip-to-ts   --lake DIR --segments DIR --ts-ms T
     python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
+    python -m clever_canal_ray lookup       --lake DIR --keys K [K ...] [--table T]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -67,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--docs", type=int, default=10_000)
     g.add_argument("--segments", type=int, default=8)
     g.add_argument("--seed", type=int, default=42)
+
+    lk = sub.add_parser("lookup")  # bloom-pruned point read (serving path)
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--keys", nargs="+", required=True)
+    lk.add_argument("--table", default=None)
 
     sv = sub.add_parser("serve")  # the server-netty consumer endpoint
     sv.add_argument("--journal", nargs="+", required=True)
@@ -146,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
         info = write_fixture(spec, args.out)
         pq.write_table(generate_lake(spec), os.path.join(args.out, "initial_lake.parquet"))
         print(json.dumps({"out": args.out, "n_events": info["n_events"]}))
+    elif args.cmd == "lookup":
+        # driver-serial path (no Ray session needed for a CLI probe)
+        tbl, stats = Lake(args.lake).lookup(args.keys, table=args.table, return_stats=True)
+        print(json.dumps({"rows": tbl.to_pylist(), "stats": stats}, default=str))
     elif args.cmd == "serve":
         from clever_canal_ray.server import ConsumerServer
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from functools import lru_cache
 
 import numpy as np
 
@@ -97,20 +98,39 @@ def write_sidecar(data_path: str, doc_ids) -> str:
     return path
 
 
-def load_sidecar(data_path: str) -> tuple[np.ndarray, int] | None:
-    """(words, m_bits) or None when absent/unreadable (advisory)."""
-    path = data_path + BLOOM_SUFFIX
+@lru_cache(maxsize=256)
+def _load_sidecar_cached(path: str) -> tuple[bytes, int] | None:
+    """Data files are immutable (uuid-named, written once via atomic
+    rename), so a sidecar's content never changes for a given path —
+    cache per process (driver and each Ray worker cache independently).
+    Absent sidecars are NOT cached: one may be written later (e.g. a
+    lake created before sidecars existed, then compacted)."""
     try:
         with open(path, "rb") as f:
             header = json.loads(f.readline())
             if header.get("v") != 1 or header.get("k") != _K:
                 return None
-            words = np.frombuffer(f.read(), dtype="<u8").astype(_U64, copy=False)
-        if len(words) * 64 != header["m_bits"]:
+            raw = f.read()
+        if len(raw) * 8 != header["m_bits"]:
             return None
-        return words, header["m_bits"]
+        return raw, header["m_bits"]
     except (OSError, ValueError, KeyError):
         return None
+
+
+def load_sidecar(data_path: str) -> tuple[np.ndarray, int] | None:
+    """(words, m_bits) or None when absent/unreadable (advisory)."""
+    path = data_path + BLOOM_SUFFIX
+    if not os.path.exists(path):
+        # absent stays uncached: it may be written later (pre-sidecar
+        # lakes gain sidecars as compaction rewrites files); a PRESENT
+        # path is immutable (tmp + atomic rename), so caching is safe
+        return None
+    got = _load_sidecar_cached(path)
+    if got is None:
+        return None
+    raw, m_bits = got
+    return np.frombuffer(raw, dtype="<u8").astype(_U64, copy=False), m_bits
 
 
 def file_may_contain_any(data_path: str, h1: np.ndarray, h2: np.ndarray) -> bool:

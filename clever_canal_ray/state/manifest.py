@@ -1044,8 +1044,11 @@ class Lake:
 
         Scale shape: cost is O(keys × files-per-partition), independent
         of lake size; fan-out is one Ray task per touched partition
-        (driver-serial fallback when Ray is down). Multi-table lakes
-        must pass ``table``.
+        (driver-serial fallback when Ray is down), and the bloom
+        sidecars are read INSIDE the task — the driver plans from the
+        manifest alone, so a lookup never does O(files) driver I/O
+        (workers LRU-cache sidecars across calls; files are immutable).
+        Multi-table lakes must pass ``table``.
 
         ``return_stats=True`` → ``(table, stats)`` with the pruning
         evidence (files_total vs files_read).
@@ -1068,8 +1071,7 @@ class Lake:
             empty = out_schema.empty_table()
             return (empty, stats) if return_stats else empty
         pids = base + partition_ids(keys, p)
-        h1, h2 = filestats.key_hashes(keys)
-        plans = []  # (pid, pruned abs paths, key values)
+        plans = []  # (pid, ALL abs paths in manifest order, key values)
         for pid in np.unique(pids):
             info = m.partitions.get(str(int(pid)))
             if not info:
@@ -1077,19 +1079,26 @@ class Lake:
             sel = pids == pid
             paths = [os.path.join(self.dir, f) for f in info["files"]]
             stats["files_total"] += len(paths)
-            # bloom prune (no false negatives: every file that holds a
-            # probed key survives; ~1% of non-holders survive too and
-            # just contribute 0 rows after the read filter)
-            pruned = [q for q in paths if filestats.file_may_contain_any(q, h1[sel], h2[sel])]
-            stats["files_read"] += len(pruned)
-            if pruned:
-                plans.append((int(pid), pruned, keys[sel].tolist()))
+            plans.append((int(pid), paths, keys[sel].tolist()))
         stats["partitions_touched"] = len(plans)
 
         def fetch(paths: list[str], key_vals: list, pid_schema: pa.Schema, out_s: pa.Schema):
+            import numpy as _np
+
+            from clever_canal_ray.state import filestats as _fs
+
+            # bloom prune where the data files are read (no false
+            # negatives: every file that holds a probed key survives;
+            # ~1% of non-holders survive and contribute 0 rows after
+            # the read filter). Pruning keeps manifest order, which
+            # merge_partition_files' LWW tie-break relies on.
+            fh1, fh2 = _fs.key_hashes(_np.asarray(key_vals, dtype=object))
+            pruned = [q for q in paths if _fs.file_may_contain_any(q, fh1, fh2)]
+            if not pruned:
+                return out_s.empty_table(), len(pruned)
             flt = pc.field("doc_id").isin(key_vals)
-            tbls = [pq.read_table(q, filters=flt) for q in paths]
-            return upcast_table(merge_partition_files(tbls, pid_schema), out_s)
+            tbls = [pq.read_table(q, filters=flt) for q in pruned]
+            return upcast_table(merge_partition_files(tbls, pid_schema), out_s), len(pruned)
 
         ray_ok = False
         try:
@@ -1110,8 +1119,9 @@ class Lake:
             results = [
                 fetch(paths, kv, m.schema_of_pid(pid), out_schema) for pid, paths, kv in plans
             ]
-        results = [t for t in results if t.num_rows]
-        out = pa.concat_tables(results) if results else out_schema.empty_table()
+        stats["files_read"] = sum(n for _, n in results)
+        tbls = [t for t, _ in results if t.num_rows]
+        out = pa.concat_tables(tbls) if tbls else out_schema.empty_table()
         return (out, stats) if return_stats else out
 
     def read_changes(

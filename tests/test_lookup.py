@@ -122,6 +122,30 @@ def test_lookup_empty_and_multi_table_guard(ray_session, fx, tmp_path):
     assert out.num_rows == 0
 
 
+def test_lookup_multi_table(ray_session, tmp_path):
+    """Keys route within the target table's pid range; the same key
+    can hold different state per table."""
+    from clever_canal_ray.fixtures.generator import write_multi_table_fixture
+
+    spec = EventLogSpec(seed=29, n_initial_docs=400, n_events=1500, n_segments=4)
+    info = write_multi_table_fixture(spec, str(tmp_path / "fx"), n_tables=2)
+    lake = Lake.create_multi(str(tmp_path / "lake"), info["initials"], partitions_per_table=4)
+    replay(lake, info["segment_paths"], ReplayConfig(segments_per_batch=2, sink_mode="delta"))
+    with pytest.raises(ValueError, match="requires table="):
+        lake.lookup(["doc000000000000"])
+    for t in ("lake.t0", "lake.t1"):
+        full = lake.read_table(table=t)
+        keys = full["doc_id"].to_pylist()[:4] + ["missing_key"]
+        got = lake.lookup(keys, table=t)
+        exp = full.filter(pa.compute.is_in(full["doc_id"], value_set=pa.array(keys)))
+        assert_tables_equal(got, exp)
+        # a key of the OTHER table must not leak in
+        other = lake.read_table(table="lake.t1" if t == "lake.t0" else "lake.t0")
+        other_only = sorted(set(other["doc_id"].to_pylist()) - set(full["doc_id"].to_pylist()))
+        if other_only:
+            assert lake.lookup(other_only[:2], table=t).num_rows == 0
+
+
 # ---------------------------------------------------------------- read_changes
 
 

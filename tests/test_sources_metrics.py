@@ -92,6 +92,11 @@ def test_cli_end_to_end(tmp_path):
     assert comp["files"] <= 4
     status = json.loads(run("status", "--lake", lake_dir))
     assert status["last_batch_id"] >= 0
+    # point-read serving path through the CLI (driver-serial, no Ray)
+    look = json.loads(run("lookup", "--lake", lake_dir, "--keys", "doc000000000000", "nope"))
+    assert look["stats"]["keys"] == 2
+    found = {r["doc_id"] for r in look["rows"]}
+    assert found <= {"doc000000000000"} and "nope" not in found
 
 
 def test_commit_hooks_and_lag_metric(ray_session, fx, tmp_path):

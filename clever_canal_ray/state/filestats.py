@@ -98,38 +98,58 @@ def write_sidecar(data_path: str, doc_ids) -> str:
     return path
 
 
-@lru_cache(maxsize=256)
-def _load_sidecar_cached(path: str) -> tuple[bytes, int] | None:
-    """Data files are immutable (uuid-named, written once via atomic
-    rename), so a sidecar's content never changes for a given path —
-    cache per process (driver and each Ray worker cache independently).
-    Absent sidecars are NOT cached: one may be written later (e.g. a
-    lake created before sidecars existed, then compacted)."""
+# cache bound: ~4 MB/sidecar cap x 64 entries = <=256 MB per worker.
+# Bigger sidecars (base files with millions of keys) bypass the cache —
+# base files essentially always survive pruning anyway, so caching
+# their blooms buys the least.
+_CACHE_MAX_BYTES = 4 << 20
+
+
+class _SidecarInvalid(Exception):
+    """Raised (not cached — lru_cache never stores exceptions) so
+    transient I/O errors don't pin a permanent cache miss."""
+
+
+def _read_sidecar_bytes(path: str) -> tuple[bytes, int]:
+    """Parse + validate; raises _SidecarInvalid on any problem so the
+    caller degrades to 'read the file'."""
     try:
         with open(path, "rb") as f:
             header = json.loads(f.readline())
             if header.get("v") != 1 or header.get("k") != _K:
-                return None
+                raise _SidecarInvalid(path)
+            m_bits = header["m_bits"]
             raw = f.read()
-        if len(raw) * 8 != header["m_bits"]:
-            return None
-        return raw, header["m_bits"]
-    except (OSError, ValueError, KeyError):
-        return None
+    except (OSError, ValueError, KeyError) as e:
+        raise _SidecarInvalid(path) from e
+    # m_bits must be a positive multiple of 64 that matches the body,
+    # or probe indexing would divide by zero / misalign
+    if not isinstance(m_bits, int) or m_bits <= 0 or m_bits % 64 or len(raw) * 8 != m_bits:
+        raise _SidecarInvalid(path)
+    return raw, m_bits
+
+
+_cached_read = lru_cache(maxsize=64)(_read_sidecar_bytes)
 
 
 def load_sidecar(data_path: str) -> tuple[np.ndarray, int] | None:
-    """(words, m_bits) or None when absent/unreadable (advisory)."""
+    """(words, m_bits) or None when absent/unreadable (advisory).
+
+    Successful loads are LRU-cached per process (data files are
+    immutable — uuid-named, written once via atomic rename — so a
+    PRESENT sidecar's content never changes). Failures are never
+    cached: an absent sidecar may be written later (pre-sidecar lakes
+    gain them as compaction rewrites files) and an I/O error may be
+    transient. Sidecars above _CACHE_MAX_BYTES bypass the cache to
+    bound worker memory."""
     path = data_path + BLOOM_SUFFIX
-    if not os.path.exists(path):
-        # absent stays uncached: it may be written later (pre-sidecar
-        # lakes gain sidecars as compaction rewrites files); a PRESENT
-        # path is immutable (tmp + atomic rename), so caching is safe
+    try:
+        if os.path.getsize(path) > _CACHE_MAX_BYTES:
+            raw, m_bits = _read_sidecar_bytes(path)
+        else:
+            raw, m_bits = _cached_read(path)
+    except (OSError, _SidecarInvalid):
         return None
-    got = _load_sidecar_cached(path)
-    if got is None:
-        return None
-    raw, m_bits = got
     return np.frombuffer(raw, dtype="<u8").astype(_U64, copy=False), m_bits
 
 

@@ -1059,6 +1059,10 @@ class Lake:
         if m.tables is not None and table is None:
             raise ValueError("multi-table lake: lookup() requires table=")
         if table is not None:
+            if m.tables is None:
+                raise ValueError("single-table lake: lookup() takes no table=")
+            if table not in m.tables:
+                raise ValueError(f"unknown table {table!r}; have {sorted(m.tables)}")
             trec = m.tables[table]
             base, p = trec["base_pid"], trec["num_partitions"]
             out_schema = m.schema_of_table(table)

@@ -91,9 +91,9 @@ def main(n_docs: int = 1_000_000, n_events: int = 120_000, n_batches: int = 20) 
 
         full = lake.read_table()
         live_ids = np.asarray(full["doc_id"].to_pylist(), dtype=object)
-        rng = np.random.default_rng(7)
 
         def probe_run(tag: str) -> None:
+            rng = np.random.default_rng(7)  # identical key sets per leg
             lat, fr, ft = [], 0, 0
             for b in range(n_batches):
                 keys = rng.choice(live_ids, size=16, replace=False).tolist()

@@ -50,6 +50,47 @@ def test_bloom_no_false_negatives_and_low_fp_rate():
     assert fp < 0.05  # 10 bits/key, k=7 -> ~1% expected
 
 
+def test_corrupt_sidecars_degrade_to_read(tmp_path):
+    """Advisory contract: ANY malformed sidecar means 'read the file' —
+    never an exception out of the lookup fetch task."""
+    import json as _json
+
+    h1, h2 = filestats.key_hashes(np.array(["k"], dtype=object))
+    cases = {
+        "truncated_body": _json.dumps({"v": 1, "k": 7, "m_bits": 8}).encode() + b"\nx",
+        "zero_mbits": _json.dumps({"v": 1, "k": 7, "m_bits": 0}).encode() + b"\n",
+        "not_multiple_64": _json.dumps({"v": 1, "k": 7, "m_bits": 8}).encode() + b"\n" + b"x" * 1,
+        "bad_header": b"not json\n" + b"\x00" * 8,
+        "wrong_version": _json.dumps({"v": 9, "k": 7, "m_bits": 64}).encode() + b"\n" + b"\x00" * 8,
+        "mbits_not_int": _json.dumps({"v": 1, "k": 7, "m_bits": "64"}).encode() + b"\n" + b"\x00" * 8,
+        "empty": b"",
+    }
+    for name, blob in cases.items():
+        data = str(tmp_path / f"{name}.parquet")
+        open(data, "w").close()
+        with open(data + filestats.BLOOM_SUFFIX, "wb") as f:
+            f.write(blob)
+        assert filestats.load_sidecar(data) is None, name
+        assert filestats.file_may_contain_any(data, h1, h2), name  # degrade, not drop
+
+
+def test_sidecar_cache_never_caches_failure(tmp_path):
+    """A sidecar that appears AFTER a failed load must be seen (absent/
+    invalid results are not cached; successful loads are)."""
+    ids = np.array([f"k{i}" for i in range(50)], dtype=object)
+    data = str(tmp_path / "late.parquet")
+    open(data, "w").close()
+    assert filestats.load_sidecar(data) is None  # absent
+    with open(data + filestats.BLOOM_SUFFIX, "wb") as f:
+        f.write(b"garbage\n")  # invalid
+    assert filestats.load_sidecar(data) is None
+    filestats.write_sidecar(data, ids)  # now valid (overwrites)
+    side = filestats.load_sidecar(data)
+    assert side is not None
+    h1, h2 = filestats.key_hashes(ids)
+    assert filestats.may_contain(side[0], side[1], h1, h2).all()
+
+
 def test_bloom_sidecar_roundtrip(tmp_path):
     ids = np.array([f"k{i}" for i in range(100)], dtype=object)
     data = str(tmp_path / "f.parquet")
@@ -120,6 +161,8 @@ def test_lookup_empty_and_multi_table_guard(ray_session, fx, tmp_path):
     assert out.num_rows == 0
     out = lake.lookup(["nope_1", "nope_2"])
     assert out.num_rows == 0
+    with pytest.raises(ValueError, match="takes no table="):
+        lake.lookup(["nope_1"], table="anything")
 
 
 def test_lookup_multi_table(ray_session, tmp_path):
@@ -133,6 +176,8 @@ def test_lookup_multi_table(ray_session, tmp_path):
     replay(lake, info["segment_paths"], ReplayConfig(segments_per_batch=2, sink_mode="delta"))
     with pytest.raises(ValueError, match="requires table="):
         lake.lookup(["doc000000000000"])
+    with pytest.raises(ValueError, match="unknown table"):
+        lake.lookup(["doc000000000000"], table="lake.nope")
     for t in ("lake.t0", "lake.t1"):
         full = lake.read_table(table=t)
         keys = full["doc_id"].to_pylist()[:4] + ["missing_key"]

@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--state", required=True)
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--lake", default=None, help="enable the lookup RPC against this lake")
 
     args = p.parse_args(argv)
 
@@ -159,7 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from clever_canal_ray.server import ConsumerServer
 
-        srv = ConsumerServer(args.journal, args.state, host=args.host, port=args.port)
+        srv = ConsumerServer(
+            args.journal, args.state, host=args.host, port=args.port, lake_dir=args.lake
+        )
         # announce the bound endpoint FIRST (port=0 binds an ephemeral
         # port) so a supervising process can connect, then block
         print(json.dumps({"host": srv.host, "port": srv.port}), flush=True)

@@ -21,7 +21,11 @@ Wire format (the CanalPacket analog, JSON instead of protobuf):
 Commands: ``subscribe`` (optional filter cfg — the
 subscribe-filter-replace semantics, AbstractCanalInstance
 .subscribeChange:69-95), ``get`` (get_without_ack), ``ack`` (FIFO),
-``rollback``, ``seek`` (timestamp rewind), ``ping``.
+``rollback``, ``seek`` (timestamp rewind), ``ping``, and — when the
+server is given a ``lake_dir`` — ``lookup`` (bloom-pruned point read
+of current row state by key, the request a reference ES/HBase adapter
+would serve from its own store; here the lake answers over the same
+wire).
 
 Durability: all cursor state lives in the server-side ChangeConsumer
 meta files (FileMixedMetaManager analog), so both a restarted client
@@ -102,10 +106,13 @@ class ConsumerServer:
         host: str = "127.0.0.1",
         port: int = 0,
         base_cfg: Optional[ReplayConfig] = None,
+        lake_dir: Optional[str] = None,
     ):
         self.journal_dirs = journal_dirs
         self.state_dir = state_dir
         self.base_cfg = base_cfg
+        self.lake_dir = lake_dir
+        self._lake = None  # lazy; manifest re-read per lookup call
         self._consumers: dict[str, tuple[ChangeConsumer, threading.Lock]] = {}
         self._consumers_lock = threading.Lock()
         outer = self
@@ -175,6 +182,22 @@ class ConsumerServer:
         cmd = req.get("cmd")
         if cmd == "ping":
             return {"ok": True}, None
+        if cmd == "lookup":
+            # stateless (no consumer/cursor); served from the lake's
+            # current manifest, driver-serial in the server process
+            if self.lake_dir is None:
+                raise ValueError("server has no lake_dir: lookup unavailable")
+            if self._lake is None:
+                from clever_canal_ray.state.manifest import Lake
+
+                self._lake = Lake(self.lake_dir)
+            t, stats = self._lake.lookup(
+                list(req["keys"]), table=req.get("table"), return_stats=True
+            )
+            return (
+                {"ok": True, "has_data": True, "n_rows": t.num_rows, "stats": stats},
+                _table_to_ipc(t),
+            )
         client_id = str(req.get("client_id", "1001"))
         consumer, lock = self._consumer(client_id)
         with lock:
@@ -263,6 +286,15 @@ class WireConsumer:
     def seek_to_timestamp(self, ts_ms: int) -> tuple[int, int]:
         resp, _ = self._call({"cmd": "seek", "ts_ms": ts_ms})
         return tuple(resp["position"])
+
+    def lookup(self, keys: list, table: str | None = None) -> tuple[pa.Table, dict]:
+        """Point read of current lake row state by key (requires the
+        server to have been started with ``lake_dir``)."""
+        req = {"cmd": "lookup", "keys": list(keys)}
+        if table is not None:
+            req["table"] = table
+        resp, data = self._call(req)
+        return _ipc_to_table(data), resp["stats"]
 
     def ping(self) -> bool:
         return bool(self._call({"cmd": "ping"})[0].get("ok"))

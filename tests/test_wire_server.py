@@ -37,6 +37,54 @@ def server(fx, tmp_path):
     srv.stop()
 
 
+def test_wire_lookup(fx, tmp_path):
+    """Point reads over the wire: a lake-backed server answers lookup
+    with the same rows as a direct Lake.lookup; a journal-only server
+    rejects the command with a clean error."""
+    import pyarrow as pa
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    root, _ = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    replay(lake, paths, ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta"))
+
+    srv = ConsumerServer(
+        seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake")
+    )
+    srv.start()
+    try:
+        full = lake.read_table()
+        keys = full["doc_id"].to_pylist()[:5] + ["missing"]
+        with WireConsumer(srv.host, srv.port) as wire:
+            got, stats = wire.lookup(keys)
+            assert stats["keys"] == 6
+            exp = full.filter(pc.is_in(full["doc_id"], value_set=pa.array(keys)))
+            g = got.sort_by("doc_id")
+            assert g.equals(exp.sort_by("doc_id").select(g.column_names))
+            # errors surface as clean wire errors, connection stays usable
+            with pytest.raises(RuntimeError, match="unknown table|takes no table"):
+                wire.lookup(["k"], table="nope")
+            assert wire.ping()
+    finally:
+        srv.stop()
+    # journal-only server: lookup unavailable
+    srv2 = ConsumerServer(seg_dir, str(tmp_path / "state2"))
+    srv2.start()
+    try:
+        with WireConsumer(srv2.host, srv2.port) as wire:
+            with pytest.raises(RuntimeError, match="no lake_dir"):
+                wire.lookup(["k"])
+    finally:
+        srv2.stop()
+
+
 def _drain(c, batch_size=100):
     out = []
     while True:

@@ -10,6 +10,7 @@
     python -m clever_canal_ray skip-to-ts   --lake DIR --segments DIR --ts-ms T
     python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
     python -m clever_canal_ray lookup       --lake DIR --keys K [K ...] [--table T]
+    python -m clever_canal_ray changes      --lake DIR --since V --out DIR [--latest-only]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -73,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--keys", nargs="+", required=True)
     lk.add_argument("--table", default=None)
+
+    ch = sub.add_parser("changes")  # incremental change feed -> parquet
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--since", type=int, required=True, help="manifest version floor")
+    ch.add_argument("--to", type=int, default=None, help="manifest version ceiling (default: current)")
+    ch.add_argument("--out", required=True, help="output parquet directory")
+    ch.add_argument("--table", default=None)
+    ch.add_argument("--latest-only", action="store_true")
 
     sv = sub.add_parser("serve")  # the server-netty consumer endpoint
     sv.add_argument("--journal", nargs="+", required=True)
@@ -157,6 +166,18 @@ def main(argv: list[str] | None = None) -> int:
         # driver-serial path (no Ray session needed for a CLI probe)
         tbl, stats = Lake(args.lake).lookup(args.keys, table=args.table, return_stats=True)
         print(json.dumps({"rows": tbl.to_pylist(), "stats": stats}, default=str))
+    elif args.cmd == "changes":
+        _ray_session()
+        lake = Lake(args.lake)
+        ds = lake.read_changes(
+            args.since, to_version=args.to, table=args.table, latest_only=args.latest_only
+        )
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = sum(f.count_rows() for f in pads.dataset(args.out).get_fragments())
+        print(json.dumps({"out": args.out, "rows": n, "since": args.since,
+                          "to": args.to if args.to is not None else lake.current().version}))
     elif args.cmd == "serve":
         from clever_canal_ray.server import ConsumerServer
 

@@ -92,6 +92,10 @@ def test_cli_end_to_end(tmp_path):
     assert comp["files"] <= 4
     status = json.loads(run("status", "--lake", lake_dir))
     assert status["last_batch_id"] >= 0
+    # incremental change feed since the initial manifest (v0 = create)
+    chg = json.loads(run("changes", "--lake", lake_dir, "--since", "0",
+                         "--out", str(tmp_path / "feed"), "--latest-only"))
+    assert chg["rows"] > 0 and chg["to"] >= 1
     # point-read serving path through the CLI (driver-serial, no Ray)
     look = json.loads(run("lookup", "--lake", lake_dir, "--keys", "doc000000000000", "nope"))
     assert look["stats"]["keys"] == 2

@@ -236,6 +236,39 @@ def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_p
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def cluster_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                   id_prefix: str = "cluster"):
+    """Corpus clustering (domain discovery): assign every row to its
+    nearest centroid by cosine and append ``<prefix>_id`` (int32) and
+    ``<prefix>_sim`` (float32, the winning cosine).
+
+    Pairs with :func:`ivf_build_centroids` (the distributed Lloyd
+    trainer) to make k-means clustering a first-class corpus op — e.g.
+    partition a web corpus into topical domains before per-domain
+    sampling (``corpus.stratified_sample`` on the cluster id).
+
+    Scale shape: centroids (k × d, the only global state) broadcast
+    ONCE via ``ray.put``; per batch one matmul + argmax; zero shuffle,
+    streams at any corpus size.
+    """
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        cid = np.argmax(sims, axis=1)
+        out = df.copy()
+        out[f"{id_prefix}_id"] = cid.astype(np.int32)
+        out[f"{id_prefix}_sim"] = sims[np.arange(len(cid)), cid].astype(np.float32)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def random_projection(
     ds, dim_out: int, seed: int = 0, emb_col: str = "embedding", d_in: int | None = None
 ):

@@ -332,6 +332,46 @@ def test_ivf_ann_recall_vs_brute_force(ray_session):
     )
 
 
+def test_cluster_assign_matches_serial_and_separates(ray_session):
+    """cluster_assign == serial argmax-cosine per row; on well-separated
+    clusters every planted group lands in one cluster (purity 1)."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import cluster_assign, ivf_build_centroids
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 10  # far apart
+    vecs = np.concatenate([c + rng.standard_normal((50, 16)) * 0.1 for c in centers])
+    truth = np.repeat(np.arange(4), 50)
+    emb = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    # serial parity against TRAINED centroids (whatever Lloyd produced)
+    cents = ivf_build_centroids(rd.from_pandas(emb), n_centroids=4, iters=3)
+    out = (
+        cluster_assign(rd.from_pandas(emb), cents)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = n @ c.T
+    ref_id = np.argmax(sims, axis=1)
+    assert (out["cluster_id"].to_numpy() == ref_id).all()
+    assert np.allclose(out["cluster_sim"], sims[np.arange(len(ref_id)), ref_id], atol=1e-5)
+    # purity against the TRUE centers (assign quality is a property of
+    # the centroids — Lloyd's deterministic first-k seeding may merge
+    # planted groups, so that is not asserted here)
+    out_true = (
+        cluster_assign(rd.from_pandas(emb), centers)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for g in range(4):
+        assert out_true["cluster_id"][truth == g].nunique() == 1
+    assert out_true["cluster_id"].nunique() == 4
+
+
 def test_lsh_multiprobe_improves_recall(ray_session):
     import ray.data as rd
 

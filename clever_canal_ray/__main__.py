@@ -4,6 +4,7 @@
     python -m clever_canal_ray replay       --lake DIR --segments DIR [DIR ...]
                                             [--mode delta|compact] [--batch-segments N]
     python -m clever_canal_ray compact      --lake DIR
+    python -m clever_canal_ray repartition  --lake DIR --partitions P
     python -m clever_canal_ray status       --lake DIR
     python -m clever_canal_ray metrics      --lake DIR
     python -m clever_canal_ray prometheus   --lake DIR
@@ -69,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--docs", type=int, default=10_000)
     g.add_argument("--segments", type=int, default=8)
     g.add_argument("--seed", type=int, default=42)
+
+    rp = sub.add_parser("repartition")  # grow-the-cluster re-hash
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
 
     lk = sub.add_parser("lookup")  # bloom-pruned point read (serving path)
     lk.add_argument("--lake", required=True)
@@ -136,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
         print(t.to_pandas().to_string(index=False))
     elif args.cmd == "gc":
         print(json.dumps(Lake(args.lake).gc()))
+    elif args.cmd == "repartition":
+        _ray_session()
+        m = Lake(args.lake).repartition(args.partitions)
+        print(json.dumps({"version": m.version, "num_partitions": m.num_partitions}))
     elif args.cmd == "prometheus":
         print(Lake(args.lake).prometheus_metrics(), end="")
     elif args.cmd == "skip-to-ts":

@@ -1346,6 +1346,97 @@ class Lake:
             return METRICS_PARTITION_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files])
 
+    def repartition(self, num_partitions: int) -> Manifest:
+        """Re-hash the lake into a new partition count — the
+        grow-the-cluster operation (a lake created at P partitions
+        caps its write/read parallelism at P; when the cluster grows
+        4×, so should P). No batch is consumed: manifest version bump
+        only, and a replay resumed afterwards picks up the new count
+        from the manifest automatically (replay.py re-reads
+        ``num_partitions`` from the base manifest).
+
+        Distributed shape: ONE task per SOURCE partition merges its
+        files (``keep_seq`` — rows keep the batch id that wrote them,
+        so ``read_changes`` stays exact for upserts across the
+        repartition; tombstones fold into absence, the same caveat as
+        major compaction) and writes its rows split by NEW pid. Source
+        partitions are key-disjoint, so each new partition starts as
+        ≤ P_old key-disjoint files whose merge order is irrelevant;
+        data never lands on the driver. Run ``compact()`` afterwards
+        to fold each new partition to one read-optimal file, and
+        ``gc()`` to reap the old files.
+
+        Single-table lakes only (multi-table pid ranges would move;
+        route per-table repartition through a future per-table call).
+        """
+        cur = self.current()
+        if cur.tables is not None:
+            raise ValueError("multi-table lakes cannot be repartitioned yet")
+        p_new = int(num_partitions)
+        if p_new < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {p_new}")
+        if p_new == cur.num_partitions:
+            return cur
+        import numpy as np
+
+        file_batch = cur.last_batch_id + 1  # file-name stamp only
+
+        def split_one(pid_s: str, files: list[str]) -> list[tuple[int, str, int]]:
+            target = cur.schema_of_pid(int(pid_s))
+            tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
+            merged = merge_partition_files(tables, target, keep_seq=True)
+            if merged.num_rows == 0:
+                return []
+            pids = partition_ids(merged["doc_id"].to_numpy(zero_copy_only=False), p_new)
+            out = []
+            for npid in np.unique(pids):
+                piece = merged.filter(pa.array(pids == npid))
+                rel = self._write_part_file(piece, int(npid), batch_id=file_batch)
+                out.append((int(npid), rel, piece.num_rows))
+            return out
+
+        todo = [(pid_s, info["files"]) for pid_s, info in cur.partitions.items() if info["files"]]
+        try:
+            import ray
+
+            ray_ok = ray.is_initialized()
+        except ImportError:  # pragma: no cover
+            ray_ok = False
+        if ray_ok and len(todo) > 1:
+            import ray
+
+            remote = ray.remote(num_cpus=1)(split_one)
+            results = ray.get([remote.remote(p, fs) for p, fs in todo])
+        else:
+            results = [split_one(p, fs) for p, fs in todo]
+        parts = {str(pid): {"files": [], "rows": 0} for pid in range(p_new)}
+        for pieces in results:
+            for npid, rel, rows in pieces:
+                parts[str(npid)]["files"].append(rel)
+                parts[str(npid)]["rows"] += rows
+        latest = self.current()
+        if latest.version != cur.version:
+            raise CommitConflictError(
+                f"manifest moved {cur.version} -> {latest.version} during repartition()"
+            )
+        m = Manifest(
+            version=cur.version + 1,
+            num_partitions=p_new,
+            hwm=cur.hwm,
+            last_batch_id=cur.last_batch_id,
+            schema_version=cur.schema_version,
+            txn_hwm=cur.txn_hwm,
+            gtid_executed=cur.gtid_executed,
+            ddl_journal=cur.ddl_journal,
+            partitions=parts,
+            ledger=cur.ledger,
+            metrics=cur.metrics,
+            tables=None,
+        )
+        self._write_manifest(m)
+        self._swap_current(m.version)
+        return m
+
     def compact(self, pids: list[int] | None = None, mode: str = "major") -> Manifest:
         """Bound multi-file partitions (no batch consumed; manifest
         version bump only). The delta-mode maintenance operation.

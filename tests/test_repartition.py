@@ -1,0 +1,132 @@
+"""Lake.repartition — re-hash into a new partition count (the
+grow-the-cluster operation). Resumed replay must pick up the new count
+from the manifest; state, lookup, change feed and gc must stay exact."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import (
+    EventLogSpec,
+    generate_events,
+    generate_lake,
+    write_fixture,
+)
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state import filestats
+from clever_canal_ray.state.manifest import Lake
+from tests.util import assert_tables_equal
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    spec = EventLogSpec(seed=61, n_initial_docs=800, n_events=2000, n_segments=8)
+    root = tmp_path_factory.mktemp("fx_repart")
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    return spec, info, lake_tbl, segs, oracle
+
+
+def test_repartition_mid_replay_converges(ray_session, fx, tmp_path):
+    """Grow 4 -> 8 between replay legs: the resumed replay reads the
+    new count from the manifest (the cfg still says 4) and the final
+    state equals the serial oracle; then shrink 8 -> 3 and re-check."""
+    spec, info, lake_tbl, segs, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    paths = info["segment_paths"]
+    replay(lake, paths[:4], cfg)
+    m = lake.repartition(8)
+    assert m.num_partitions == 8
+    # every key routes to its new partition; rows conserved
+    assert sum(i["rows"] for i in m.partitions.values()) == lake.read_table().num_rows
+    replay(lake, paths[4:], cfg)  # cfg says 4; manifest says 8 and wins
+    final = lake.read_table()
+    assert_tables_equal(final, oracle)
+    # point lookup still routes correctly post-repartition
+    keys = final["doc_id"].to_pylist()[:5] + ["missing"]
+    got = lake.lookup(keys)
+    exp = final.filter(pc.is_in(final["doc_id"], value_set=pa.array(keys)))
+    assert_tables_equal(got, exp)
+    # shrink
+    m2 = lake.repartition(3)
+    assert m2.num_partitions == 3
+    assert_tables_equal(lake.read_table(), oracle)
+    assert_tables_equal(lake.lookup(keys), exp)
+
+
+def test_repartition_noop_and_guards(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, segs, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake_g"), lake_tbl, num_partitions=4)
+    v = lake.current().version
+    assert lake.repartition(4).version == v  # no-op, no version bump
+    with pytest.raises(ValueError, match=">= 1"):
+        lake.repartition(0)
+    from clever_canal_ray.fixtures.generator import write_multi_table_fixture
+
+    mspec = EventLogSpec(seed=62, n_initial_docs=50, n_events=100, n_segments=2)
+    minfo = write_multi_table_fixture(mspec, str(tmp_path / "mfx"), n_tables=2)
+    mlake = Lake.create_multi(str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=2)
+    with pytest.raises(ValueError, match="multi-table"):
+        mlake.repartition(8)
+
+
+def test_read_changes_exact_across_repartition_upserts(ray_session, fx, tmp_path):
+    """Rows keep their writing batch id through the re-hash, so a feed
+    window straddling the repartition shows exactly the window's
+    upserts (tombstones fold — the major-compact caveat, readable at
+    the pre-repartition manifest via to_version)."""
+    spec, info, lake_tbl, segs, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake_rc"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    paths = info["segment_paths"]
+    replay(lake, paths[:4], cfg)
+    v_mid = lake.current().version
+    floor = lake.manifest_at(v_mid).last_batch_id
+    replay(lake, paths[4:], cfg)
+    pre_repart = lake.current().version
+    lake.repartition(6)
+    import ray
+
+    feed = pa.concat_tables(
+        ray.get(lake.read_changes(v_mid, latest_only=True).to_arrow_refs()),
+        promote_options="default",
+    ).to_pandas()
+    assert len(feed) > 0
+    assert (feed["__seq"] > floor).all()  # carried-over rows invisible
+    assert not feed["__deleted"].any()  # folded by the re-hash merge
+    final = lake.read_table().to_pandas().set_index("doc_id")
+    for _, row in feed.iterrows():
+        assert row["doc_id"] in final.index
+    # the pre-repartition manifest still serves the tombstone-bearing feed
+    feed_pre = pa.concat_tables(
+        ray.get(
+            lake.read_changes(v_mid, to_version=pre_repart, latest_only=True).to_arrow_refs()
+        ),
+        promote_options="default",
+    ).to_pandas()
+    assert feed_pre["__deleted"].any()
+
+
+def test_gc_reaps_old_partitioning(ray_session, fx, tmp_path):
+    spec, info, lake_tbl, segs, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake_gc"), lake_tbl, num_partitions=4)
+    replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=4, sink_mode="delta"))
+    lake.repartition(8)
+    gone = lake.gc(keep_manifests=1, min_age_sec=0.0)
+    assert gone["files_removed"] > 0
+    live = {f for i in lake.current().partitions.values() for f in i["files"]}
+    on_disk = set()
+    for d in os.listdir(lake.dir):
+        if d.startswith("part="):
+            for n in os.listdir(os.path.join(lake.dir, d)):
+                if not n.endswith(filestats.BLOOM_SUFFIX):
+                    on_disk.add(f"{d}/{n}")
+    assert on_disk == live
+    assert_tables_equal(lake.read_table(), oracle)

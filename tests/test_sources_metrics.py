@@ -90,6 +90,8 @@ def test_cli_end_to_end(tmp_path):
     assert rep["batches"] >= 1
     comp = json.loads(run("compact", "--lake", lake_dir))
     assert comp["files"] <= 4
+    rp = json.loads(run("repartition", "--lake", lake_dir, "--partitions", "6"))
+    assert rp["num_partitions"] == 6
     status = json.loads(run("status", "--lake", lake_dir))
     assert status["last_batch_id"] >= 0
     # incremental change feed since the initial manifest (v0 = create)

@@ -74,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("repartition")  # grow-the-cluster re-hash
     rp.add_argument("--lake", required=True)
     rp.add_argument("--partitions", type=int, required=True)
+    rp.add_argument("--table", default=None, help="multi-table lakes: the table to re-hash")
 
     lk = sub.add_parser("lookup")  # bloom-pruned point read (serving path)
     lk.add_argument("--lake", required=True)
@@ -143,8 +144,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(Lake(args.lake).gc()))
     elif args.cmd == "repartition":
         _ray_session()
-        m = Lake(args.lake).repartition(args.partitions)
-        print(json.dumps({"version": m.version, "num_partitions": m.num_partitions}))
+        m = Lake(args.lake).repartition(args.partitions, table=args.table)
+        out = {"version": m.version, "num_partitions": m.num_partitions}
+        if args.table:
+            out["table"] = args.table
+            out["table_partitions"] = m.tables[args.table]["num_partitions"]
+        print(json.dumps(out))
     elif args.cmd == "prometheus":
         print(Lake(args.lake).prometheus_metrics(), end="")
     elif args.cmd == "skip-to-ts":

@@ -1346,14 +1346,16 @@ class Lake:
             return METRICS_PARTITION_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files])
 
-    def repartition(self, num_partitions: int) -> Manifest:
-        """Re-hash the lake into a new partition count — the
-        grow-the-cluster operation (a lake created at P partitions
-        caps its write/read parallelism at P; when the cluster grows
-        4×, so should P). No batch is consumed: manifest version bump
-        only, and a replay resumed afterwards picks up the new count
-        from the manifest automatically (replay.py re-reads
-        ``num_partitions`` from the base manifest).
+    def repartition(self, num_partitions: int, table: str | None = None) -> Manifest:
+        """Re-hash the lake (or ONE table of a multi-table lake) into a
+        new partition count — the grow-the-cluster operation (a lake
+        created at P partitions caps its write/read parallelism at P;
+        when the cluster grows 4×, so should P). No batch is consumed:
+        manifest version bump only, and a replay resumed afterwards
+        picks up the new count from the manifest automatically
+        (single-table: replay.py re-reads ``num_partitions`` from the
+        base manifest; multi-table: routing is rebuilt from
+        ``manifest.tables`` every batch).
 
         Distributed shape: ONE task per SOURCE partition merges its
         files (``keep_seq`` — rows keep the batch id that wrote them,
@@ -1366,28 +1368,46 @@ class Lake:
         to fold each new partition to one read-optimal file, and
         ``gc()`` to reap the old files.
 
-        Single-table lakes only (multi-table pid ranges would move;
-        route per-table repartition through a future per-table call).
+        Multi-table lakes: pass ``table``; its range moves to a FRESH
+        pid block past ``next_base_pid()`` (the drop_table discipline —
+        ``num_partitions`` is monotone, so an abandoned range is never
+        reused while its files may survive on disk) and other tables'
+        ranges are untouched.
         """
         cur = self.current()
-        if cur.tables is not None:
-            raise ValueError("multi-table lakes cannot be repartitioned yet")
         p_new = int(num_partitions)
         if p_new < 1:
             raise ValueError(f"num_partitions must be >= 1, got {p_new}")
-        if p_new == cur.num_partitions:
-            return cur
+        if cur.tables is not None:
+            if table is None:
+                raise ValueError("multi-table lake: pass table= to repartition one table")
+            trec = cur.tables[table]
+            if p_new == trec["num_partitions"]:
+                return cur
+            lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
+            new_base = cur.next_base_pid()
+            target_schema = cur.schema_of_table(table)
+        else:
+            if table is not None:
+                raise ValueError("single-table lake: table= is not applicable")
+            if p_new == cur.num_partitions:
+                return cur
+            lo, hi = 0, cur.num_partitions
+            new_base = 0
+            target_schema = None  # per-source-pid (constant here)
         import numpy as np
 
         file_batch = cur.last_batch_id + 1  # file-name stamp only
 
         def split_one(pid_s: str, files: list[str]) -> list[tuple[int, str, int]]:
-            target = cur.schema_of_pid(int(pid_s))
+            target = target_schema if target_schema is not None else cur.schema_of_pid(int(pid_s))
             tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
             merged = merge_partition_files(tables, target, keep_seq=True)
             if merged.num_rows == 0:
                 return []
-            pids = partition_ids(merged["doc_id"].to_numpy(zero_copy_only=False), p_new)
+            pids = new_base + partition_ids(
+                merged["doc_id"].to_numpy(zero_copy_only=False), p_new
+            )
             out = []
             for npid in np.unique(pids):
                 piece = merged.filter(pa.array(pids == npid))
@@ -1395,7 +1415,11 @@ class Lake:
                 out.append((int(npid), rel, piece.num_rows))
             return out
 
-        todo = [(pid_s, info["files"]) for pid_s, info in cur.partitions.items() if info["files"]]
+        todo = [
+            (pid_s, info["files"])
+            for pid_s, info in cur.partitions.items()
+            if info["files"] and lo <= int(pid_s) < hi
+        ]
         try:
             import ray
 
@@ -1409,11 +1433,26 @@ class Lake:
             results = ray.get([remote.remote(p, fs) for p, fs in todo])
         else:
             results = [split_one(p, fs) for p, fs in todo]
-        parts = {str(pid): {"files": [], "rows": 0} for pid in range(p_new)}
+        # untouched ranges carry over; the source range leaves the
+        # manifest (files unreferenced -> gc'd)
+        parts = {
+            p: i for p, i in cur.partitions.items() if not (lo <= int(p) < hi)
+        }
+        for pid in range(new_base, new_base + p_new):
+            parts[str(pid)] = {"files": [], "rows": 0}
         for pieces in results:
             for npid, rel, rows in pieces:
                 parts[str(npid)]["files"].append(rel)
                 parts[str(npid)]["rows"] += rows
+        if cur.tables is not None:
+            new_tables = {
+                n: ({**t, "base_pid": new_base, "num_partitions": p_new} if n == table else t)
+                for n, t in cur.tables.items()
+            }
+            num_partitions = max(cur.num_partitions, new_base + p_new)
+        else:
+            new_tables = None
+            num_partitions = p_new
         latest = self.current()
         if latest.version != cur.version:
             raise CommitConflictError(
@@ -1421,7 +1460,7 @@ class Lake:
             )
         m = Manifest(
             version=cur.version + 1,
-            num_partitions=p_new,
+            num_partitions=num_partitions,
             hwm=cur.hwm,
             last_batch_id=cur.last_batch_id,
             schema_version=cur.schema_version,
@@ -1431,7 +1470,7 @@ class Lake:
             partitions=parts,
             ledger=cur.ledger,
             metrics=cur.metrics,
-            tables=None,
+            tables=new_tables,
         )
         self._write_manifest(m)
         self._swap_current(m.version)

@@ -68,6 +68,8 @@ def test_repartition_noop_and_guards(ray_session, fx, tmp_path):
     assert lake.repartition(4).version == v  # no-op, no version bump
     with pytest.raises(ValueError, match=">= 1"):
         lake.repartition(0)
+    with pytest.raises(ValueError, match="not applicable"):
+        lake.repartition(8, table="lake.t0")
     from clever_canal_ray.fixtures.generator import write_multi_table_fixture
 
     mspec = EventLogSpec(seed=62, n_initial_docs=50, n_events=100, n_segments=2)
@@ -75,6 +77,43 @@ def test_repartition_noop_and_guards(ray_session, fx, tmp_path):
     mlake = Lake.create_multi(str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=2)
     with pytest.raises(ValueError, match="multi-table"):
         mlake.repartition(8)
+    mv = mlake.current().version
+    assert mlake.repartition(2, table="lake.t0").version == mv  # per-table no-op
+
+
+def test_repartition_multi_table_one_table(ray_session, tmp_path):
+    """Grow ONE table of a multi-table lake mid-replay: its range moves
+    to a fresh pid block (never reused — drop_table discipline), the
+    other table's range is untouched, and the resumed replay routes by
+    the new count (routing rebuilt from manifest.tables per batch)."""
+    from clever_canal_ray.fixtures.generator import write_multi_table_fixture
+    from tests.test_multi_table import _oracle_split
+
+    spec = EventLogSpec(seed=63, n_initial_docs=300, n_events=1500, n_segments=6)
+    minfo = write_multi_table_fixture(spec, str(tmp_path / "mfx"), n_tables=2)
+    mlake = Lake.create_multi(str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=3)
+    cfg = ReplayConfig(segments_per_batch=2, sink_mode="delta")
+    paths = minfo["segment_paths"]
+    replay(mlake, paths[:3], cfg)
+    m = mlake.repartition(8, table="lake.t0")
+    t0 = m.tables["lake.t0"]
+    assert t0["num_partitions"] == 8
+    assert t0["base_pid"] >= 6  # fresh block past both original ranges
+    assert m.tables["lake.t1"] == mlake.manifest_at(m.version - 1).tables["lake.t1"]
+    replay(mlake, paths[3:], cfg)
+    oracles = _oracle_split(spec, 2)
+    assert_tables_equal(mlake.read_table(table="lake.t0"), oracles[0])
+    assert_tables_equal(mlake.read_table(table="lake.t1"), oracles[1])
+    # point lookup routes into the moved range
+    final0 = mlake.read_table(table="lake.t0")
+    keys = final0["doc_id"].to_pylist()[:5]
+    got = mlake.lookup(keys, table="lake.t0")
+    exp = final0.filter(pc.is_in(final0["doc_id"], value_set=pa.array(keys)))
+    assert_tables_equal(got, exp)
+    # gc reaps the abandoned range's files; state still exact
+    gone = mlake.gc(keep_manifests=1, min_age_sec=0.0)
+    assert gone["files_removed"] > 0
+    assert_tables_equal(mlake.read_table(table="lake.t0"), oracles[0])
 
 
 def test_read_changes_exact_across_repartition_upserts(ray_session, fx, tmp_path):

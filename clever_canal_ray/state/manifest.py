@@ -176,6 +176,25 @@ def merge_delta_files(tables: list[pa.Table], target: pa.Schema) -> pa.Table:
     return out.replace_schema_metadata(None)
 
 
+def _fan_out(fn, todo: list[tuple]) -> list:
+    """Maintenance-op harness shared by ``compact()`` and
+    ``repartition()``: one ``num_cpus=1`` Ray task per work item when a
+    Ray session exists, serial fallback otherwise (library code never
+    initializes Ray itself)."""
+    try:
+        import ray
+
+        ray_ok = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        ray_ok = False
+    if ray_ok and len(todo) > 1:
+        import ray
+
+        remote = ray.remote(num_cpus=1)(fn)
+        return ray.get([remote.remote(*args) for args in todo])
+    return [fn(*args) for args in todo]
+
+
 # per-(batch, partition) metrics sidecar schema (FIXTURES.md §4)
 METRICS_PARTITION_SCHEMA = pa.schema(
     [
@@ -1381,6 +1400,10 @@ class Lake:
         if cur.tables is not None:
             if table is None:
                 raise ValueError("multi-table lake: pass table= to repartition one table")
+            if table not in cur.tables:
+                raise KeyError(
+                    f"repartition: unknown table {table!r} (registered: {sorted(cur.tables)})"
+                )
             trec = cur.tables[table]
             if p_new == trec["num_partitions"]:
                 return cur
@@ -1408,11 +1431,20 @@ class Lake:
             pids = new_base + partition_ids(
                 merged["doc_id"].to_numpy(zero_copy_only=False), p_new
             )
+            # one argsort + zero-copy slices (the _write_initial_
+            # partitions split shape), not p_new full-table filters
+            order = np.argsort(pids, kind="stable")
+            sorted_tbl = merged.take(order)
+            sorted_pids = pids[order]
+            uniq, starts = np.unique(sorted_pids, return_index=True)
+            bounds = np.append(starts, len(sorted_pids))
             out = []
-            for npid in np.unique(pids):
-                piece = merged.filter(pa.array(pids == npid))
-                rel = self._write_part_file(piece, int(npid), batch_id=file_batch)
-                out.append((int(npid), rel, piece.num_rows))
+            for i, npid in enumerate(uniq):
+                lo_i, hi_i = int(bounds[i]), int(bounds[i + 1])
+                rel = self._write_part_file(
+                    sorted_tbl.slice(lo_i, hi_i - lo_i), int(npid), batch_id=file_batch
+                )
+                out.append((int(npid), rel, hi_i - lo_i))
             return out
 
         todo = [
@@ -1420,19 +1452,7 @@ class Lake:
             for pid_s, info in cur.partitions.items()
             if info["files"] and lo <= int(pid_s) < hi
         ]
-        try:
-            import ray
-
-            ray_ok = ray.is_initialized()
-        except ImportError:  # pragma: no cover
-            ray_ok = False
-        if ray_ok and len(todo) > 1:
-            import ray
-
-            remote = ray.remote(num_cpus=1)(split_one)
-            results = ray.get([remote.remote(p, fs) for p, fs in todo])
-        else:
-            results = [split_one(p, fs) for p, fs in todo]
+        results = _fan_out(split_one, todo)
         # untouched ranges carry over; the source range leaves the
         # manifest (files unreferenced -> gc'd)
         parts = {
@@ -1520,19 +1540,7 @@ class Lake:
             rel = self._write_part_file(merged, int(pid_s), batch_id=cur.last_batch_id + 1)
             return pid_s, [rel], merged.num_rows
 
-        try:
-            import ray
-
-            ray_ok = ray.is_initialized()
-        except ImportError:  # pragma: no cover
-            ray_ok = False
-        if ray_ok and len(todo) > 1:  # parallel partition rewrites
-            import ray
-
-            remote = ray.remote(num_cpus=1)(compact_one)
-            results = ray.get([remote.remote(p, fs) for p, fs in todo])
-        else:
-            results = [compact_one(p, fs) for p, fs in todo]
+        results = _fan_out(compact_one, todo)  # parallel partition rewrites
         for pid_s, files, rows in results:
             parts[pid_s] = {"files": files, "rows": rows}
         # surface the single-writer race the same way commit_batch does:

@@ -77,6 +77,8 @@ def test_repartition_noop_and_guards(ray_session, fx, tmp_path):
     mlake = Lake.create_multi(str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=2)
     with pytest.raises(ValueError, match="multi-table"):
         mlake.repartition(8)
+    with pytest.raises(KeyError, match="unknown table"):
+        mlake.repartition(8, table="lake.typo")
     mv = mlake.current().version
     assert mlake.repartition(2, table="lake.t0").version == mv  # per-table no-op
 

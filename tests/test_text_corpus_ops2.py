@@ -164,7 +164,10 @@ def test_stratified_sample_fast_default(ray_session):
     rates = {"a": 1000, "b": 300}
     out1 = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
     out2 = stratified_sample(_ds(df), rates, source_col="source", id_col="doc_id").to_pandas()
-    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+    # the sample MEMBERSHIP is deterministic; row order is not (the
+    # _ds helper repartitions, and all-to-all output order may vary
+    # run-to-run under load)
+    assert sorted(out1["doc_id"].tolist()) == sorted(out2["doc_id"].tolist())
     assert (out1[out1["source"] == "a"].shape[0]) == 1000
     assert (out1["source"] == "x").sum() == 0
     nb = (out1["source"] == "b").sum()

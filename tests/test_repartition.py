@@ -155,6 +155,34 @@ def test_read_changes_exact_across_repartition_upserts(ray_session, fx, tmp_path
     assert feed_pre["__deleted"].any()
 
 
+def test_repartition_across_schema_evolution(ray_session, tmp_path):
+    """Re-hash a lake whose partitions hold files at DIFFERENT schema
+    versions (pre- and post-widen deltas): the merge upcasts each source
+    partition to the journal's current schema, and the resumed replay
+    (with the remaining DDL) still converges to the serial oracle."""
+    ddls = (
+        (0.3, {"op": "add_column", "table": "lake.sequences", "name": "lang", "type": "string", "nullable": True, "default": None}),
+        (0.7, {"op": "widen_type", "table": "lake.sequences", "name": "n_tok", "from": "int32", "to": "int64"}),
+    )
+    spec = EventLogSpec(seed=64, n_initial_docs=200, n_events=1200, n_segments=6, ddls=ddls)
+    root = tmp_path / "fx_ddl"
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    lake = Lake.create(str(tmp_path / "lake_ddl"), lake_tbl, num_partitions=4)
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    paths = info["segment_paths"]
+    replay(lake, paths[:4], cfg)  # past the add_column: mixed-schema files
+    assert lake.current().schema_version >= 1
+    m = lake.repartition(7)
+    assert m.schema_version == lake.manifest_at(m.version - 1).schema_version
+    replay(lake, paths[4:], cfg)  # the widen lands after the re-hash
+    final = lake.read_table()
+    assert final.schema.field("n_tok").type == pa.int64()
+    assert_tables_equal(final, oracle)
+
+
 def test_gc_reaps_old_partitioning(ray_session, fx, tmp_path):
     spec, info, lake_tbl, segs, oracle = fx
     lake = Lake.create(str(tmp_path / "lake_gc"), lake_tbl, num_partitions=4)

@@ -183,6 +183,40 @@ def test_repartition_across_schema_evolution(ray_session, tmp_path):
     assert_tables_equal(final, oracle)
 
 
+def test_repartition_abort_leaves_lake_intact(ray_session, fx, tmp_path, monkeypatch):
+    """Crash between writing the re-hashed files and the manifest swap:
+    the current manifest never moves (readers see the old layout), a
+    retried repartition succeeds, and gc reaps the aborted attempt's
+    orphan files (the failed-task discipline gc documents)."""
+    spec, info, lake_tbl, segs, oracle = fx
+    lake = Lake.create(str(tmp_path / "lake_ab"), lake_tbl, num_partitions=4)
+    replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=4, sink_mode="delta"))
+    v = lake.current().version
+
+    def boom(m):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(lake, "_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lake.repartition(8)
+    monkeypatch.undo()
+    assert lake.current().version == v  # pointer never moved
+    assert_tables_equal(lake.read_table(), oracle)
+    m = lake.repartition(8)  # retry succeeds
+    assert m.num_partitions == 8
+    assert_tables_equal(lake.read_table(), oracle)
+    lake.gc(keep_manifests=1, min_age_sec=0.0)
+    live = {f for i in lake.current().partitions.values() for f in i["files"]}
+    on_disk = set()
+    for d in os.listdir(lake.dir):
+        if d.startswith("part="):
+            for n in os.listdir(os.path.join(lake.dir, d)):
+                if not n.endswith(filestats.BLOOM_SUFFIX):
+                    on_disk.add(f"{d}/{n}")
+    assert on_disk == live  # aborted attempt's orphans reaped
+    assert_tables_equal(lake.read_table(), oracle)
+
+
 def test_gc_reaps_old_partitioning(ray_session, fx, tmp_path):
     spec, info, lake_tbl, segs, oracle = fx
     lake = Lake.create(str(tmp_path / "lake_gc"), lake_tbl, num_partitions=4)

@@ -1376,16 +1376,18 @@ class Lake:
         base manifest; multi-table: routing is rebuilt from
         ``manifest.tables`` every batch).
 
-        Distributed shape: ONE task per SOURCE partition merges its
-        files (``keep_seq`` — rows keep the batch id that wrote them,
-        so ``read_changes`` stays exact for upserts across the
-        repartition; tombstones fold into absence, the same caveat as
-        major compaction) and writes its rows split by NEW pid. Source
-        partitions are key-disjoint, so each new partition starts as
-        ≤ P_old key-disjoint files whose merge order is irrelevant;
-        data never lands on the driver. Run ``compact()`` afterwards
-        to fold each new partition to one read-optimal file, and
-        ``gc()`` to reap the old files.
+        Distributed shape: ONE task per SOURCE partition STREAMS its
+        files one at a time — memory O(largest file), not O(partition
+        bytes) — splitting each file's rows by NEW pid with helper
+        columns intact. Every version (including tombstones) keeps its
+        per-row ``__seq``, so read paths reconstruct LWW exactly as
+        before (``__seq`` alone totally orders versions per key; keys
+        are disjoint across source partitions, and pieces keep their
+        per-source file order) and ``read_changes`` stays exact across
+        the re-hash INCLUDING tombstone windows. Data never lands on
+        the driver. The re-hash rewrites versions verbatim (no fold),
+        so run ``compact()`` afterwards to fold each new partition to
+        one read-optimal file, and ``gc()`` to reap the old files.
 
         Multi-table lakes: pass ``table``; its range moves to a FRESH
         pid block past ``next_base_pid()`` (the drop_table discipline —
@@ -1424,27 +1426,33 @@ class Lake:
 
         def split_one(pid_s: str, files: list[str]) -> list[tuple[int, str, int]]:
             target = target_schema if target_schema is not None else cur.schema_of_pid(int(pid_s))
-            tables = [pq.read_table(os.path.join(self.dir, f)) for f in files]
-            merged = merge_partition_files(tables, target, keep_seq=True)
-            if merged.num_rows == 0:
-                return []
-            pids = new_base + partition_ids(
-                merged["doc_id"].to_numpy(zero_copy_only=False), p_new
+            target_h = pa.schema(
+                list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+                metadata=target.metadata,  # carries the rename map for upcast
             )
-            # one argsort + zero-copy slices (the _write_initial_
-            # partitions split shape), not p_new full-table filters
-            order = np.argsort(pids, kind="stable")
-            sorted_tbl = merged.take(order)
-            sorted_pids = pids[order]
-            uniq, starts = np.unique(sorted_pids, return_index=True)
-            bounds = np.append(starts, len(sorted_pids))
             out = []
-            for i, npid in enumerate(uniq):
-                lo_i, hi_i = int(bounds[i]), int(bounds[i + 1])
-                rel = self._write_part_file(
-                    sorted_tbl.slice(lo_i, hi_i - lo_i), int(npid), batch_id=file_batch
+            for f in files:  # one file resident at a time — O(file bytes)
+                t = pq.read_table(os.path.join(self.dir, f))
+                t = upcast_table(ensure_helper_columns(t, seq=-1), target_h)
+                t = t.replace_schema_metadata(None)
+                if t.num_rows == 0:
+                    continue
+                pids = new_base + partition_ids(
+                    t["doc_id"].to_numpy(zero_copy_only=False), p_new
                 )
-                out.append((int(npid), rel, hi_i - lo_i))
+                # one argsort + zero-copy slices (the _write_initial_
+                # partitions split shape), not p_new full-table filters
+                order = np.argsort(pids, kind="stable")
+                sorted_tbl = t.take(order)
+                sorted_pids = pids[order]
+                uniq, starts = np.unique(sorted_pids, return_index=True)
+                bounds = np.append(starts, len(sorted_pids))
+                for i, npid in enumerate(uniq):
+                    lo_i, hi_i = int(bounds[i]), int(bounds[i + 1])
+                    rel = self._write_part_file(
+                        sorted_tbl.slice(lo_i, hi_i - lo_i), int(npid), batch_id=file_batch
+                    )
+                    out.append((int(npid), rel, hi_i - lo_i))
             return out
 
         todo = [

@@ -4,9 +4,9 @@ mid-stream, resume replay, and verify exactness at scale.
 The 100-TB story `Lake.repartition` exists for: a lake created at P
 partitions caps its read/write parallelism at P forever; when the
 cluster grows 4x, the lake must follow. The soak measures the re-hash
-itself (one Ray task per source partition — the same memory envelope
-as major compaction: a task holds one merged source partition), then
-proves the invariants that matter beyond gate scale:
+itself (one Ray task per source partition, STREAMING its files one at
+a time — memory O(largest file), tombstones and per-row __seq kept),
+then proves the invariants that matter beyond gate scale:
 
 - rows conserved and final state identical to a never-repartitioned
   control replay over the same stream,
@@ -84,6 +84,7 @@ def main(n_docs: int = 1_000_000, n_events: int = 200_000) -> None:
         rehash = time.perf_counter() - t0
         assert m.num_partitions == 32
         rows_after = sum(i["rows"] for i in m.partitions.values())
+        assert rows_after == rows_before, (rows_before, rows_after)  # verbatim rewrite
         print(
             f"re-hash 8->32 of {rows_before:,} rows: {rehash:.2f}s "
             f"({rows_before / max(rehash, 1e-9) / 1e6:.2f}M rows/s); rows after {rows_after:,}"

@@ -4,6 +4,7 @@ from the manifest; state, lookup, change feed and gc must stay exact."""
 
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -42,10 +43,11 @@ def test_repartition_mid_replay_converges(ray_session, fx, tmp_path):
     cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
     paths = info["segment_paths"]
     replay(lake, paths[:4], cfg)
+    pre_rows = sum(i["rows"] for i in lake.current().partitions.values())
     m = lake.repartition(8)
     assert m.num_partitions == 8
-    # every key routes to its new partition; rows conserved
-    assert sum(i["rows"] for i in m.partitions.values()) == lake.read_table().num_rows
+    # the re-hash rewrites every version verbatim: file-row conservation
+    assert sum(i["rows"] for i in m.partitions.values()) == pre_rows
     replay(lake, paths[4:], cfg)  # cfg says 4; manifest says 8 and wins
     final = lake.read_table()
     assert_tables_equal(final, oracle)
@@ -119,10 +121,10 @@ def test_repartition_multi_table_one_table(ray_session, tmp_path):
 
 
 def test_read_changes_exact_across_repartition_upserts(ray_session, fx, tmp_path):
-    """Rows keep their writing batch id through the re-hash, so a feed
-    window straddling the repartition shows exactly the window's
-    upserts (tombstones fold — the major-compact caveat, readable at
-    the pre-repartition manifest via to_version)."""
+    """Every version (incl. tombstones) keeps its writing batch id
+    through the streaming re-hash, so a feed window straddling the
+    repartition is IDENTICAL to the same window read at the
+    pre-repartition manifest — upserts and deletes both."""
     spec, info, lake_tbl, segs, oracle = fx
     lake = Lake.create(str(tmp_path / "lake_rc"), lake_tbl, num_partitions=4)
     cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
@@ -135,24 +137,19 @@ def test_read_changes_exact_across_repartition_upserts(ray_session, fx, tmp_path
     lake.repartition(6)
     import ray
 
-    feed = pa.concat_tables(
-        ray.get(lake.read_changes(v_mid, latest_only=True).to_arrow_refs()),
-        promote_options="default",
-    ).to_pandas()
+    def grab(**kw):
+        df = pa.concat_tables(
+            ray.get(lake.read_changes(v_mid, latest_only=True, **kw).to_arrow_refs()),
+            promote_options="default",
+        ).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    feed = grab()
     assert len(feed) > 0
     assert (feed["__seq"] > floor).all()  # carried-over rows invisible
-    assert not feed["__deleted"].any()  # folded by the re-hash merge
-    final = lake.read_table().to_pandas().set_index("doc_id")
-    for _, row in feed.iterrows():
-        assert row["doc_id"] in final.index
-    # the pre-repartition manifest still serves the tombstone-bearing feed
-    feed_pre = pa.concat_tables(
-        ray.get(
-            lake.read_changes(v_mid, to_version=pre_repart, latest_only=True).to_arrow_refs()
-        ),
-        promote_options="default",
-    ).to_pandas()
-    assert feed_pre["__deleted"].any()
+    feed_pre = grab(to_version=pre_repart)
+    assert feed_pre["__deleted"].any()  # the window really has deletes
+    pd.testing.assert_frame_equal(feed, feed_pre)  # tombstones survive the re-hash
 
 
 def test_repartition_across_schema_evolution(ray_session, tmp_path):

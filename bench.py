@@ -307,9 +307,14 @@ def run_once() -> dict:
         if delivered
         else None,
         "host_ratio": round(best_probe / PROBE_REF_SEC, 2),
-        "degraded": bool(
-            best_probe / PROBE_REF_SEC > PROBE_DEGRADED or delivered < 0.45 * NUM_CPUS
-        ),
+        # degraded = the single-thread sandwich (cache-resident, immune
+        # to neighbor DRAM contention) reads throttled. The parallel
+        # probe UNDER-measures whenever the bench itself still has Ray
+        # work winding down around a rep (measured: a 1.27M ev/s record
+        # rep sandwiched by 10.8-core readings), so low delivered-cores
+        # alone is informational, not a verdict on the rep
+        "degraded": bool(best_probe / PROBE_REF_SEC > PROBE_DEGRADED),
+        "delivered_cores_low": bool(delivered < 0.45 * NUM_CPUS),
     }
     if HEADLINE_ONLY:  # scaling subruns measure only the headline
         queries = {"compaction": round(compact_sec, 3)}

@@ -1394,6 +1394,10 @@ class Lake:
         ``num_partitions`` is monotone, so an abandoned range is never
         reused while its files may survive on disk) and other tables'
         ranges are untouched.
+
+        Run off the hot path, like ``compact()``: a replay commit that
+        lands mid-re-hash makes this raise ``CommitConflictError`` (and
+        vice versa) — the single-writer race is loud, never corrupting.
         """
         cur = self.current()
         p_new = int(num_partitions)

@@ -198,6 +198,32 @@ class ConsumerServer:
                 {"ok": True, "has_data": True, "n_rows": t.num_rows, "stats": stats},
                 _table_to_ipc(t),
             )
+        if cmd == "changes":
+            # stateless incremental feed between manifest versions —
+            # the third serving read (get/ack drains the live journal,
+            # lookup reads point state, changes replays lake history)
+            if self.lake_dir is None:
+                raise ValueError("server has no lake_dir: changes unavailable")
+            if self._lake is None:
+                from clever_canal_ray.state.manifest import Lake
+
+                self._lake = Lake(self.lake_dir)
+            to = req.get("to")
+            t = self._lake.read_changes_table(
+                int(req["since"]),
+                to_version=int(to) if to is not None else None,
+                table=req.get("table"),
+                latest_only=bool(req.get("latest_only", False)),
+            )
+            return (
+                {
+                    "ok": True,
+                    "has_data": True,
+                    "n_rows": t.num_rows,
+                    "to": (self._lake.current().version if to is None else int(to)),
+                },
+                _table_to_ipc(t),
+            )
         client_id = str(req.get("client_id", "1001"))
         consumer, lock = self._consumer(client_id)
         with lock:
@@ -295,6 +321,24 @@ class WireConsumer:
             req["table"] = table
         resp, data = self._call(req)
         return _ipc_to_table(data), resp["stats"]
+
+    def changes(
+        self,
+        since: int,
+        to: int | None = None,
+        table: str | None = None,
+        latest_only: bool = False,
+    ) -> tuple[pa.Table, int]:
+        """Incremental change feed between manifest versions (requires
+        ``lake_dir`` on the server). Returns (rows, served_to_version) —
+        poll with ``since = served_to_version`` to tail the lake."""
+        req = {"cmd": "changes", "since": int(since), "latest_only": latest_only}
+        if to is not None:
+            req["to"] = int(to)
+        if table is not None:
+            req["table"] = table
+        resp, data = self._call(req)
+        return _ipc_to_table(data), int(resp["to"])
 
     def ping(self) -> bool:
         return bool(self._call({"cmd": "ping"})[0].get("ok"))

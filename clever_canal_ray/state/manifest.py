@@ -1147,6 +1147,78 @@ class Lake:
         out = pa.concat_tables(tbls) if tbls else out_schema.empty_table()
         return (out, stats) if return_stats else out
 
+    def _changes_plan(
+        self,
+        since_version: int,
+        to_version: int | None,
+        table: str | None,
+        latest_only: bool,
+    ) -> tuple[list[str], pa.Schema, pa.Schema, int, int]:
+        """Manifest-only diff shared by ``read_changes`` (streaming) and
+        ``read_changes_table`` (serial serving path): absolute paths of
+        files ADDED in the window, the payload/helper target schemas,
+        the ``__seq`` floor, and the partition count for latest_only."""
+        old = self.manifest_at(since_version)
+        new = self.manifest_at(to_version) if to_version is not None else self.current()
+        if new.tables is not None and table is not None:
+            trec = new.tables[table]
+            lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
+            target = new.schema_of_table(table)
+            p_count = trec["num_partitions"]
+        else:
+            if new.tables is not None and latest_only:
+                raise ValueError("multi-table lake: latest_only requires table=")
+            lo, hi = 0, 1 << 62
+            target = new.payload_schema
+            p_count = new.num_partitions
+        target_h = pa.schema(
+            list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+            metadata=target.metadata,
+        )
+        files = []
+        for pid_s, info in new.partitions.items():
+            if not (lo <= int(pid_s) < hi):
+                continue
+            before = set(old.partitions.get(pid_s, {}).get("files", ()))
+            files.extend(
+                os.path.join(self.dir, f) for f in info["files"] if f not in before
+            )
+        return files, target, target_h, old.last_batch_id, p_count
+
+    def read_changes_table(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        table: str | None = None,
+        latest_only: bool = False,
+    ) -> pa.Table:
+        """Driver-serial materialized change feed — the SERVING-PATH
+        variant of ``read_changes`` (same plan, same semantics,
+        including the major-compact tombstone caveat), for callers
+        without a Ray session (the wire server's ``changes`` RPC).
+        Reads one window file at a time; intended for the bounded
+        windows a downstream consumer polls — use the streaming
+        ``read_changes`` for bulk exports."""
+        files, target, target_h, seq_floor, _ = self._changes_plan(
+            since_version, to_version, table, latest_only
+        )
+        clean_h = pa.schema(list(target_h))
+        tables = []
+        for f in files:
+            t = pq.read_table(f)
+            t = upcast_table(ensure_helper_columns(t, seq=-1), target_h)
+            t = t.filter(pc.greater(t["__seq"], pa.scalar(seq_floor, pa.int64())))
+            if t.num_rows:
+                tables.append(t.replace_schema_metadata(None))
+        if not tables:
+            return clean_h.empty_table()
+        out = pa.concat_tables(tables)
+        if latest_only:
+            # single-partition fold: last writer per key by per-row
+            # __seq, tombstones kept (merge_delta_files contract)
+            out = merge_delta_files([out], target)
+        return out
+
     def read_changes(
         self,
         since_version: int,
@@ -1181,32 +1253,9 @@ class Lake:
         """
         import ray.data as rd
 
-        old = self.manifest_at(since_version)
-        new = self.manifest_at(to_version) if to_version is not None else self.current()
-        if new.tables is not None and table is not None:
-            trec = new.tables[table]
-            lo, hi = trec["base_pid"], trec["base_pid"] + trec["num_partitions"]
-            target = new.schema_of_table(table)
-            p_count = trec["num_partitions"]
-        else:
-            if new.tables is not None and latest_only:
-                raise ValueError("multi-table lake: latest_only requires table=")
-            lo, hi = 0, 1 << 62
-            target = new.payload_schema
-            p_count = new.num_partitions
-        target_h = pa.schema(
-            list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
-            metadata=target.metadata,
+        files, target, target_h, seq_floor, p_count = self._changes_plan(
+            since_version, to_version, table, latest_only
         )
-        seq_floor = old.last_batch_id
-        files = []
-        for pid_s, info in new.partitions.items():
-            if not (lo <= int(pid_s) < hi):
-                continue
-            before = set(old.partitions.get(pid_s, {}).get("files", ()))
-            files.extend(
-                os.path.join(self.dir, f) for f in info["files"] if f not in before
-            )
         clean_h = pa.schema(list(target_h))
         if not files:
             return rd.from_arrow(clean_h.empty_table())

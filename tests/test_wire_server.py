@@ -262,3 +262,58 @@ def test_wire_client_resumes_after_reconnect(fx, server):
     )
     assert first > last
     assert t0.num_rows + sum(t.num_rows for _, t in rest) == total
+
+
+def test_wire_changes(ray_session, fx, tmp_path):
+    """Incremental change feed over the wire (stateless `changes` RPC):
+    equals the distributed read_changes collection for the same window;
+    polling with the returned to-version tails the lake (empty window);
+    a journal-only server rejects the command cleanly."""
+    import pyarrow as pa
+    import ray
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    root, _ = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    replay(lake, paths[:2], cfg)
+    v_mid = lake.current().version
+    replay(lake, paths[2:], cfg)
+
+    srv = ConsumerServer(seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake"))
+    srv.start()
+    try:
+        with WireConsumer(srv.host, srv.port) as wire:
+            got, to = wire.changes(v_mid, latest_only=True)
+            assert to == lake.current().version
+            assert got.num_rows > 0
+            dist = pa.concat_tables(
+                ray.get(lake.read_changes(v_mid, latest_only=True).to_arrow_refs()),
+                promote_options="default",
+            )
+            cols = sorted(got.column_names)
+            assert got.sort_by("doc_id").select(cols).equals(
+                dist.sort_by("doc_id").select(cols)
+            )
+            # tombstones ride the feed
+            assert pc.any(got["__deleted"]).as_py()
+            # tail poll: nothing new past the served to-version
+            empty, to2 = wire.changes(to)
+            assert empty.num_rows == 0 and to2 == to
+    finally:
+        srv.stop()
+    srv2 = ConsumerServer(seg_dir, str(tmp_path / "state2"))
+    srv2.start()
+    try:
+        with WireConsumer(srv2.host, srv2.port) as wire:
+            with pytest.raises(RuntimeError, match="changes unavailable"):
+                wire.changes(0)
+    finally:
+        srv2.stop()

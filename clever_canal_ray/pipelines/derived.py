@@ -73,12 +73,20 @@ class AggregateMaintainer:
         sum_cols: tuple[str, ...] = ("n_tok",),
         client_id: str = "agg",
         cfg: Optional[ReplayConfig] = None,
+        consumer=None,
     ):
+        """``consumer``: injectable get/ack source — anything with the
+        ChangeConsumer method surface (subscribe / get_without_ack /
+        ack / rollback / delivered_position), e.g. a
+        ``server.WireConsumer``, so the maintainer can run in a remote
+        process against a served journal. Default: an in-process
+        ChangeConsumer over ``journal_dirs`` (pass journal_dirs=None
+        only with an explicit consumer)."""
         self.key_col = key_col
         self.sum_cols = tuple(sum_cols)
         os.makedirs(state_dir, exist_ok=True)
         self._state_path = os.path.join(state_dir, f"agg-{client_id}.json")
-        self.consumer = ChangeConsumer(
+        self.consumer = consumer if consumer is not None else ChangeConsumer(
             journal_dirs, state_dir, client_id=f"c-{client_id}", cfg=cfg
         )
         # groups: key -> [n_docs, sum_0, sum_1, ...]

@@ -274,6 +274,10 @@ class WireConsumer:
 
     def __init__(self, host: str, port: int, client_id: str = "1001", timeout: float = 30.0):
         self.client_id = client_id
+        # mirrors ChangeConsumer.delivered_position (updated on each
+        # get) so wire and in-process consumers are interchangeable for
+        # downstream appliers (pipelines/derived.AggregateMaintainer)
+        self.delivered_position: tuple[int, int] | None = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def _call(self, req: dict) -> tuple[dict, bytes | None]:
@@ -301,6 +305,7 @@ class WireConsumer:
         resp, data = self._call({"cmd": "get", "batch_size": batch_size})
         if not resp.get("has_data"):
             return None
+        self.delivered_position = tuple(resp["delivered"])
         return int(resp["batch_id"]), _ipc_to_table(data)
 
     def ack(self, batch_id: int) -> None:

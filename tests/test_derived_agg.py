@@ -147,3 +147,28 @@ def test_state_schema_guard(tmp_path):
     m.run_to_end(batch_size=100)
     with pytest.raises(ValueError, match="maintains"):
         AggregateMaintainer(str(root / "segments"), state, sum_cols=())
+
+
+def test_maintainer_over_wire_consumer(tmp_path):
+    """The downstream applier runs against a SERVED journal through a
+    WireConsumer (consumer injection) — the remote-process downstream:
+    same exactly-once fold, same final aggregate as the serial oracle."""
+    from clever_canal_ray.server import ConsumerServer, WireConsumer
+
+    spec = EventLogSpec(seed=93, n_initial_docs=150, n_events=1500, n_segments=4)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    srv = ConsumerServer(str(root / "segments"), str(tmp_path / "srv_state"))
+    srv.start()
+    try:
+        wire = WireConsumer(srv.host, srv.port, client_id="aggw")
+        m = AggregateMaintainer(None, str(tmp_path / "state"), consumer=wire)
+        m.seed(generate_lake(spec))
+        folded = m.run_to_end(batch_size=400)
+        assert folded > 1  # several wire get/ack round trips
+        pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
+        assert m.run_to_end(batch_size=400) == 0  # drained; no-op
+        pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
+        wire.close()
+    finally:
+        srv.stop()

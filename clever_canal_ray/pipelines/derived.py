@@ -82,6 +82,15 @@ class AggregateMaintainer:
         process against a served journal. Default: an in-process
         ChangeConsumer over ``journal_dirs`` (pass journal_dirs=None
         only with an explicit consumer)."""
+        if consumer is not None and (cfg is not None or journal_dirs is not None):
+            # cfg/journal_dirs configure the in-process consumer this
+            # constructor builds; silently dropping them under an
+            # injected consumer would fold an unfiltered stream
+            raise ValueError(
+                "consumer= is exclusive with journal_dirs/cfg — pass "
+                "journal_dirs=None and configure filters on the injected "
+                "consumer (e.g. WireConsumer.subscribe(cfg))"
+            )
         self.key_col = key_col
         self.sum_cols = tuple(sum_cols)
         os.makedirs(state_dir, exist_ok=True)

@@ -164,6 +164,19 @@ class ConsumerServer:
 
     # -- dispatch ----------------------------------------------------------
 
+    def _get_lake(self, cmd: str):
+        """Lazy lake handle for the stateless lake-backed RPCs; the
+        manifest pointer is still re-read from disk per call."""
+        if self.lake_dir is None:
+            raise ValueError(f"server has no lake_dir: {cmd} unavailable")
+        if self._lake is None:
+            with self._consumers_lock:  # race-free lazy init
+                if self._lake is None:
+                    from clever_canal_ray.state.manifest import Lake
+
+                    self._lake = Lake(self.lake_dir)
+        return self._lake
+
     def _consumer(self, client_id: str) -> tuple[ChangeConsumer, threading.Lock]:
         with self._consumers_lock:
             if client_id not in self._consumers:
@@ -185,13 +198,8 @@ class ConsumerServer:
         if cmd == "lookup":
             # stateless (no consumer/cursor); served from the lake's
             # current manifest, driver-serial in the server process
-            if self.lake_dir is None:
-                raise ValueError("server has no lake_dir: lookup unavailable")
-            if self._lake is None:
-                from clever_canal_ray.state.manifest import Lake
-
-                self._lake = Lake(self.lake_dir)
-            t, stats = self._lake.lookup(
+            lake = self._get_lake("lookup")
+            t, stats = lake.lookup(
                 list(req["keys"]), table=req.get("table"), return_stats=True
             )
             return (
@@ -202,26 +210,20 @@ class ConsumerServer:
             # stateless incremental feed between manifest versions —
             # the third serving read (get/ack drains the live journal,
             # lookup reads point state, changes replays lake history)
-            if self.lake_dir is None:
-                raise ValueError("server has no lake_dir: changes unavailable")
-            if self._lake is None:
-                from clever_canal_ray.state.manifest import Lake
-
-                self._lake = Lake(self.lake_dir)
+            lake = self._get_lake("changes")
             to = req.get("to")
-            t = self._lake.read_changes_table(
+            # resolve the ceiling ONCE, before planning: a commit that
+            # lands while we read must not advance the to-version the
+            # client will poll from next (rows would be skipped forever)
+            to_v = int(to) if to is not None else lake.current().version
+            t = lake.read_changes_table(
                 int(req["since"]),
-                to_version=int(to) if to is not None else None,
+                to_version=to_v,
                 table=req.get("table"),
                 latest_only=bool(req.get("latest_only", False)),
             )
             return (
-                {
-                    "ok": True,
-                    "has_data": True,
-                    "n_rows": t.num_rows,
-                    "to": (self._lake.current().version if to is None else int(to)),
-                },
+                {"ok": True, "has_data": True, "n_rows": t.num_rows, "to": to_v},
                 _table_to_ipc(t),
             )
         client_id = str(req.get("client_id", "1001"))

@@ -169,6 +169,10 @@ def test_maintainer_over_wire_consumer(tmp_path):
         pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
         assert m.run_to_end(batch_size=400) == 0  # drained; no-op
         pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
+        # cfg/journal_dirs would be silently dropped under an injected
+        # consumer — the constructor refuses the combination
+        with pytest.raises(ValueError, match="exclusive"):
+            AggregateMaintainer(str(root / "segments"), str(tmp_path / "s2"), consumer=wire)
         wire.close()
     finally:
         srv.stop()

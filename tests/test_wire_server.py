@@ -317,3 +317,115 @@ def test_wire_changes(ray_session, fx, tmp_path):
                 wire.changes(0)
     finally:
         srv2.stop()
+
+
+def test_wire_changes_mid_read_commit(ray_session, fx, tmp_path):
+    """Ceiling race regression: a commit that lands WHILE the server
+    reads a `changes` window must not advance the to-version handed to
+    the client — otherwise the client's next poll (since=to) would skip
+    the mid-read rows forever. The served `to` must be resolved before
+    the read plan."""
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    root, _ = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    replay(lake, paths[:2], cfg)
+    v0 = lake.current().version
+
+    srv = ConsumerServer(seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake"))
+    srv.start()
+    try:
+        # generous timeout: the hooked read below runs a replay inline
+        wire = WireConsumer(srv.host, srv.port, timeout=300)
+        _, to_prime = wire.changes(0)  # prime the server's lazy Lake
+        assert to_prime == v0
+
+        real = srv._lake.read_changes_table
+        committed = {}
+
+        def hooked(since, to_version=None, **kw):
+            out = real(since, to_version=to_version, **kw)
+            if not committed:  # commit lands AFTER the read, BEFORE the response
+                replay(lake, paths[2:], cfg)
+                committed["v"] = lake.current().version
+            return out
+
+        srv._lake.read_changes_table = hooked
+        got, to = wire.changes(0)
+        srv._lake.read_changes_table = real
+        assert committed["v"] > v0  # the mid-read commit really happened
+        # the served ceiling is the pre-commit version...
+        assert to == v0
+        # ...so polling from it picks the mid-read rows up — none skipped
+        got2, to2 = wire.changes(to)
+        assert to2 == committed["v"] and got2.num_rows > 0
+        one_shot, to3 = wire.changes(0)
+        assert to3 == to2
+        assert got.num_rows + got2.num_rows == one_shot.num_rows
+        wire.close()
+    finally:
+        srv.stop()
+
+
+def test_wire_concurrent_clients(fx, tmp_path):
+    """Thread-safety of the serving surface: N clients drain the same
+    journal concurrently (distinct cursors), racing their first
+    `changes` calls against the server's lazy Lake init, and every
+    client sees the complete, identical stream."""
+    import threading
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    root, total = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    replay(lake, paths, ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta"))
+    v_final = lake.current().version
+
+    srv = ConsumerServer(seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake"))
+    srv.start()
+    results: dict[str, tuple] = {}
+    errors: list[BaseException] = []
+
+    def worker(cid: str) -> None:
+        try:
+            c = WireConsumer(srv.host, srv.port, client_id=cid, timeout=120)
+            # first call races the lazy Lake init across threads
+            feed, to = c.changes(0)
+            c.subscribe()
+            got = _drain(c, batch_size=64)
+            rows = sum(t.num_rows for _, t in got)
+            pos_sum = sum(
+                int(np.asarray(t["segment_id"]).astype(np.int64).sum())
+                + int(np.asarray(t["offset"]).astype(np.int64).sum())
+                for _, t in got
+            )
+            results[cid] = (rows, pos_sum, feed.num_rows, to)
+            c.close()
+        except BaseException as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(f"cc{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    srv.stop()
+    assert not errors, errors
+    assert len(results) == 4
+    vals = set(results.values())
+    assert len(vals) == 1  # identical drain + identical feed for every client
+    rows, _, feed_rows, to = vals.pop()
+    assert rows == total and to == v_final and feed_rows > 0

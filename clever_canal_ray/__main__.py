@@ -12,6 +12,7 @@
     python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
     python -m clever_canal_ray lookup       --lake DIR --keys K [K ...] [--table T]
     python -m clever_canal_ray changes      --lake DIR --since V --out DIR [--latest-only]
+    python -m clever_canal_ray consumer-stats --port P [--host H] [--of CLIENT_ID]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -88,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--out", required=True, help="output parquet directory")
     ch.add_argument("--table", default=None)
     ch.add_argument("--latest-only", action="store_true")
+
+    cs = sub.add_parser("consumer-stats")  # admin: per-client cursor/lag over the wire
+    cs.add_argument("--host", default="127.0.0.1")
+    cs.add_argument("--port", type=int, required=True)
+    cs.add_argument("--of", default=None, help="filter to one client id")
 
     sv = sub.add_parser("serve")  # the server-netty consumer endpoint
     sv.add_argument("--journal", nargs="+", required=True)
@@ -192,6 +198,11 @@ def main(argv: list[str] | None = None) -> int:
         n = sum(f.count_rows() for f in pads.dataset(args.out).get_fragments())
         print(json.dumps({"out": args.out, "rows": n, "since": args.since,
                           "to": args.to if args.to is not None else lake.current().version}))
+    elif args.cmd == "consumer-stats":
+        from clever_canal_ray.server import WireConsumer
+
+        with WireConsumer(args.host, args.port, client_id="admin") as wc:
+            print(json.dumps(wc.stats(args.of), indent=1))
     elif args.cmd == "serve":
         from clever_canal_ray.server import ConsumerServer
 

@@ -179,6 +179,19 @@ class ChangeConsumer:
         batch's ack boundary (PositionRange.ack)."""
         return self._delivered
 
+    def stats(self) -> dict:
+        """Cursor snapshot for the admin/monitoring surface (the
+        CanalStats consumer-lag analog exposed by the reference's admin
+        port): durable acked cursor, delivered cursor, and the count of
+        in-flight (delivered-not-yet-acked) batches."""
+        return {
+            "cursor": list(self._cursor),
+            "delivered": list(self._delivered),
+            "inflight": len(self._inflight),
+            "subscribed": self._subscribed,
+            "next_batch_id": self._next_batch_id,
+        }
+
     def ack(self, batch_id: int) -> None:
         if not self._inflight or self._inflight[0]["batch_id"] != batch_id:
             raise FifoAckError(

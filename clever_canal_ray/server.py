@@ -35,6 +35,7 @@ AND a restarted server resume exactly where the client acked.
 from __future__ import annotations
 
 import json
+import os
 import socket
 import socketserver
 import struct
@@ -177,6 +178,67 @@ class ConsumerServer:
                     self._lake = Lake(self.lake_dir)
         return self._lake
 
+    def _stats(self, of: Optional[str] = None) -> dict:
+        """Admin/monitoring snapshot (the reference's CanalStats /
+        admin-port consumer-lag view): per-client cursor positions plus
+        the journal head, so an operator can watch consumer lag
+        remotely. Attached consumers are read live under their session
+        locks; clients known only from durable meta files (e.g. after a
+        server restart, before the client reconnects) are reported from
+        disk with ``attached: false``. The head comes from the last
+        settled segment's plan sidecar — O(1), no data read."""
+        from clever_canal_ray.sources.segments import (
+            discover_segments,
+            load_segment_plan,
+            settled_prefix,
+        )
+
+        paths = settled_prefix(discover_segments(self.journal_dirs))
+        head = None
+        if paths:
+            plan = load_segment_plan(paths[-1])
+            if plan is not None:
+                head = list(plan["max_pos"])
+        clients: dict[str, dict] = {}
+        if os.path.isdir(self.state_dir):
+            for name in sorted(os.listdir(self.state_dir)):
+                if not (name.startswith("meta-") and name.endswith(".json")):
+                    continue
+                path = os.path.join(self.state_dir, name)
+                try:
+                    with open(path) as f:
+                        d = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue  # mid-write/corrupt: live snapshot below still covers attached clients
+                cid = name[len("meta-") : -len(".json")]
+                cursor = list(d.get("cursor", (-1, -1)))
+                clients[cid] = {
+                    "client_id": cid,
+                    "cursor": cursor,
+                    "delivered": list(d.get("delivered", cursor)),
+                    "inflight": len(d.get("inflight", [])),
+                    "subscribed": bool(d.get("subscribed", False)),
+                    "next_batch_id": int(d.get("next_batch_id", 0)),
+                    "attached": False,
+                }
+        with self._consumers_lock:
+            live = list(self._consumers.items())
+        for cid, (consumer, lock) in live:
+            with lock:
+                s = consumer.stats()
+            s["client_id"] = cid
+            s["attached"] = True
+            clients[cid] = s
+        rows = sorted(clients.values(), key=lambda c: c["client_id"])
+        if of is not None:
+            rows = [c for c in rows if c["client_id"] == of]
+        return {
+            "ok": True,
+            "journal_head": head,
+            "n_settled_segments": len(paths),
+            "clients": rows,
+        }
+
     def _consumer(self, client_id: str) -> tuple[ChangeConsumer, threading.Lock]:
         with self._consumers_lock:
             if client_id not in self._consumers:
@@ -195,6 +257,9 @@ class ConsumerServer:
         cmd = req.get("cmd")
         if cmd == "ping":
             return {"ok": True}, None
+        if cmd == "stats":
+            # stateless admin read; never creates a consumer for the caller
+            return self._stats(req.get("of")), None
         if cmd == "lookup":
             # stateless (no consumer/cursor); served from the lake's
             # current manifest, driver-serial in the server process
@@ -349,6 +414,17 @@ class WireConsumer:
 
     def ping(self) -> bool:
         return bool(self._call({"cmd": "ping"})[0].get("ok"))
+
+    def stats(self, of: str | None = None) -> dict:
+        """Admin snapshot: journal head + per-client cursors/in-flight
+        counts (``of=`` filters to one client id). Read-only — never
+        creates a server-side consumer for this connection."""
+        req: dict = {"cmd": "stats"}
+        if of is not None:
+            req["of"] = of
+        resp, _ = self._call(req)
+        resp.pop("ok", None)
+        return resp
 
     def close(self) -> None:
         try:

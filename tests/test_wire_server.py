@@ -429,3 +429,67 @@ def test_wire_concurrent_clients(fx, tmp_path):
     assert len(vals) == 1  # identical drain + identical feed for every client
     rows, _, feed_rows, to = vals.pop()
     assert rows == total and to == v_final and feed_rows > 0
+
+
+def test_wire_stats(fx, server, tmp_path):
+    """Admin surface (CanalStats analog): `stats` reports the journal
+    head plus per-client cursors and in-flight counts, is read-only
+    (the admin connection never creates a consumer), and reports
+    durable clients from meta files after a server restart."""
+    root, total = fx
+    c1 = WireConsumer(server.host, server.port, client_id="s1")
+    c1.subscribe()
+    b0, _ = c1.get_without_ack(100)
+    c1.ack(b0)
+    b1, _ = c1.get_without_ack(100)  # left in flight
+
+    admin = WireConsumer(server.host, server.port, client_id="admin")
+    st = admin.stats()
+    assert st["journal_head"] is not None and len(st["journal_head"]) == 2
+    assert st["n_settled_segments"] == 4
+    rows = {c["client_id"]: c for c in st["clients"]}
+    assert "admin" not in rows  # read-only: no consumer for the caller
+    s1 = rows["s1"]
+    assert s1["attached"] and s1["subscribed"] and s1["inflight"] == 1
+    assert tuple(s1["delivered"]) == c1.delivered_position
+    # lag is visible: acked < delivered <= head
+    assert tuple(s1["cursor"]) < tuple(s1["delivered"]) <= tuple(st["journal_head"])
+    assert [c["client_id"] for c in admin.stats(of="s1")["clients"]] == ["s1"]
+
+    # drained consumer: cursor meets delivered, nothing in flight
+    c1.ack(b1)
+    _drain(c1)
+    s1b = admin.stats(of="s1")["clients"][0]
+    assert s1b["inflight"] == 0
+    assert s1b["cursor"] == s1b["delivered"]
+    assert tuple(s1b["cursor"]) <= tuple(st["journal_head"])
+    admin.close()
+    c1.close()
+
+    # a fresh server over the same state dir reports the durable cursor
+    # without the client attached (restart-visibility)
+    srv2 = ConsumerServer(os.path.join(root, "segments"), str(tmp_path / "state"))
+    srv2.start()
+    try:
+        with WireConsumer(srv2.host, srv2.port, client_id="admin2") as a2:
+            got = {c["client_id"]: c for c in a2.stats()["clients"]}
+            assert got["s1"]["attached"] is False
+            assert got["s1"]["cursor"] == s1b["cursor"]
+            assert got["s1"]["subscribed"] is True
+    finally:
+        srv2.stop()
+
+
+def test_cli_consumer_stats(fx, server, capsys):
+    """CLI wiring: `consumer-stats` prints the stats snapshot as JSON."""
+    from clever_canal_ray.__main__ import main as cli_main
+
+    c = WireConsumer(server.host, server.port, client_id="cli1")
+    c.subscribe()
+    bid, _ = c.get_without_ack(50)
+    c.ack(bid)
+    assert cli_main(["consumer-stats", "--port", str(server.port), "--of", "cli1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [r["client_id"] for r in out["clients"]] == ["cli1"]
+    assert out["clients"][0]["inflight"] == 0
+    c.close()

@@ -40,6 +40,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import Optional
 
 import pyarrow as pa
@@ -291,6 +292,41 @@ class ConsumerServer:
                 {"ok": True, "has_data": True, "n_rows": t.num_rows, "to": to_v},
                 _table_to_ipc(t),
             )
+        if cmd == "snapshot":
+            # catalog-over-the-wire: the remote BOOTSTRAP handshake. A
+            # client with shared-storage access pins one consistent
+            # version (the pointer may advance between calls), bulk
+            # reads the pinned file set itself (Manifest.from_json ->
+            # Lake.read_dataset(m) — the full lake never streams over
+            # this socket), then tails with changes(since=version).
+            lake = self._get_lake("snapshot")
+            m = lake.current()
+            want = req.get("table")
+            lo, hi = 0, m.num_partitions
+            if want is not None:
+                if m.tables is None or want not in m.tables:
+                    raise ValueError(f"unknown table: {want!r}")
+                t_info = m.tables[want]
+                lo, hi = t_info["base_pid"], t_info["base_pid"] + t_info["num_partitions"]
+            files = {
+                pid_s: {
+                    "files": [os.path.join(lake.dir, f) for f in info["files"]],
+                    "rows": info["rows"],
+                }
+                for pid_s, info in m.partitions.items()
+                if lo <= int(pid_s) < hi
+            }
+            return {
+                "ok": True,
+                "version": m.version,
+                "hwm": list(m.hwm),
+                "txn_hwm": m.txn_hwm,
+                "num_partitions": m.num_partitions,
+                "tables": sorted(m.tables) if m.tables is not None else None,
+                "partitions": files,
+                "lake_dir": lake.dir,
+                "manifest": m.to_json(),
+            }, None
         client_id = str(req.get("client_id", "1001"))
         consumer, lock = self._consumer(client_id)
         with lock:
@@ -309,7 +345,18 @@ class ConsumerServer:
                 consumer.subscribe(cfg)
                 return {"ok": True}, None
             if cmd == "get":
-                got = consumer.get_without_ack(int(req.get("batch_size", 4096)))
+                # optional long-poll (the reference getWithoutAck(timeout)
+                # semantics, CanalServerWithEmbedded.getWithoutAck): on a
+                # drained journal, re-check for newly settled segments
+                # until the deadline instead of returning empty. Only
+                # THIS client's session waits — other clients dispatch on
+                # their own handler threads and locks.
+                batch_size = int(req.get("batch_size", 4096))
+                deadline = time.monotonic() + int(req.get("timeout_ms", 0)) / 1000.0
+                got = consumer.get_without_ack(batch_size)
+                while got is None and time.monotonic() < deadline:
+                    time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
+                    got = consumer.get_without_ack(batch_size)
                 if got is None:
                     return {"ok": True, "has_data": False}, None
                 batch_id, t = got
@@ -368,8 +415,25 @@ class WireConsumer:
     def subscribe(self, cfg: dict | None = None) -> None:
         self._call({"cmd": "subscribe", "cfg": cfg})
 
-    def get_without_ack(self, batch_size: int) -> tuple[int, pa.Table] | None:
-        resp, data = self._call({"cmd": "get", "batch_size": batch_size})
+    def get_without_ack(
+        self, batch_size: int, timeout_ms: int | None = None
+    ) -> tuple[int, pa.Table] | None:
+        """``timeout_ms`` long-polls a drained journal server-side (the
+        reference getWithoutAck(timeout)): the call blocks until rows
+        arrive or the deadline passes, instead of returning None
+        immediately. The socket read deadline is widened to cover it."""
+        req: dict = {"cmd": "get", "batch_size": batch_size}
+        old_to = None
+        if timeout_ms:
+            req["timeout_ms"] = int(timeout_ms)
+            old_to = self._sock.gettimeout()
+            if old_to is not None:
+                self._sock.settimeout(old_to + timeout_ms / 1000.0)
+        try:
+            resp, data = self._call(req)
+        finally:
+            if old_to is not None:
+                self._sock.settimeout(old_to)
         if not resp.get("has_data"):
             return None
         self.delivered_position = tuple(resp["delivered"])
@@ -414,6 +478,21 @@ class WireConsumer:
 
     def ping(self) -> bool:
         return bool(self._call({"cmd": "ping"})[0].get("ok"))
+
+    def snapshot(self, table: str | None = None) -> dict:
+        """Remote-bootstrap handshake: pin one consistent lake version
+        and get its file listing + serialized manifest. A client with
+        shared-storage access bulk-reads the pinned files itself
+        (``Manifest.from_json(snap["manifest"])`` →
+        ``Lake(snap["lake_dir"]).read_dataset(m)``), then tails with
+        ``changes(since=snap["version"])`` — the full lake never
+        streams over this socket."""
+        req: dict = {"cmd": "snapshot"}
+        if table is not None:
+            req["table"] = table
+        resp, _ = self._call(req)
+        resp.pop("ok", None)
+        return resp
 
     def stats(self, of: str | None = None) -> dict:
         """Admin snapshot: journal head + per-client cursors/in-flight

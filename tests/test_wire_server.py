@@ -493,3 +493,121 @@ def test_cli_consumer_stats(fx, server, capsys):
     assert [r["client_id"] for r in out["clients"]] == ["cli1"]
     assert out["clients"][0]["inflight"] == 0
     c.close()
+
+
+def test_wire_snapshot_bootstrap_then_tail(ray_session, fx, tmp_path):
+    """Remote bootstrap handshake: `snapshot` pins one lake version with
+    its file listing + manifest; the client bulk-reads the pinned state
+    itself and tails with changes(since=version) — composing exactly to
+    the final lake even though the pointer advanced in between."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake, Manifest
+
+    root, _ = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta")
+    replay(lake, paths[:2], cfg)
+
+    srv = ConsumerServer(seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake"))
+    srv.start()
+    try:
+        wire = WireConsumer(srv.host, srv.port)
+        snap = wire.snapshot()
+        assert snap["version"] == lake.current().version
+        assert snap["tables"] is None and snap["num_partitions"] == 4
+        flat = [f for p in snap["partitions"].values() for f in p["files"]]
+        assert flat and all(os.path.isabs(f) and os.path.exists(f) for f in flat)
+        m = Manifest.from_json(snap["manifest"])
+        assert m.version == snap["version"]
+        t0 = Lake(snap["lake_dir"]).read_table(m=m)
+        assert t0.num_rows > 0  # raw per-file "rows" include delta dups; merge-on-read collapses
+
+        replay(lake, paths[2:], cfg)  # the pointer moves on
+        feed, to = wire.changes(snap["version"], latest_only=True)
+        assert to == lake.current().version > snap["version"]
+
+        # serial apply of the tail onto the pinned snapshot
+        sdf = t0.to_pandas().set_index("doc_id")
+        for _, row in feed.to_pandas().sort_values("__seq").iterrows():
+            if row["__deleted"]:
+                sdf = sdf.drop(row["doc_id"], errors="ignore")
+            else:
+                vals = row.drop(["__seq", "__deleted", "doc_id"])
+                for c in vals.index:
+                    if c not in sdf.columns:
+                        sdf[c] = None
+                sdf.loc[row["doc_id"], vals.index] = vals
+    finally:
+        srv.stop()
+    got = sdf.reset_index().sort_values("doc_id").reset_index(drop=True)
+    exp = lake.read_table().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(exp.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_wire_long_poll_get(fx, tmp_path):
+    """get(timeout_ms=...) long-polls a drained journal server-side (the
+    reference getWithoutAck(timeout)): an expired poll blocks for the
+    timeout then returns None; a segment published mid-poll wakes it
+    with the new rows."""
+    import shutil
+    import threading
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    root, _ = fx
+    seg_src = os.path.join(root, "segments")
+    names = sorted(n for n in os.listdir(seg_src) if n.endswith(".parquet"))
+    assert len(names) == 4
+    live = tmp_path / "livejournal"
+    os.makedirs(live)
+
+    def publish(name: str) -> None:
+        # sidecar first, then the parquet atomically (rename within the
+        # dir) — the consumer discovers segments by parquet presence
+        side = name + ".plan.json"
+        if os.path.exists(os.path.join(seg_src, side)):
+            shutil.copyfile(os.path.join(seg_src, side), os.path.join(live, side))
+        tmp = os.path.join(live, name + ".tmp")
+        shutil.copyfile(os.path.join(seg_src, name), tmp)
+        os.replace(tmp, os.path.join(live, name))
+
+    for n in names[:3]:
+        publish(n)
+
+    srv = ConsumerServer(str(live), str(tmp_path / "state"))
+    srv.start()
+    try:
+        c = WireConsumer(srv.host, srv.port, client_id="lp")
+        c.subscribe()
+        _drain(c)
+        # expired long-poll: blocks for the timeout, then empty
+        t0 = _time.monotonic()
+        assert c.get_without_ack(500, timeout_ms=300) is None
+        assert _time.monotonic() - t0 >= 0.28
+
+        th = threading.Thread(target=lambda: (_time.sleep(0.5), publish(names[3])))
+        th.start()
+        t0 = _time.monotonic()
+        got = c.get_without_ack(10_000, timeout_ms=30_000)
+        elapsed = _time.monotonic() - t0
+        th.join()
+        assert got is not None, "long-poll missed the mid-poll publish"
+        bid, t = got
+        assert t.num_rows == pq.read_metadata(os.path.join(seg_src, names[3])).num_rows
+        assert elapsed >= 0.45  # woke on arrival, not instantly
+        c.ack(bid)
+        assert c.get_without_ack(10) is None  # immediate mode still empty-fast
+        c.close()
+    finally:
+        srv.stop()

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Optional
 
@@ -119,13 +120,30 @@ class ChangeConsumer:
         self._subscribed = True
         self._persist()
 
-    def get_without_ack(self, batch_size: int) -> tuple[int, pa.Table] | None:
+    def get_without_ack(
+        self, batch_size: int, timeout_ms: int | None = None
+    ) -> tuple[int, pa.Table] | None:
         """Cut the next ~``batch_size`` events after the delivered
         cursor. Returns None when the stream is drained. The batch
         always ends on a transaction boundary; a transaction longer
         than batch_size grows the window, so the batch may exceed
         batch_size by at most one transaction. Successive gets return
-        successive batches (multi-entry in-flight FIFO ledger)."""
+        successive batches (multi-entry in-flight FIFO ledger).
+
+        ``timeout_ms`` long-polls a drained journal (the reference
+        getWithoutAck(timeout), CanalServerWithEmbedded): re-check for
+        newly settled segments every 50 ms until the deadline instead
+        of returning None immediately."""
+        got = self._get_once(batch_size)
+        if got is not None or not timeout_ms:
+            return got
+        deadline = time.monotonic() + int(timeout_ms) / 1000.0
+        while got is None and time.monotonic() < deadline:
+            time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
+            got = self._get_once(batch_size)
+        return got
+
+    def _get_once(self, batch_size: int) -> tuple[int, pa.Table] | None:
         if not self._subscribed:
             raise RuntimeError("subscribe() first")
         start = self._delivered

@@ -160,33 +160,61 @@ class AggregateMaintainer:
     def run_to_end(self, batch_size: int = 50_000) -> int:
         """Drain the stream; returns the number of batches folded in.
         Safe to call repeatedly and after a crash at any point."""
+        return self.run_follow(batch_size, poll_ms=0, idle_rounds=1)
+
+    def run_follow(
+        self,
+        batch_size: int = 50_000,
+        poll_ms: int = 1_000,
+        idle_rounds: int = 3,
+        stop=None,
+    ) -> int:
+        """Live downstream: keep folding as segments arrive, long-polling
+        the consumer ``poll_ms`` per get (getWithoutAck(timeout)
+        semantics — works over both ChangeConsumer and WireConsumer).
+        Returns the number of batches folded, after ``idle_rounds``
+        consecutive empty polls or when ``stop()`` turns truthy."""
         self.consumer.subscribe()
         # a previous crash may have left in-flight batches: redeliver
         self.consumer.rollback()
         folded = 0
-        while True:
-            got = self.consumer.get_without_ack(batch_size)
+        idle = 0
+        while idle < idle_rounds and not (stop is not None and stop()):
+            if poll_ms:
+                got = self.consumer.get_without_ack(batch_size, timeout_ms=poll_ms)
+            else:  # plain drain — injected consumers need only the 1-arg surface
+                got = self.consumer.get_without_ack(batch_size)
             if got is None:
-                return folded
-            batch_id, events = got
-            ack = self.consumer.delivered_position
-            ack_pos = int(pack_position(ack[0], ack[1]))
-            if ack_pos > self._applied_pos:
-                # row-level D3 rule, not a whole-batch skip: a resume
-                # with a different batch_size re-cuts the stream, so a
-                # redelivered batch may STRADDLE applied_pos — fold only
-                # rows strictly above it
-                pos = pack_position(
-                    events["segment_id"].to_numpy(zero_copy_only=False),
-                    events["offset"].to_numpy(zero_copy_only=False),
-                )
-                fresh = pos > self._applied_pos
-                self._fold(events.filter(pa.array(fresh)) if not fresh.all() else events)
-                self._applied_pos = ack_pos
-                self._persist()  # phase 1: state durable before the ack
-                folded += 1
-            # else: redelivered batch already folded — just re-ack
-            self.consumer.ack(batch_id)
+                idle += 1
+                continue
+            idle = 0
+            folded += self._apply_batch(got)
+        return folded
+
+    def _apply_batch(self, got: tuple) -> int:
+        """Fold one delivered batch (exactly-once), ack it; returns 1 if
+        it was fresh, 0 if it was an already-folded redelivery."""
+        batch_id, events = got
+        ack = self.consumer.delivered_position
+        ack_pos = int(pack_position(ack[0], ack[1]))
+        folded = 0
+        if ack_pos > self._applied_pos:
+            # row-level D3 rule, not a whole-batch skip: a resume
+            # with a different batch_size re-cuts the stream, so a
+            # redelivered batch may STRADDLE applied_pos — fold only
+            # rows strictly above it
+            pos = pack_position(
+                events["segment_id"].to_numpy(zero_copy_only=False),
+                events["offset"].to_numpy(zero_copy_only=False),
+            )
+            fresh = pos > self._applied_pos
+            self._fold(events.filter(pa.array(fresh)) if not fresh.all() else events)
+            self._applied_pos = ack_pos
+            self._persist()  # phase 1: state durable before the ack
+            folded = 1
+        # else: redelivered batch already folded — just re-ack
+        self.consumer.ack(batch_id)
+        return folded
 
     # -- delta application -------------------------------------------------
 

@@ -40,7 +40,6 @@ import socket
 import socketserver
 import struct
 import threading
-import time
 from typing import Optional
 
 import pyarrow as pa
@@ -345,18 +344,14 @@ class ConsumerServer:
                 consumer.subscribe(cfg)
                 return {"ok": True}, None
             if cmd == "get":
-                # optional long-poll (the reference getWithoutAck(timeout)
-                # semantics, CanalServerWithEmbedded.getWithoutAck): on a
-                # drained journal, re-check for newly settled segments
-                # until the deadline instead of returning empty. Only
-                # THIS client's session waits — other clients dispatch on
+                # optional long-poll (getWithoutAck(timeout) semantics),
+                # implemented by the hosted ChangeConsumer. Only THIS
+                # client's session waits — other clients dispatch on
                 # their own handler threads and locks.
-                batch_size = int(req.get("batch_size", 4096))
-                deadline = time.monotonic() + int(req.get("timeout_ms", 0)) / 1000.0
-                got = consumer.get_without_ack(batch_size)
-                while got is None and time.monotonic() < deadline:
-                    time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
-                    got = consumer.get_without_ack(batch_size)
+                got = consumer.get_without_ack(
+                    int(req.get("batch_size", 4096)),
+                    timeout_ms=int(req.get("timeout_ms", 0)) or None,
+                )
                 if got is None:
                     return {"ok": True, "has_data": False}, None
                 batch_id, t = got

@@ -318,3 +318,46 @@ def test_pending_cache_across_segment_arrival(fx, tmp_path):
         ]
     )
     assert np.array_equal(got_pos, want_pos)
+
+
+def test_long_poll_wakes_on_published_segment(fx, tmp_path):
+    """get_without_ack(timeout_ms=...) — the embedded
+    getWithoutAck(timeout): an expired poll blocks for the timeout and
+    returns None; a segment published mid-poll wakes it."""
+    import shutil
+    import threading
+    import time
+
+    spec, info, total, root = fx
+    seg_src = os.path.join(root, "segments")
+    names = sorted(n for n in os.listdir(seg_src) if n.endswith(".parquet"))
+    live = tmp_path / "live"
+    os.makedirs(live)
+
+    def publish(name: str) -> None:
+        side = name + ".plan.json"
+        if os.path.exists(os.path.join(seg_src, side)):
+            shutil.copyfile(os.path.join(seg_src, side), os.path.join(live, side))
+        tmp = os.path.join(live, name + ".tmp")
+        shutil.copyfile(os.path.join(seg_src, name), tmp)
+        os.replace(tmp, os.path.join(live, name))
+
+    for n in names[:-1]:
+        publish(n)
+    c = ChangeConsumer(str(live), str(tmp_path / "state"))
+    c.subscribe()
+    _drain(c)
+    t0 = time.monotonic()
+    assert c.get_without_ack(500, timeout_ms=250) is None
+    assert time.monotonic() - t0 >= 0.23
+
+    th = threading.Thread(target=lambda: (time.sleep(0.4), publish(names[-1])))
+    th.start()
+    t0 = time.monotonic()
+    got = c.get_without_ack(10_000, timeout_ms=30_000)
+    elapsed = time.monotonic() - t0
+    th.join()
+    assert got is not None and got[1].num_rows > 0
+    assert elapsed >= 0.35
+    c.ack(got[0])
+    assert sum(t.num_rows for _, t in _drain(c)) + got[1].num_rows > 0

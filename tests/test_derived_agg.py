@@ -176,3 +176,48 @@ def test_maintainer_over_wire_consumer(tmp_path):
         wire.close()
     finally:
         srv.stop()
+
+
+def test_run_follow_tracks_live_journal(tmp_path):
+    """run_follow: the maintainer stays up while segments arrive,
+    long-polls the consumer, folds each batch as it lands, and exits
+    after idle_rounds empty polls — ending at the full-stream oracle."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    spec = EventLogSpec(seed=97, n_initial_docs=150, n_events=1200, n_segments=4)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    src = str(root / "segments")
+    names = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+
+    def publish(name: str) -> None:
+        side = name + ".plan.json"
+        if os.path.exists(os.path.join(src, side)):
+            shutil.copyfile(os.path.join(src, side), os.path.join(live, side))
+        tmp = os.path.join(live, name + ".tmp")
+        shutil.copyfile(os.path.join(src, name), tmp)
+        os.replace(tmp, os.path.join(live, name))
+
+    publish(names[0])
+    m = AggregateMaintainer(live, str(tmp_path / "state"))
+    m.seed(generate_lake(spec))
+
+    def feed() -> None:
+        for n in names[1:]:
+            time.sleep(0.3)
+            publish(n)
+
+    th = threading.Thread(target=feed)
+    th.start()
+    folded = m.run_follow(batch_size=200, poll_ms=400, idle_rounds=4)
+    th.join()
+    assert folded > 3
+    pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
+    # follow again on the now-static journal: idles out, state unchanged
+    assert m.run_follow(batch_size=200, poll_ms=100, idle_rounds=2) == 0
+    pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))

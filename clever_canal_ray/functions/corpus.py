@@ -289,6 +289,98 @@ def stratified_sample(ds, rates_permille: dict, source_col: str, id_col: str, mi
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def mix_rates(
+    ds,
+    weights: dict[str, float],
+    source_col: str = "source",
+    tokens_col: str = "n_tok",
+    total_tokens: float | None = None,
+    max_sources: int = 100_000,
+) -> dict:
+    """Per-source keep-rates (permille) for a target token MIX — the
+    domain-reweighting step of training-data assembly (compute rates
+    here, apply them with :func:`stratified_sample` / :func:`mix_sample`).
+
+    One streaming pass computes each source's available tokens A_s
+    (per-batch partial sums: rows out ≤ sources per batch, no shuffle;
+    the final merge handles ≤ ``max_sources`` rows on the driver — the
+    dimension-column assumption, guarded). Weights are normalized; the
+    target for source s is w_s × B. With ``total_tokens=None``, B is
+    the largest budget achievable WITHOUT upsampling, min_s A_s / w_s:
+    the binding source keeps everything (rate 1000) and the rest
+    downsample to match the mix. An explicit ``total_tokens`` beyond a
+    source's supply caps that source at 1000 and reports the shortfall
+    in ``deficit`` — this sampler never duplicates rows. Rates floor to
+    permille, so realized shares can undershoot a target by <0.1%.
+
+    Returns ``{"rates_permille", "budget_tokens", "available",
+    "target", "deficit"}``.
+    """
+    w = {str(k): float(v) for k, v in weights.items() if float(v) > 0}
+    if not w:
+        raise ValueError("mix_rates: at least one positive weight required")
+    tot_w = sum(w.values())
+    w = {k: v / tot_w for k, v in w.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(source_col, dropna=False)[tokens_col].sum().reset_index()
+        g.columns = ["source", "tok"]
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts["source"].nunique() > max_sources:
+        raise ValueError(
+            f"mix_rates: {parts['source'].nunique()} distinct sources "
+            f"(> max_sources={max_sources}) — {source_col!r} is not a "
+            "dimension column; aggregate upstream or raise the cap"
+        )
+    avail = parts.groupby("source")["tok"].sum().astype(float).to_dict()
+    dry = [s for s in w if avail.get(s, 0.0) <= 0]
+    if dry:
+        raise ValueError(f"mix_rates: weighted sources with no tokens: {sorted(dry)}")
+    b_max = min(avail[s] / w[s] for s in w)
+    budget = float(total_tokens) if total_tokens is not None else b_max
+    rates: dict[str, int] = {}
+    target: dict[str, float] = {}
+    deficit: dict[str, float] = {}
+    for s, ws in w.items():
+        t = ws * budget
+        target[s] = t
+        rates[s] = min(1000, int(1000.0 * t / avail[s]))
+        if t > avail[s]:
+            deficit[s] = t - avail[s]
+    return {
+        "rates_permille": rates,
+        "budget_tokens": budget,
+        "available": {s: avail[s] for s in w},
+        "target": target,
+        "deficit": deficit,
+    }
+
+
+def mix_sample(
+    ds,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tok",
+    total_tokens: float | None = None,
+    mirror: bool = False,
+):
+    """One-call domain mixing: :func:`mix_rates` → :func:`stratified_
+    sample`. Two streaming passes over ``ds`` (a tiny per-source token
+    aggregate, then the hash-deterministic filter — no shuffle in
+    either). Returns ``(sampled_ds, rates_info)``; sources outside
+    ``weights`` are dropped (rate 0)."""
+    info = mix_rates(
+        ds, weights, source_col=source_col, tokens_col=tokens_col, total_tokens=total_tokens
+    )
+    out = stratified_sample(
+        ds, info["rates_permille"], source_col=source_col, id_col=id_col, mirror=mirror
+    )
+    return out, info
+
+
 def span_dedup(ds, id_col: str = "doc_id", text_col: str = "text", span_tokens: int = 10, num_buckets: int = 64):
     """C4/RefinedWeb-style span-level dedup decision: cut each document
     into non-overlapping ``span_tokens``-token windows (the last window

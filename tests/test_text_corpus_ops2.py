@@ -213,3 +213,77 @@ def test_chunk_tokens_vs_duckdb_oracle(ray_session):
     g = out[out["doc_id"] == 49]
     assert g["tok_start"].iloc[0] == 0
     assert (g["tok_start"] + g["tok_len"]).max() == df["n_tok"].iloc[49]
+
+
+def _mix_df(seed=5):
+    rng = np.random.default_rng(seed)
+    n = 6000
+    src = rng.choice(["web", "books", "code"], size=n, p=[0.7, 0.2, 0.1])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": src,
+            "n_tok": rng.integers(50, 150, size=n),
+        }
+    )
+
+
+def test_mix_rates_no_upsampling_budget(ray_session):
+    """With no explicit budget, the binding source keeps rate 1000 and
+    the others downsample so realized token shares hit the weights."""
+    from clever_canal_ray.functions.corpus import mix_rates
+
+    df = _mix_df()
+    w = {"web": 0.5, "books": 0.3, "code": 0.2}
+    info = mix_rates(_ds(df), w)
+    avail = df.groupby("source")["n_tok"].sum().astype(float).to_dict()
+    assert info["available"] == {s: avail[s] for s in w}
+    # binding source = argmin A_s/w_s; here code (10% of rows, 20% weight)
+    assert min(avail[s] / w[s] for s in w) == avail["code"] / w["code"]
+    assert info["rates_permille"]["code"] == 1000
+    assert info["deficit"] == {}
+    b = info["budget_tokens"]
+    for s, ws in w.items():
+        assert info["rates_permille"][s] == min(1000, int(1000 * ws * b / avail[s]))
+
+
+def test_mix_sample_realized_token_shares(ray_session):
+    """End to end: the sampled corpus' per-source token shares land on
+    the target mix (permille granularity + hash noise tolerance), and
+    the op is deterministic."""
+    from clever_canal_ray.functions.corpus import mix_sample
+
+    df = _mix_df()
+    w = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out, info = mix_sample(_ds(df), w)
+    got = out.to_pandas()
+    shares = got.groupby("source")["n_tok"].sum() / got["n_tok"].sum()
+    for s, ws in w.items():
+        assert abs(shares[s] - ws) < 0.04, (s, shares[s], ws)
+    got2, _ = mix_sample(_ds(df), w)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        got2.to_pandas().sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_mix_rates_deficit_and_guards(ray_session):
+    """An over-asked budget caps rates at 1000 and reports the deficit
+    (never duplicates rows); unknown/dry sources and empty weights
+    raise; unweighted sources drop to rate 0 in the sample."""
+    import pytest
+
+    from clever_canal_ray.functions.corpus import mix_rates, mix_sample
+
+    df = _mix_df()
+    w = {"web": 0.5, "code": 0.5}
+    total = float(df["n_tok"].sum()) * 2  # more than the corpus holds
+    info = mix_rates(_ds(df), w, total_tokens=total)
+    assert info["rates_permille"] == {"web": 1000, "code": 1000}
+    assert info["deficit"]["code"] > 0 and info["deficit"]["web"] > 0
+    with pytest.raises(ValueError, match="no tokens"):
+        mix_rates(_ds(df), {"web": 1.0, "wikipedia": 1.0})
+    with pytest.raises(ValueError, match="positive weight"):
+        mix_rates(_ds(df), {"web": 0.0})
+    out, _ = mix_sample(_ds(df), w)
+    assert (out.to_pandas()["source"] == "books").sum() == 0

@@ -316,6 +316,19 @@ def mix_rates(
     Returns ``{"rates_permille", "budget_tokens", "available",
     "target", "deficit"}``.
     """
+    return _mix_rates(ds, weights, source_col, tokens_col, total_tokens, max_sources, False, 0)
+
+
+def _mix_rates(
+    ds,
+    weights,
+    source_col,
+    tokens_col,
+    total_tokens,
+    max_sources,
+    allow_upsampling: bool,
+    max_rate_permille: int,
+) -> dict:
     w = {str(k): float(v) for k, v in weights.items() if float(v) > 0}
     if not w:
         raise ValueError("mix_rates: at least one positive weight required")
@@ -346,9 +359,19 @@ def mix_rates(
     for s, ws in w.items():
         t = ws * budget
         target[s] = t
-        rates[s] = min(1000, int(1000.0 * t / avail[s]))
-        if t > avail[s]:
-            deficit[s] = t - avail[s]
+        r = int(1000.0 * t / avail[s])
+        if allow_upsampling:
+            if r > max_rate_permille:
+                raise ValueError(
+                    f"mix_rates: source {s!r} would repeat {r / 1000:.1f} "
+                    f"epochs (> max_rate_permille={max_rate_permille}‰) — "
+                    "lower its weight/budget or raise the cap"
+                )
+            rates[s] = r
+        else:
+            rates[s] = min(1000, r)
+            if t > avail[s]:
+                deficit[s] = t - avail[s]
     return {
         "rates_permille": rates,
         "budget_tokens": budget,
@@ -356,6 +379,43 @@ def mix_rates(
         "target": target,
         "deficit": deficit,
     }
+
+
+def stratified_sample_epochs(ds, rates_permille: dict, source_col: str, id_col: str, mirror: bool = False):
+    """:func:`stratified_sample` generalized to rates ABOVE 1000‰ —
+    the upsampling half of data mixing (a scarce domain repeated for
+    several epochs). A row with rate r is kept ``r // 1000`` times in
+    full plus once more with probability ``(r % 1000)/1000``; output
+    rows carry an ``epoch`` int column (0-based copy index) so a later
+    global shuffle can interleave the copies. Epoch 0 uses exactly the
+    :func:`stratified_sample` key (bit-identical keeps at r ≤ 1000);
+    epoch e ≥ 1 salts the hash with ``#e{e}`` so fractional epochs
+    draw independent row subsets. Deterministic at any parallelism."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        rates = df[source_col].map(rates_permille).fillna(0).to_numpy(dtype=np.int64)
+        base = df[id_col].astype(str).str.cat(df[source_col].astype(str), sep=":")
+        out = []
+        for e in range(int(rates.max() // 1000 + 1) if len(df) else 0):
+            thr = rates - 1000 * e  # this epoch's permille for each row
+            full = thr >= 1000
+            frac = (thr > 0) & ~full
+            sel = full
+            if frac.any():
+                keys = (base + f"#e{e}" if e else base).to_numpy(dtype=object)
+                h = (_hash_u64(keys, mirror) % np.uint64(1000)).astype(np.int64)
+                sel = full | (frac & (h < thr))
+            if sel.any():
+                part = df[sel].copy()
+                part["epoch"] = np.int64(e)
+                out.append(part)
+        if not out:
+            part = df.head(0).copy()
+            part["epoch"] = pd.Series([], dtype="int64")
+            return part
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def mix_sample(
@@ -366,16 +426,26 @@ def mix_sample(
     tokens_col: str = "n_tok",
     total_tokens: float | None = None,
     mirror: bool = False,
+    allow_upsampling: bool = False,
+    max_rate_permille: int = 10_000,
 ):
     """One-call domain mixing: :func:`mix_rates` → :func:`stratified_
     sample`. Two streaming passes over ``ds`` (a tiny per-source token
     aggregate, then the hash-deterministic filter — no shuffle in
     either). Returns ``(sampled_ds, rates_info)``; sources outside
-    ``weights`` are dropped (rate 0)."""
-    info = mix_rates(
-        ds, weights, source_col=source_col, tokens_col=tokens_col, total_tokens=total_tokens
+    ``weights`` are dropped (rate 0).
+
+    ``allow_upsampling=True`` lets a scarce domain repeat (rates above
+    1000‰, applied with :func:`stratified_sample_epochs`; output rows
+    gain an ``epoch`` column and ``deficit`` stays empty). The epoch
+    count per source is capped at ``max_rate_permille/1000`` — beyond
+    ~10 epochs the duplication itself is usually the bug."""
+    info = _mix_rates(
+        ds, weights, source_col, tokens_col, total_tokens,
+        100_000, allow_upsampling, max_rate_permille,
     )
-    out = stratified_sample(
+    sampler = stratified_sample_epochs if allow_upsampling else stratified_sample
+    out = sampler(
         ds, info["rates_permille"], source_col=source_col, id_col=id_col, mirror=mirror
     )
     return out, info

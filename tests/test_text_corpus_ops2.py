@@ -287,3 +287,53 @@ def test_mix_rates_deficit_and_guards(ray_session):
         mix_rates(_ds(df), {"web": 0.0})
     out, _ = mix_sample(_ds(df), w)
     assert (out.to_pandas()["source"] == "books").sum() == 0
+
+
+def test_mix_sample_upsampling_epochs(ray_session):
+    """allow_upsampling: a scarce domain repeats across epochs to hit
+    the asked budget — full copies per floor(rate/1000), a fractional
+    epoch on an independent hash, epoch 0 bit-identical to the plain
+    sampler, deterministic."""
+    from clever_canal_ray.functions.corpus import (
+        mix_sample,
+        stratified_sample,
+        stratified_sample_epochs,
+    )
+
+    df = _mix_df()
+    w = {"web": 0.5, "code": 0.5}
+    total = float(df[df["source"] != "books"]["n_tok"].sum()) * 1.2
+    out, info = mix_sample(
+        _ds(df), w, total_tokens=total, allow_upsampling=True
+    )
+    got = out.to_pandas()
+    assert info["deficit"] == {}
+    assert info["rates_permille"]["code"] > 1000  # scarce domain upsampled
+    # realized per-source token totals land on the targets
+    tok = got.groupby("source")["n_tok"].sum()
+    for s in w:
+        assert abs(tok[s] - info["target"][s]) / info["target"][s] < 0.03, s
+    # full epochs are exact copies: every code row appears >= floor(r/1000) times
+    n_full = info["rates_permille"]["code"] // 1000
+    counts = got[got["source"] == "code"].groupby("doc_id").size()
+    assert (counts >= n_full).all() and counts.max() == n_full + 1
+    # epoch 0 == the plain (capped) sampler's keep-set for rates <= 1000
+    capped = {s: min(1000, r) for s, r in info["rates_permille"].items()}
+    plain = stratified_sample(_ds(df), capped, "source", "doc_id").to_pandas()
+    e0 = got[got["epoch"] == 0]
+    web_plain = set(plain[plain["source"] == "web"]["doc_id"])
+    web_e0 = set(e0[e0["source"] == "web"]["doc_id"])
+    assert web_plain == web_e0
+    # determinism
+    again = stratified_sample_epochs(
+        _ds(df), info["rates_permille"], "source", "doc_id"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["doc_id", "epoch"]).reset_index(drop=True),
+        again.sort_values(["doc_id", "epoch"]).reset_index(drop=True),
+    )
+    # runaway-epoch guard
+    import pytest
+
+    with pytest.raises(ValueError, match="epochs"):
+        mix_sample(_ds(df), w, total_tokens=total * 50, allow_upsampling=True)

@@ -63,6 +63,18 @@ def _strip_helpers(table: pa.Table) -> pa.Table:
     return table.drop_columns(drop) if drop else table
 
 
+def _pruned_schema(target: pa.Schema, columns: list[str]) -> pa.Schema:
+    """Selected payload fields, with doc_id (the merge key) always first."""
+    names = ["doc_id"] + [c for c in columns if c != "doc_id"]
+    return pa.schema([target.field(n) for n in names])
+
+
+def _validate_columns(columns, target: pa.Schema, what: str) -> None:
+    missing = [c for c in columns if target.get_field_index(c) < 0]
+    if missing:
+        raise ValueError(f"read_dataset: columns not in the {what} schema: {missing}")
+
+
 def ensure_helper_columns(table: pa.Table, seq: int, deleted=None) -> pa.Table:
     if "__seq" not in table.column_names:
         import numpy as np
@@ -970,7 +982,12 @@ class Lake:
             return out_schema.empty_table()
         return pa.concat_tables(tables)
 
-    def read_dataset(self, m: Manifest | None = None, table: str | None = None):
+    def read_dataset(
+        self,
+        m: Manifest | None = None,
+        table: str | None = None,
+        columns: list[str] | None = None,
+    ):
         """Streaming read as a ray.data.Dataset with merge-on-read.
 
         Fast path (fully compacted lake: ≤1 file per partition): plain
@@ -979,6 +996,15 @@ class Lake:
         partition's files merge together (delta-mode read cost — run
         ``compact()`` to return to the fast path).
 
+        ``columns`` prunes the read to the named payload columns (plus
+        ``doc_id``, always included — the merge key): only those
+        columns leave storage. Files are grouped by which of the
+        needed columns their footer actually has (schema evolution:
+        a pre-DDL file lacks later columns), each group reads with
+        column pushdown, and missing columns fill as nulls on the
+        up-cast — so a 2-column scan over a wide lake never pays for
+        the other columns' bytes.
+
         Multi-table lakes: ``table`` reads one table in its own schema;
         table=None unions every table up-cast to the union schema."""
         import ray.data as rd
@@ -986,14 +1012,24 @@ class Lake:
         m = m or self.current()
         if m.tables is not None and table is None:
             union = m.payload_schema
+            if columns is not None:
+                _validate_columns(columns, union, "union")
+                union = _pruned_schema(union, columns)
 
             def widen(t: pa.Table, s=union) -> pa.Table:
                 return upcast_table(t, s)
 
-            parts = [
-                self.read_dataset(m, name).map_batches(widen, batch_format="pyarrow")
-                for name in sorted(m.tables)
-            ]
+            parts = []
+            for name in sorted(m.tables):
+                sub = None
+                if columns is not None:
+                    names = set(m.schema_of_table(name).names)
+                    sub = [c for c in columns if c in names] or ["doc_id"]
+                parts.append(
+                    self.read_dataset(m, name, columns=sub).map_batches(
+                        widen, batch_format="pyarrow"
+                    )
+                )
             ds = parts[0]
             return ds.union(*parts[1:]) if len(parts) > 1 else ds
 
@@ -1008,13 +1044,46 @@ class Lake:
             base, p = 0, m.num_partitions
             target = m.payload_schema
             pids_in = list(m.partitions)
+        if columns is not None:
+            _validate_columns(columns, target, table or "lake")
+            target = _pruned_schema(target, columns)
         files = [
             os.path.join(self.dir, f) for pid_s in pids_in for f in m.partitions[pid_s]["files"]
         ]
         if not files:
             return rd.from_arrow(target.empty_table())
+
+        def _read(files_in):
+            if columns is None:
+                return rd.read_parquet(files_in)
+            # every engine-written file carries the helpers
+            # (_write_part_file → ensure_helper_columns); payload
+            # columns vary across schema evolution, so group files by
+            # which needed columns their footer has and push each
+            # group's subset into the read
+            needed = [f.name for f in target] + list(HELPER_COLS)
+            read_h = pa.schema(
+                list(target)
+                + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+            )
+            groups: dict[frozenset, list] = {}
+            for f in files_in:
+                have = set(pq.read_schema(f).names)
+                groups.setdefault(frozenset(c for c in needed if c in have), []).append(f)
+
+            def widen(t: pa.Table, s=read_h) -> pa.Table:
+                return upcast_table(t, s)
+
+            parts = [
+                rd.read_parquet(fs, columns=sorted(key)).map_batches(
+                    widen, batch_format="pyarrow"
+                )
+                for key, fs in groups.items()
+            ]
+            return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
         if all(len(m.partitions[pid_s]["files"]) <= 1 for pid_s in pids_in):
-            ds = rd.read_parquet(files)
+            ds = _read(files)
 
             def clean(t: pa.Table, s=target) -> pa.Table:
                 if "__deleted" in t.column_names:
@@ -1026,7 +1095,7 @@ class Lake:
         # delta path: recover the partition id per row, merge per pid.
         # __seq (written per file) totally orders the versions per key,
         # so no file-order information is needed after the read.
-        ds = rd.read_parquet(files)
+        ds = _read(files)
 
         def tag(t: pa.Table) -> pa.Table:
             from clever_canal_ray.state.partitioning import partition_ids

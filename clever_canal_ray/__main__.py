@@ -89,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--out", required=True, help="output parquet directory")
     ch.add_argument("--table", default=None)
     ch.add_argument("--latest-only", action="store_true")
+    ch.add_argument("--columns", nargs="+", default=None, help="prune the read to these payload columns")
 
     cs = sub.add_parser("consumer-stats")  # admin: per-client cursor/lag over the wire
     cs.add_argument("--host", default="127.0.0.1")
@@ -190,7 +191,11 @@ def main(argv: list[str] | None = None) -> int:
         _ray_session()
         lake = Lake(args.lake)
         ds = lake.read_changes(
-            args.since, to_version=args.to, table=args.table, latest_only=args.latest_only
+            args.since,
+            to_version=args.to,
+            table=args.table,
+            latest_only=args.latest_only,
+            columns=args.columns,
         )
         ds.write_parquet(args.out)
         import pyarrow.dataset as pads

@@ -281,11 +281,13 @@ class ConsumerServer:
             # lands while we read must not advance the to-version the
             # client will poll from next (rows would be skipped forever)
             to_v = int(to) if to is not None else lake.current().version
+            cols = req.get("columns")
             t = lake.read_changes_table(
                 int(req["since"]),
                 to_version=to_v,
                 table=req.get("table"),
                 latest_only=bool(req.get("latest_only", False)),
+                columns=list(cols) if cols is not None else None,
             )
             return (
                 {"ok": True, "has_data": True, "n_rows": t.num_rows, "to": to_v},
@@ -459,15 +461,20 @@ class WireConsumer:
         to: int | None = None,
         table: str | None = None,
         latest_only: bool = False,
+        columns: list[str] | None = None,
     ) -> tuple[pa.Table, int]:
         """Incremental change feed between manifest versions (requires
         ``lake_dir`` on the server). Returns (rows, served_to_version) —
-        poll with ``since = served_to_version`` to tail the lake."""
+        poll with ``since = served_to_version`` to tail the lake.
+        ``columns`` prunes the server-side read AND the wire payload to
+        the named payload columns (+ doc_id and the feed helpers)."""
         req = {"cmd": "changes", "since": int(since), "latest_only": latest_only}
         if to is not None:
             req["to"] = int(to)
         if table is not None:
             req["table"] = table
+        if columns is not None:
+            req["columns"] = list(columns)
         resp, data = self._call(req)
         return _ipc_to_table(data), int(resp["to"])
 

@@ -75,6 +75,31 @@ def _validate_columns(columns, target: pa.Schema, what: str) -> None:
         raise ValueError(f"read_dataset: columns not in the {what} schema: {missing}")
 
 
+def _read_files_pruned(files: list[str], read_h: pa.Schema):
+    """``rd.read_parquet`` with column pushdown across heterogeneous
+    footers: group files by which of the needed columns they actually
+    have (schema evolution — pre-DDL files lack later columns), read
+    each group with its subset, up-cast to ``read_h`` (missing → null),
+    union. Engine-written files always carry the helper columns
+    (_write_part_file → ensure_helper_columns)."""
+    import ray.data as rd
+
+    needed = [f.name for f in read_h]
+    groups: dict[frozenset, list] = {}
+    for f in files:
+        have = set(pq.read_schema(f).names)
+        groups.setdefault(frozenset(c for c in needed if c in have), []).append(f)
+
+    def widen(t: pa.Table, s=read_h) -> pa.Table:
+        return upcast_table(t, s)
+
+    parts = [
+        rd.read_parquet(fs, columns=sorted(key)).map_batches(widen, batch_format="pyarrow")
+        for key, fs in groups.items()
+    ]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def ensure_helper_columns(table: pa.Table, seq: int, deleted=None) -> pa.Table:
     if "__seq" not in table.column_names:
         import numpy as np
@@ -1056,31 +1081,11 @@ class Lake:
         def _read(files_in):
             if columns is None:
                 return rd.read_parquet(files_in)
-            # every engine-written file carries the helpers
-            # (_write_part_file → ensure_helper_columns); payload
-            # columns vary across schema evolution, so group files by
-            # which needed columns their footer has and push each
-            # group's subset into the read
-            needed = [f.name for f in target] + list(HELPER_COLS)
             read_h = pa.schema(
                 list(target)
                 + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
             )
-            groups: dict[frozenset, list] = {}
-            for f in files_in:
-                have = set(pq.read_schema(f).names)
-                groups.setdefault(frozenset(c for c in needed if c in have), []).append(f)
-
-            def widen(t: pa.Table, s=read_h) -> pa.Table:
-                return upcast_table(t, s)
-
-            parts = [
-                rd.read_parquet(fs, columns=sorted(key)).map_batches(
-                    widen, batch_format="pyarrow"
-                )
-                for key, fs in groups.items()
-            ]
-            return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            return _read_files_pruned(files_in, read_h)
 
         if all(len(m.partitions[pid_s]["files"]) <= 1 for pid_s in pids_in):
             ds = _read(files)
@@ -1222,11 +1227,13 @@ class Lake:
         to_version: int | None,
         table: str | None,
         latest_only: bool,
+        columns: list[str] | None = None,
     ) -> tuple[list[str], pa.Schema, pa.Schema, int, int]:
         """Manifest-only diff shared by ``read_changes`` (streaming) and
         ``read_changes_table`` (serial serving path): absolute paths of
-        files ADDED in the window, the payload/helper target schemas,
-        the ``__seq`` floor, and the partition count for latest_only."""
+        files ADDED in the window, the payload/helper target schemas
+        (pruned to ``columns`` + doc_id when given), the ``__seq``
+        floor, and the partition count for latest_only."""
         old = self.manifest_at(since_version)
         new = self.manifest_at(to_version) if to_version is not None else self.current()
         if new.tables is not None and table is not None:
@@ -1240,6 +1247,9 @@ class Lake:
             lo, hi = 0, 1 << 62
             target = new.payload_schema
             p_count = new.num_partitions
+        if columns is not None:
+            _validate_columns(columns, target, table or "lake")
+            target = _pruned_schema(target, columns)
         target_h = pa.schema(
             list(target) + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
             metadata=target.metadata,
@@ -1260,6 +1270,7 @@ class Lake:
         to_version: int | None = None,
         table: str | None = None,
         latest_only: bool = False,
+        columns: list[str] | None = None,
     ) -> pa.Table:
         """Driver-serial materialized change feed — the SERVING-PATH
         variant of ``read_changes`` (same plan, same semantics,
@@ -1267,14 +1278,21 @@ class Lake:
         without a Ray session (the wire server's ``changes`` RPC).
         Reads one window file at a time; intended for the bounded
         windows a downstream consumer polls — use the streaming
-        ``read_changes`` for bulk exports."""
+        ``read_changes`` for bulk exports. ``columns`` prunes the read
+        (+ doc_id and the helpers) so a tail-poller of a wide lake only
+        pays for the columns it asks for."""
         files, target, target_h, seq_floor, _ = self._changes_plan(
-            since_version, to_version, table, latest_only
+            since_version, to_version, table, latest_only, columns
         )
+        needed = [f.name for f in target_h]
         clean_h = pa.schema(list(target_h))
         tables = []
         for f in files:
-            t = pq.read_table(f)
+            if columns is None:
+                t = pq.read_table(f)
+            else:
+                have = set(pq.read_schema(f).names)
+                t = pq.read_table(f, columns=[c for c in needed if c in have])
             t = upcast_table(ensure_helper_columns(t, seq=-1), target_h)
             t = t.filter(pc.greater(t["__seq"], pa.scalar(seq_floor, pa.int64())))
             if t.num_rows:
@@ -1294,6 +1312,7 @@ class Lake:
         to_version: int | None = None,
         table: str | None = None,
         latest_only: bool = False,
+        columns: list[str] | None = None,
     ):
         """Incremental change feed between two manifest versions — the
         Iceberg incremental-scan analog of a Canal client tailing the
@@ -1319,11 +1338,16 @@ class Lake:
         ``latest_only=True``: collapse to one row per key (last writer
         in the window, tombstones kept) — requires ``table=`` on
         multi-table lakes (keys are only unique within a table).
+
+        ``columns`` prunes the read to the named payload columns
+        (+ doc_id and the __seq/__deleted helpers, which the feed's
+        semantics need) — same footer-grouped pushdown as
+        ``read_dataset``.
         """
         import ray.data as rd
 
         files, target, target_h, seq_floor, p_count = self._changes_plan(
-            since_version, to_version, table, latest_only
+            since_version, to_version, table, latest_only, columns
         )
         clean_h = pa.schema(list(target_h))
         if not files:
@@ -1334,7 +1358,8 @@ class Lake:
             out = t.filter(pc.greater(t["__seq"], pa.scalar(floor, pa.int64())))
             return out.replace_schema_metadata(None)
 
-        ds = rd.read_parquet(files).map_batches(window_rows, batch_format="pyarrow")
+        raw = rd.read_parquet(files) if columns is None else _read_files_pruned(files, target_h)
+        ds = raw.map_batches(window_rows, batch_format="pyarrow")
         if not latest_only:
             return ds
 

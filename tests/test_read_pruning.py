@@ -101,3 +101,30 @@ def test_pruned_read_multi_table_union(ray_session, tmp_path):
     )
     _cmp(mlake, ["n_tok"])  # union read
     _cmp(mlake, ["n_tok", "source"], table="lake.t0")  # single-table read
+
+
+def test_pruned_change_feed_streaming_and_serial(ray_session, lake):
+    """The change feed prunes too — streaming read_changes and the
+    serial serving read_changes_table agree with the full feed
+    projected, tombstones and __seq intact."""
+    import pyarrow as pa
+    import ray
+
+    feed_full = pa.concat_tables(
+        ray.get(lake.read_changes(0).to_arrow_refs()), promote_options="default"
+    )
+    feed_cols = pa.concat_tables(
+        ray.get(lake.read_changes(0, columns=["n_tok"]).to_arrow_refs()),
+        promote_options="default",
+    )
+    assert sorted(feed_cols.column_names) == ["__deleted", "__seq", "doc_id", "n_tok"]
+    keep = sorted(feed_cols.column_names)
+    a = feed_cols.select(keep).sort_by([("doc_id", "ascending"), ("__seq", "ascending")])
+    b = feed_full.select(keep).sort_by([("doc_id", "ascending"), ("__seq", "ascending")])
+    assert a.equals(b)
+    serial = lake.read_changes_table(0, columns=["n_tok"])
+    assert serial.select(keep).sort_by(
+        [("doc_id", "ascending"), ("__seq", "ascending")]
+    ).equals(b)
+    with pytest.raises(ValueError, match="not in the"):
+        lake.read_changes_table(0, columns=["nope"])

@@ -611,3 +611,36 @@ def test_wire_long_poll_get(fx, tmp_path):
         c.close()
     finally:
         srv.stop()
+
+
+def test_wire_changes_column_pruning(ray_session, fx, tmp_path):
+    """columns= on the changes RPC prunes the server read AND the wire
+    payload; values match the full feed projected."""
+    from clever_canal_ray.config import ReplayConfig
+    from clever_canal_ray.fixtures.generator import generate_lake
+    from clever_canal_ray.pipelines.replay import replay
+    from clever_canal_ray.state.manifest import Lake
+
+    root, _ = fx
+    spec = EventLogSpec(seed=43, n_initial_docs=100, n_events=800, n_segments=4)
+    lake = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    seg_dir = os.path.join(root, "segments")
+    paths = sorted(os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet"))
+    replay(lake, paths, ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta"))
+
+    srv = ConsumerServer(seg_dir, str(tmp_path / "state"), lake_dir=str(tmp_path / "lake"))
+    srv.start()
+    try:
+        with WireConsumer(srv.host, srv.port) as wire:
+            slim, to1 = wire.changes(0, columns=["n_tok"])
+            full, to2 = wire.changes(0)
+            assert to1 == to2
+            assert sorted(slim.column_names) == ["__deleted", "__seq", "doc_id", "n_tok"]
+            keep = sorted(slim.column_names)
+            order = [("doc_id", "ascending"), ("__seq", "ascending")]
+            assert slim.select(keep).sort_by(order).equals(full.select(keep).sort_by(order))
+            assert len(slim.to_pandas().to_json()) < len(full.to_pandas().to_json())
+            with pytest.raises(RuntimeError, match="not in the"):
+                wire.changes(0, columns=["nope"])
+    finally:
+        srv.stop()

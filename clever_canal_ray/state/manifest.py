@@ -75,7 +75,7 @@ def _validate_columns(columns, target: pa.Schema, what: str) -> None:
         raise ValueError(f"read_dataset: columns not in the {what} schema: {missing}")
 
 
-def _read_files_pruned(files: list[str], read_h: pa.Schema):
+def _read_files_pruned(files: list[str], read_h: pa.Schema, scan_filter=None):
     """``rd.read_parquet`` with column pushdown across heterogeneous
     footers: group files by which of the needed columns they actually
     have (schema evolution — pre-DDL files lack later columns), read
@@ -93,8 +93,11 @@ def _read_files_pruned(files: list[str], read_h: pa.Schema):
     def widen(t: pa.Table, s=read_h) -> pa.Table:
         return upcast_table(t, s)
 
+    kw = {} if scan_filter is None else {"filter": scan_filter}
     parts = [
-        rd.read_parquet(fs, columns=sorted(key)).map_batches(widen, batch_format="pyarrow")
+        rd.read_parquet(fs, columns=sorted(key), **kw).map_batches(
+            widen, batch_format="pyarrow"
+        )
         for key, fs in groups.items()
     ]
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
@@ -1012,6 +1015,7 @@ class Lake:
         m: Manifest | None = None,
         table: str | None = None,
         columns: list[str] | None = None,
+        filter=None,
     ):
         """Streaming read as a ray.data.Dataset with merge-on-read.
 
@@ -1029,6 +1033,16 @@ class Lake:
         column pushdown, and missing columns fill as nulls on the
         up-cast — so a 2-column scan over a wide lake never pays for
         the other columns' bytes.
+
+        ``filter`` (a ``pyarrow.compute`` Expression over RESULT columns
+        — i.e. over ``columns`` when that is given) selects rows of the
+        CURRENT state: it is applied after merge-on-read, so an old
+        version matching the predicate can never resurrect a key whose
+        latest version does not. On the compacted fast path with a
+        uniform file schema the expression is additionally pushed into
+        the parquet scan (row-group statistics skip I/O); the delta
+        path never pushes below the merge — that would be the
+        resurrection bug.
 
         Multi-table lakes: ``table`` reads one table in its own schema;
         table=None unions every table up-cast to the union schema."""
@@ -1056,7 +1070,14 @@ class Lake:
                     )
                 )
             ds = parts[0]
-            return ds.union(*parts[1:]) if len(parts) > 1 else ds
+            ds = ds.union(*parts[1:]) if len(parts) > 1 else ds
+            if filter is not None:
+                # after the widen: a column missing from one table reads
+                # as null there and the predicate sees it (null = no match)
+                ds = ds.map_batches(
+                    lambda t, e=filter: t.filter(e), batch_format="pyarrow"
+                )
+            return ds
 
         if table is not None:
             trec = m.tables[table]
@@ -1078,22 +1099,34 @@ class Lake:
         if not files:
             return rd.from_arrow(target.empty_table())
 
-        def _read(files_in):
+        def _read(files_in, scan_filter=None):
             if columns is None:
-                return rd.read_parquet(files_in)
+                return (
+                    rd.read_parquet(files_in)
+                    if scan_filter is None
+                    else rd.read_parquet(files_in, filter=scan_filter)
+                )
             read_h = pa.schema(
                 list(target)
                 + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
             )
-            return _read_files_pruned(files_in, read_h)
+            return _read_files_pruned(files_in, read_h, scan_filter=scan_filter)
 
         if all(len(m.partitions[pid_s]["files"]) <= 1 for pid_s in pids_in):
-            ds = _read(files)
+            pushdown = None
+            if filter is not None:
+                # scan pushdown is safe on the fast path (each row is its
+                # key's final version) but only with a uniform file schema
+                # — otherwise a referenced column may be missing per file
+                if len({frozenset(pq.read_schema(f).names) for f in files}) == 1:
+                    pushdown = filter
+            ds = _read(files, scan_filter=pushdown)
 
-            def clean(t: pa.Table, s=target) -> pa.Table:
+            def clean(t: pa.Table, s=target, e=filter) -> pa.Table:
                 if "__deleted" in t.column_names:
                     t = t.filter(pc.invert(t["__deleted"].combine_chunks() if isinstance(t["__deleted"], pa.ChunkedArray) else t["__deleted"]))
-                return upcast_table(_strip_helpers(t), s)
+                out = upcast_table(_strip_helpers(t), s)
+                return out.filter(e) if e is not None else out
 
             return ds.map_batches(clean, batch_format="pyarrow")
 
@@ -1108,8 +1141,11 @@ class Lake:
             pids = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), p)
             return t.append_column("__pid", pa.array(pids, pa.int32()))
 
-        def merge(group: pa.Table, s=target) -> pa.Table:
-            return merge_partition_files([group.drop_columns(["__pid"])], s)
+        def merge(group: pa.Table, s=target, e=filter) -> pa.Table:
+            out = merge_partition_files([group.drop_columns(["__pid"])], s)
+            # post-merge only: filtering the raw versions could drop a
+            # key's latest row and resurrect an older matching one
+            return out.filter(e) if e is not None else out
 
         return ds.map_batches(tag, batch_format="pyarrow").groupby("__pid").map_groups(
             merge, batch_format="pyarrow"

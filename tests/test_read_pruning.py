@@ -128,3 +128,82 @@ def test_pruned_change_feed_streaming_and_serial(ray_session, lake):
     ).equals(b)
     with pytest.raises(ValueError, match="not in the"):
         lake.read_changes_table(0, columns=["nope"])
+
+
+def _pc():
+    import pyarrow.compute as pc
+
+    return pc
+
+
+def test_filtered_read_delta_post_merge(lake):
+    """The predicate applies to CURRENT state: an old version matching
+    it never resurrects a key whose latest version does not (delta
+    path filters strictly post-merge)."""
+    pc = _pc()
+    full = lake.read_dataset().to_pandas()
+    got = lake.read_dataset(filter=pc.field("n_tok") > 100).to_pandas()
+    exp = full[full["n_tok"] > 100]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_filtered_read_fast_path_pushdown(ray_session, lake, tmp_path):
+    """Compacted lake: same answer, with the expression pushed into the
+    parquet scan (uniform footers after compaction)."""
+    import shutil
+
+    pc = _pc()
+    dst = str(tmp_path / "lake_cf")
+    shutil.copytree(lake.dir, dst)
+    lk = Lake(dst)
+    lk.compact()
+    full = lk.read_dataset().to_pandas()
+    got = lk.read_dataset(filter=pc.field("source") == "web").to_pandas()
+    exp = full[full["source"] == "web"]
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp.sort_values("doc_id").reset_index(drop=True),
+    )
+    # composes with column pruning (filter over a selected column)
+    got2 = lk.read_dataset(
+        columns=["source"], filter=pc.field("source") == "web"
+    ).to_pandas()
+    assert list(got2.columns) == ["doc_id", "source"]
+    assert sorted(got2["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_filtered_read_evolved_column_null_no_match(lake):
+    """Filtering on the mid-stream-added column: pre-DDL rows read null
+    there, and null does not match — SQL semantics."""
+    pc = _pc()
+    full = lake.read_dataset().to_pandas()
+    got = lake.read_dataset(filter=pc.field("lang") == "xx").to_pandas()
+    exp = full[full["lang"] == "xx"]
+    assert len(got) == len(exp)
+    if len(exp):
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True),
+            exp.sort_values("doc_id").reset_index(drop=True),
+        )
+
+
+def test_filtered_read_multi_table_union(ray_session, tmp_path):
+    pc = _pc()
+    spec = EventLogSpec(seed=73, n_initial_docs=60, n_events=300, n_segments=2)
+    minfo = write_multi_table_fixture(spec, str(tmp_path / "mfx"), n_tables=2)
+    mlake = Lake.create_multi(
+        str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=2
+    )
+    replay(
+        mlake,
+        minfo["segment_paths"],
+        ReplayConfig(segments_per_batch=2, sink_mode="delta"),
+    )
+    full = mlake.read_dataset().to_pandas()
+    got = mlake.read_dataset(filter=pc.field("n_tok") <= 80).to_pandas()
+    exp = full[full["n_tok"] <= 80]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])

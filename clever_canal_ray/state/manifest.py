@@ -1021,9 +1021,11 @@ class Lake:
 
         Fast path (fully compacted lake: ≤1 file per partition): plain
         parallel read, tombstone filter + up-cast per batch, no
-        shuffle. Delta path: one ``groupby(__pid)`` shuffle so each
-        partition's files merge together (delta-mode read cost — run
-        ``compact()`` to return to the fast path).
+        shuffle. Delta path: ONE Ray task per partition reads that
+        partition's own files (the manifest maps pid → files) and
+        merges — also no shuffle; memory is O(partition bytes) per
+        task, which the partition count is sized for. ``compact()``
+        still wins for repeated reads (single pass, no per-read merge).
 
         ``columns`` prunes the read to the named payload columns (plus
         ``doc_id``, always included — the merge key): only those
@@ -1130,25 +1132,43 @@ class Lake:
 
             return ds.map_batches(clean, batch_format="pyarrow")
 
-        # delta path: recover the partition id per row, merge per pid.
-        # __seq (written per file) totally orders the versions per key,
-        # so no file-order information is needed after the read.
-        ds = _read(files)
+        # delta path: the manifest already maps each partition to its
+        # files, so merge-on-read is embarrassingly parallel — ONE task
+        # per partition reads its OWN files and merges. No all-to-all:
+        # the earlier groupby(__pid) implementation pushed every byte
+        # through the exchange and the shuffle dominated wall-time
+        # ~16:1 over the useful merge at 1M rows (BASELINE soak_read).
+        # __seq (written per file) totally orders versions per key, so
+        # within-task file order is irrelevant.
+        items = []
+        for pid_s in pids_in:
+            fs = [os.path.join(self.dir, f) for f in m.partitions[pid_s]["files"]]
+            if fs:
+                items.append({"files": fs})
+        read_cols = (
+            None if columns is None else [f.name for f in target] + list(HELPER_COLS)
+        )
 
-        def tag(t: pa.Table) -> pa.Table:
-            from clever_canal_ray.state.partitioning import partition_ids
+        def read_merge(df, s=target, e=filter, cols=read_cols) -> pa.Table:
+            out = []
+            for fs in df["files"]:
+                tabs = []
+                for f in fs:
+                    if cols is None:
+                        tabs.append(pq.read_table(f))
+                    else:
+                        have = set(pq.read_schema(f).names)
+                        tabs.append(pq.read_table(f, columns=[c for c in cols if c in have]))
+                merged = merge_partition_files(tabs, s)
+                # post-merge only: filtering the raw versions could drop
+                # a key's latest row and resurrect an older matching one
+                if e is not None:
+                    merged = merged.filter(e)
+                out.append(merged.replace_schema_metadata(None))
+            return pa.concat_tables(out) if len(out) > 1 else out[0]
 
-            pids = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), p)
-            return t.append_column("__pid", pa.array(pids, pa.int32()))
-
-        def merge(group: pa.Table, s=target, e=filter) -> pa.Table:
-            out = merge_partition_files([group.drop_columns(["__pid"])], s)
-            # post-merge only: filtering the raw versions could drop a
-            # key's latest row and resurrect an older matching one
-            return out.filter(e) if e is not None else out
-
-        return ds.map_batches(tag, batch_format="pyarrow").groupby("__pid").map_groups(
-            merge, batch_format="pyarrow"
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            read_merge, batch_format="pandas"
         )
 
     def lookup(

@@ -1311,14 +1311,16 @@ class Lake:
             metadata=target.metadata,
         )
         files = []
+        files_by_pid: dict[str, list[str]] = {}
         for pid_s, info in new.partitions.items():
             if not (lo <= int(pid_s) < hi):
                 continue
             before = set(old.partitions.get(pid_s, {}).get("files", ()))
-            files.extend(
-                os.path.join(self.dir, f) for f in info["files"] if f not in before
-            )
-        return files, target, target_h, old.last_batch_id, p_count
+            added = [os.path.join(self.dir, f) for f in info["files"] if f not in before]
+            if added:
+                files_by_pid[pid_s] = added
+                files.extend(added)
+        return files, target, target_h, old.last_batch_id, p_count, files_by_pid
 
     def read_changes_table(
         self,
@@ -1337,7 +1339,7 @@ class Lake:
         ``read_changes`` for bulk exports. ``columns`` prunes the read
         (+ doc_id and the helpers) so a tail-poller of a wide lake only
         pays for the columns it asks for."""
-        files, target, target_h, seq_floor, _ = self._changes_plan(
+        files, target, target_h, seq_floor, _, _ = self._changes_plan(
             since_version, to_version, table, latest_only, columns
         )
         needed = [f.name for f in target_h]
@@ -1402,7 +1404,7 @@ class Lake:
         """
         import ray.data as rd
 
-        files, target, target_h, seq_floor, p_count = self._changes_plan(
+        files, target, target_h, seq_floor, _, by_pid = self._changes_plan(
             since_version, to_version, table, latest_only, columns
         )
         clean_h = pa.schema(list(target_h))
@@ -1414,22 +1416,37 @@ class Lake:
             out = t.filter(pc.greater(t["__seq"], pa.scalar(floor, pa.int64())))
             return out.replace_schema_metadata(None)
 
-        raw = rd.read_parquet(files) if columns is None else _read_files_pruned(files, target_h)
-        ds = raw.map_batches(window_rows, batch_format="pyarrow")
         if not latest_only:
-            return ds
+            raw = (
+                rd.read_parquet(files)
+                if columns is None
+                else _read_files_pruned(files, target_h)
+            )
+            return raw.map_batches(window_rows, batch_format="pyarrow")
 
-        def tag(t: pa.Table, p=p_count) -> pa.Table:
-            pid = partition_ids(t["doc_id"].to_numpy(zero_copy_only=False), p)
-            return t.append_column("__pid", pa.array(pid, pa.int32()))
+        # latest_only: window files are already per-partition (the plan
+        # maps pid → added files), so the per-key collapse is one task
+        # per partition over its own files — no shuffle (same rewrite
+        # as read_dataset's delta path)
+        read_cols = None if columns is None else [f.name for f in target_h]
+        items = [{"files": fs} for fs in by_pid.values()]
 
-        def collapse(group: pa.Table, s=target) -> pa.Table:
-            return merge_delta_files([group.drop_columns(["__pid"])], s)
+        def read_collapse(df, s=target, cols=read_cols) -> pa.Table:
+            out = []
+            for fs in df["files"]:
+                tabs = []
+                for f in fs:
+                    if cols is None:
+                        tabs.append(pq.read_table(f))
+                    else:
+                        have = set(pq.read_schema(f).names)
+                        tabs.append(pq.read_table(f, columns=[c for c in cols if c in have]))
+                w = pa.concat_tables([window_rows(t) for t in tabs], promote_options="default")
+                out.append(merge_delta_files([w], s).replace_schema_metadata(None))
+            return pa.concat_tables(out, promote_options="default") if len(out) > 1 else out[0]
 
-        return (
-            ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__pid")
-            .map_groups(collapse, batch_format="pyarrow")
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            read_collapse, batch_format="pandas"
         )
 
     def gc(self, keep_manifests: int = 2, min_age_sec: float = 900.0) -> dict:

@@ -984,15 +984,29 @@ class Lake:
         m = m or self.current()
         return [os.path.join(self.dir, f) for info in m.partitions.values() for f in info["files"]]
 
-    def read_table(self, m: Manifest | None = None, table: str | None = None) -> pa.Table:
+    def read_table(
+        self,
+        m: Manifest | None = None,
+        table: str | None = None,
+        columns: list[str] | None = None,
+        filter=None,
+    ) -> pa.Table:
         """Full materialized read (tests / small lakes only):
         per-partition merge-on-read (delta files, tombstones, up-cast).
+
+        ``columns`` / ``filter`` mirror :meth:`read_dataset` on the
+        serial path: the read prunes to the named payload columns
+        (+ doc_id), and the predicate — over result columns — applies
+        post-merge per partition (current-state semantics).
 
         Multi-table lakes: pass ``table`` to read one table in its own
         schema; with table=None every partition is up-cast to the union
         schema (columns missing from a table read as null)."""
         m = m or self.current()
         out_schema = m.schema_of_table(table) if table is not None else m.payload_schema
+        if columns is not None:
+            _validate_columns(columns, out_schema, table or "lake")
+            out_schema = _pruned_schema(out_schema, columns)
         lo, hi = (0, m.num_partitions)
         if table is not None:
             t = m.tables[table]
@@ -1002,10 +1016,24 @@ class Lake:
             pid = int(pid_s)
             if not (lo <= pid < hi):
                 continue
-            files = [pq.read_table(os.path.join(self.dir, f)) for f in info["files"]]
+            pid_schema = m.schema_of_pid(pid)
+            if columns is None:
+                tgt = pid_schema
+                files = [pq.read_table(os.path.join(self.dir, f)) for f in info["files"]]
+            else:
+                pid_names = set(pid_schema.names)
+                tgt = _pruned_schema(pid_schema, [c for c in columns if c in pid_names])
+                need = [fld.name for fld in tgt] + list(HELPER_COLS)
+                files = []
+                for f in info["files"]:
+                    path = os.path.join(self.dir, f)
+                    have = set(pq.read_schema(path).names)
+                    files.append(pq.read_table(path, columns=[c for c in need if c in have]))
             if files:
-                merged = merge_partition_files(files, m.schema_of_pid(pid))
-                tables.append(upcast_table(merged, out_schema))
+                merged = upcast_table(merge_partition_files(files, tgt), out_schema)
+                if filter is not None:
+                    merged = merged.filter(filter)
+                tables.append(merged)
         if not tables:
             return out_schema.empty_table()
         return pa.concat_tables(tables)

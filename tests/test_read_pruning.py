@@ -207,3 +207,38 @@ def test_filtered_read_multi_table_union(ray_session, tmp_path):
     got = mlake.read_dataset(filter=pc.field("n_tok") <= 80).to_pandas()
     exp = full[full["n_tok"] <= 80]
     assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_read_table_columns_and_filter(lake):
+    """The serial read_table mirrors read_dataset's columns=/filter=
+    semantics exactly (evolution null-fill, post-merge predicate)."""
+    pc = _pc()
+    full = lake.read_table().to_pandas()
+    got = lake.read_table(columns=["lang", "n_tok"], filter=pc.field("n_tok") > 100).to_pandas()
+    assert list(got.columns) == ["doc_id", "lang", "n_tok"]
+    exp = full[full["n_tok"] > 100][["doc_id", "lang", "n_tok"]]
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp.sort_values("doc_id").reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="not in the"):
+        lake.read_table(columns=["nope"])
+
+
+def test_read_table_multi_table_pruned(ray_session, tmp_path):
+    spec = EventLogSpec(seed=74, n_initial_docs=60, n_events=300, n_segments=2)
+    minfo = write_multi_table_fixture(spec, str(tmp_path / "mfx"), n_tables=2)
+    mlake = Lake.create_multi(
+        str(tmp_path / "mlake"), minfo["initials"], partitions_per_table=2
+    )
+    replay(
+        mlake,
+        minfo["segment_paths"],
+        ReplayConfig(segments_per_batch=2, sink_mode="delta"),
+    )
+    got = mlake.read_table(columns=["n_tok"]).to_pandas()
+    exp = mlake.read_table().to_pandas()[["doc_id", "n_tok"]]
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        exp.sort_values("doc_id").reset_index(drop=True),
+    )

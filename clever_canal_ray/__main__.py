@@ -81,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--lake", required=True)
     lk.add_argument("--keys", nargs="+", required=True)
     lk.add_argument("--table", default=None)
+    lk.add_argument("--columns", nargs="+", default=None, help="prune to these payload columns")
 
     ch = sub.add_parser("changes")  # incremental change feed -> parquet
     ch.add_argument("--lake", required=True)
@@ -185,7 +186,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"out": args.out, "n_events": info["n_events"]}))
     elif args.cmd == "lookup":
         # driver-serial path (no Ray session needed for a CLI probe)
-        tbl, stats = Lake(args.lake).lookup(args.keys, table=args.table, return_stats=True)
+        tbl, stats = Lake(args.lake).lookup(
+            args.keys, table=args.table, return_stats=True, columns=args.columns
+        )
         print(json.dumps({"rows": tbl.to_pylist(), "stats": stats}, default=str))
     elif args.cmd == "changes":
         _ray_session()

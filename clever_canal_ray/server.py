@@ -264,8 +264,12 @@ class ConsumerServer:
             # stateless (no consumer/cursor); served from the lake's
             # current manifest, driver-serial in the server process
             lake = self._get_lake("lookup")
+            cols = req.get("columns")
             t, stats = lake.lookup(
-                list(req["keys"]), table=req.get("table"), return_stats=True
+                list(req["keys"]),
+                table=req.get("table"),
+                return_stats=True,
+                columns=list(cols) if cols is not None else None,
             )
             return (
                 {"ok": True, "has_data": True, "n_rows": t.num_rows, "stats": stats},
@@ -446,12 +450,20 @@ class WireConsumer:
         resp, _ = self._call({"cmd": "seek", "ts_ms": ts_ms})
         return tuple(resp["position"])
 
-    def lookup(self, keys: list, table: str | None = None) -> tuple[pa.Table, dict]:
+    def lookup(
+        self,
+        keys: list,
+        table: str | None = None,
+        columns: list[str] | None = None,
+    ) -> tuple[pa.Table, dict]:
         """Point read of current lake row state by key (requires the
-        server to have been started with ``lake_dir``)."""
-        req = {"cmd": "lookup", "keys": list(keys)}
+        server to have been started with ``lake_dir``). ``columns``
+        prunes the server-side read and the wire payload."""
+        req: dict = {"cmd": "lookup", "keys": list(keys)}
         if table is not None:
             req["table"] = table
+        if columns is not None:
+            req["columns"] = list(columns)
         resp, data = self._call(req)
         return _ipc_to_table(data), resp["stats"]
 

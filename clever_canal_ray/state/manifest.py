@@ -1205,6 +1205,7 @@ class Lake:
         m: Manifest | None = None,
         table: str | None = None,
         return_stats: bool = False,
+        columns: list[str] | None = None,
     ):
         """Distributed point lookup of CURRENT row state by primary key.
 
@@ -1228,7 +1229,10 @@ class Lake:
         Multi-table lakes must pass ``table``.
 
         ``return_stats=True`` → ``(table, stats)`` with the pruning
-        evidence (files_total vs files_read).
+        evidence (files_total vs files_read). ``columns`` prunes the
+        row read and the result to the named payload columns
+        (+ doc_id) — point reads of a wide lake skip the heavy
+        payload's bytes.
         """
         import numpy as np
 
@@ -1246,6 +1250,9 @@ class Lake:
         else:
             base, p = 0, m.num_partitions
             out_schema = m.payload_schema
+        if columns is not None:
+            _validate_columns(columns, out_schema, table or "lake")
+            out_schema = _pruned_schema(out_schema, columns)
         keys = np.asarray(list(dict.fromkeys(doc_ids)), dtype=object)
         stats = {"keys": len(keys), "partitions_touched": 0, "files_total": 0, "files_read": 0}
         if len(keys) == 0:
@@ -1263,7 +1270,13 @@ class Lake:
             plans.append((int(pid), paths, keys[sel].tolist()))
         stats["partitions_touched"] = len(plans)
 
-        def fetch(paths: list[str], key_vals: list, pid_schema: pa.Schema, out_s: pa.Schema):
+        def fetch(
+            paths: list[str],
+            key_vals: list,
+            pid_schema: pa.Schema,
+            out_s: pa.Schema,
+            cols: list | None = None,
+        ):
             import numpy as _np
 
             from clever_canal_ray.state import filestats as _fs
@@ -1278,7 +1291,15 @@ class Lake:
             if not pruned:
                 return out_s.empty_table(), len(pruned)
             flt = pc.field("doc_id").isin(key_vals)
-            tbls = [pq.read_table(q, filters=flt) for q in pruned]
+            if cols is None:
+                tbls = [pq.read_table(q, filters=flt) for q in pruned]
+            else:
+                tbls = []
+                for q in pruned:
+                    have = set(pq.read_schema(q).names)
+                    tbls.append(
+                        pq.read_table(q, filters=flt, columns=[c for c in cols if c in have])
+                    )
             return upcast_table(merge_partition_files(tbls, pid_schema), out_s), len(pruned)
 
         ray_ok = False
@@ -1288,18 +1309,26 @@ class Lake:
             ray_ok = ray.is_initialized() and len(plans) > 1
         except ImportError:  # pragma: no cover
             pass
+        def _args(pid):
+            pid_schema = m.schema_of_pid(pid)
+            if columns is None:
+                return pid_schema, None
+            names = set(pid_schema.names)
+            tgt = _pruned_schema(pid_schema, [c for c in columns if c in names])
+            return tgt, [f.name for f in tgt] + list(HELPER_COLS)
+
         if ray_ok:
             remote = ray.remote(num_cpus=1)(fetch)
-            results = ray.get(
-                [
-                    remote.remote(paths, kv, m.schema_of_pid(pid), out_schema)
-                    for pid, paths, kv in plans
-                ]
-            )
+            futs = []
+            for pid, paths, kv in plans:
+                tgt, cols = _args(pid)
+                futs.append(remote.remote(paths, kv, tgt, out_schema, cols))
+            results = ray.get(futs)
         else:
-            results = [
-                fetch(paths, kv, m.schema_of_pid(pid), out_schema) for pid, paths, kv in plans
-            ]
+            results = []
+            for pid, paths, kv in plans:
+                tgt, cols = _args(pid)
+                results.append(fetch(paths, kv, tgt, out_schema, cols))
         stats["files_read"] = sum(n for _, n in results)
         tbls = [t for t, _ in results if t.num_rows]
         out = pa.concat_tables(tbls) if tbls else out_schema.empty_table()

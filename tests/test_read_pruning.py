@@ -242,3 +242,27 @@ def test_read_table_multi_table_pruned(ray_session, tmp_path):
         got.sort_values("doc_id").reset_index(drop=True),
         exp.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_lookup_columns(ray_session, lake):
+    """Point lookup prunes too — locally and over the wire."""
+    full = lake.read_table()
+    keys = full["doc_id"].to_pylist()[:5]
+    got, stats = lake.lookup(keys, return_stats=True, columns=["n_tok"])
+    assert got.column_names == ["doc_id", "n_tok"]
+    exp = lake.lookup(keys).select(["doc_id", "n_tok"])
+    assert got.sort_by("doc_id").equals(exp.sort_by("doc_id"))
+    assert stats["files_read"] <= stats["files_total"]
+    with pytest.raises(ValueError, match="not in the"):
+        lake.lookup(keys, columns=["nope"])
+
+    from clever_canal_ray.server import ConsumerServer, WireConsumer
+
+    srv = ConsumerServer(lake.dir, lake.dir + "/_srv_state", lake_dir=lake.dir)
+    srv.start()
+    try:
+        with WireConsumer(srv.host, srv.port) as w:
+            wgot, _ = w.lookup(keys, columns=["n_tok"])
+            assert wgot.sort_by("doc_id").equals(got.sort_by("doc_id"))
+    finally:
+        srv.stop()

@@ -134,14 +134,34 @@ class ChangeConsumer:
         getWithoutAck(timeout), CanalServerWithEmbedded): re-check for
         newly settled segments every 50 ms until the deadline instead
         of returning None immediately."""
+        sig = self._journal_stat_sig() if timeout_ms else None
         got = self._get_once(batch_size)
         if got is not None or not timeout_ms:
             return got
         deadline = time.monotonic() + int(timeout_ms) / 1000.0
         while got is None and time.monotonic() < deadline:
             time.sleep(min(0.05, max(0.0, deadline - time.monotonic())))
+            # cheap stat precheck: only re-run the footer/dataset probe
+            # when the journal's (name, size, mtime) signature changed —
+            # an idle 30s long-poll otherwise pays ~600 full disk probes.
+            # The signature is taken BEFORE each probe, so a file landing
+            # after it always flips the comparison.
+            new_sig = self._journal_stat_sig()
+            if new_sig == sig:
+                continue
+            sig = new_sig
             got = self._get_once(batch_size)
         return got
+
+    def _journal_stat_sig(self) -> tuple:
+        out = []
+        for p in discover_segments(self.dirs):
+            try:
+                st = os.stat(p)
+                out.append((p, st.st_size, st.st_mtime_ns))
+            except OSError:  # racing a writer's rename
+                out.append((p, -1, -1))
+        return tuple(out)
 
     def _get_once(self, batch_size: int) -> tuple[int, pa.Table] | None:
         if not self._subscribed:

@@ -359,7 +359,9 @@ def _mix_rates(
     for s, ws in w.items():
         t = ws * budget
         target[s] = t
-        r = int(1000.0 * t / avail[s])
+        # +1e-9 absorbs IEEE dust so the binding source (t == avail_s up
+        # to rounding) lands exactly on 1000 instead of flooring to 999
+        r = int(1000.0 * t / avail[s] + 1e-9)
         if allow_upsampling:
             if r > max_rate_permille:
                 raise ValueError(

@@ -185,20 +185,24 @@ class ConsumerServer:
         remotely. Attached consumers are read live under their session
         locks; clients known only from durable meta files (e.g. after a
         server restart, before the client reconnects) are reported from
-        disk with ``attached: false``. The head comes from the last
-        settled segment's plan sidecar — O(1), no data read."""
+        disk with ``attached: false``. The head comes from the LAST
+        plan-bearing segment, scanning backwards — O(1) sidecar reads
+        per call regardless of journal length, no data-file reads."""
         from clever_canal_ray.sources.segments import (
             discover_segments,
             load_segment_plan,
-            settled_prefix,
         )
 
-        paths = settled_prefix(discover_segments(self.journal_dirs))
+        paths = discover_segments(self.journal_dirs)
         head = None
-        if paths:
-            plan = load_segment_plan(paths[-1])
+        for pth in reversed(paths):
+            try:
+                plan = load_segment_plan(pth)
+            except Exception:  # mid-write tail: step back one
+                continue
             if plan is not None:
                 head = list(plan["max_pos"])
+                break
         clients: dict[str, dict] = {}
         if os.path.isdir(self.state_dir):
             for name in sorted(os.listdir(self.state_dir)):
@@ -224,18 +228,29 @@ class ConsumerServer:
         with self._consumers_lock:
             live = list(self._consumers.items())
         for cid, (consumer, lock) in live:
-            with lock:
-                s = consumer.stats()
-            s["client_id"] = cid
-            s["attached"] = True
-            clients[cid] = s
+            # don't block the admin read behind a session mid-long-poll
+            # (get holds the lock up to timeout_ms): fall back to the
+            # durable meta snapshot for busy sessions
+            if lock.acquire(timeout=0.2):
+                try:
+                    s = consumer.stats()
+                finally:
+                    lock.release()
+                s["client_id"] = cid
+                s["attached"] = True
+                clients[cid] = s
+            elif cid in clients:
+                clients[cid]["attached"] = True
+                clients[cid]["busy"] = True
+            else:
+                clients[cid] = {"client_id": cid, "attached": True, "busy": True}
         rows = sorted(clients.values(), key=lambda c: c["client_id"])
         if of is not None:
             rows = [c for c in rows if c["client_id"] == of]
         return {
             "ok": True,
             "journal_head": head,
-            "n_settled_segments": len(paths),
+            "n_segments": len(paths),
             "clients": rows,
         }
 

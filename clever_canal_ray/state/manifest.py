@@ -38,7 +38,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from clever_canal_ray.schema import lake_schema, upcast_table, widen_union
+from clever_canal_ray.schema import (
+    lake_schema,
+    reverse_renames_from_metadata,
+    upcast_table,
+    widen_union,
+)
 from clever_canal_ray.state import filestats
 from clever_canal_ray.state.partitioning import partition_ids
 
@@ -64,9 +69,28 @@ def _strip_helpers(table: pa.Table) -> pa.Table:
 
 
 def _pruned_schema(target: pa.Schema, columns: list[str]) -> pa.Schema:
-    """Selected payload fields, with doc_id (the merge key) always first."""
+    """Selected payload fields, with doc_id (the merge key) always
+    first. The target's metadata (the rename map, attach_renames) rides
+    along so upcast/merge still resolve pre-rename files."""
     names = ["doc_id"] + [c for c in columns if c != "doc_id"]
-    return pa.schema([target.field(n) for n in names])
+    return pa.schema([target.field(n) for n in names], metadata=target.metadata)
+
+
+def _file_read_columns(path: str, needed: list[str], rev: dict) -> list[str]:
+    """Physical columns to read from ``path`` for the logical ``needed``
+    list: intersect with the file's footer AND include the old physical
+    names of renamed columns (files written before a rename_column DDL
+    carry the old name on disk — ``rev`` is upcast_table's reverse
+    rename map, final → [old names])."""
+    have = set(pq.read_schema(path).names)
+    out = []
+    for c in needed:
+        if c in have:
+            out.append(c)
+        for old in rev.get(c, ()):
+            if old in have:
+                out.append(old)
+    return out
 
 
 def _validate_columns(columns, target: pa.Schema, what: str) -> None:
@@ -77,18 +101,20 @@ def _validate_columns(columns, target: pa.Schema, what: str) -> None:
 
 def _read_files_pruned(files: list[str], read_h: pa.Schema, scan_filter=None):
     """``rd.read_parquet`` with column pushdown across heterogeneous
-    footers: group files by which of the needed columns they actually
-    have (schema evolution — pre-DDL files lack later columns), read
-    each group with its subset, up-cast to ``read_h`` (missing → null),
-    union. Engine-written files always carry the helper columns
-    (_write_part_file → ensure_helper_columns)."""
+    footers: group files by which of the needed PHYSICAL columns they
+    actually have (schema evolution — pre-DDL files lack later columns;
+    pre-rename files carry a renamed column's OLD name), read each
+    group with its subset, up-cast to ``read_h`` (missing → null,
+    renames coalesce via the metadata map), union. Engine-written files
+    always carry the helper columns (_write_part_file →
+    ensure_helper_columns)."""
     import ray.data as rd
 
     needed = [f.name for f in read_h]
+    rev = reverse_renames_from_metadata(read_h)
     groups: dict[frozenset, list] = {}
     for f in files:
-        have = set(pq.read_schema(f).names)
-        groups.setdefault(frozenset(c for c in needed if c in have), []).append(f)
+        groups.setdefault(frozenset(_file_read_columns(f, needed, rev)), []).append(f)
 
     def widen(t: pa.Table, s=read_h) -> pa.Table:
         return upcast_table(t, s)
@@ -1024,11 +1050,11 @@ class Lake:
                 pid_names = set(pid_schema.names)
                 tgt = _pruned_schema(pid_schema, [c for c in columns if c in pid_names])
                 need = [fld.name for fld in tgt] + list(HELPER_COLS)
+                rev = reverse_renames_from_metadata(tgt)
                 files = []
                 for f in info["files"]:
                     path = os.path.join(self.dir, f)
-                    have = set(pq.read_schema(path).names)
-                    files.append(pq.read_table(path, columns=[c for c in need if c in have]))
+                    files.append(pq.read_table(path, columns=_file_read_columns(path, need, rev)))
             if files:
                 merged = upcast_table(merge_partition_files(files, tgt), out_schema)
                 if filter is not None:
@@ -1138,7 +1164,8 @@ class Lake:
                 )
             read_h = pa.schema(
                 list(target)
-                + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+                + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())],
+                metadata=target.metadata,  # rename map for the upcast
             )
             return _read_files_pruned(files_in, read_h, scan_filter=scan_filter)
 
@@ -1146,9 +1173,13 @@ class Lake:
             pushdown = None
             if filter is not None:
                 # scan pushdown is safe on the fast path (each row is its
-                # key's final version) but only with a uniform file schema
-                # — otherwise a referenced column may be missing per file
-                if len({frozenset(pq.read_schema(f).names) for f in files}) == 1:
+                # key's final version) but only when every file physically
+                # has every result column — uniform footers alone aren't
+                # enough (a uniformly PRE-ddl file set lacks an added
+                # column the expression may reference; the upcast path
+                # null-fills it, the scan would error)
+                sigs = {frozenset(pq.read_schema(f).names) for f in files}
+                if len(sigs) == 1 and set(target.names) <= next(iter(sigs)):
                     pushdown = filter
             ds = _read(files, scan_filter=pushdown)
 
@@ -1177,7 +1208,9 @@ class Lake:
             None if columns is None else [f.name for f in target] + list(HELPER_COLS)
         )
 
-        def read_merge(df, s=target, e=filter, cols=read_cols) -> pa.Table:
+        rev = reverse_renames_from_metadata(target)
+
+        def read_merge(df, s=target, e=filter, cols=read_cols, rv=rev) -> pa.Table:
             out = []
             for fs in df["files"]:
                 tabs = []
@@ -1185,8 +1218,7 @@ class Lake:
                     if cols is None:
                         tabs.append(pq.read_table(f))
                     else:
-                        have = set(pq.read_schema(f).names)
-                        tabs.append(pq.read_table(f, columns=[c for c in cols if c in have]))
+                        tabs.append(pq.read_table(f, columns=_file_read_columns(f, cols, rv)))
                 merged = merge_partition_files(tabs, s)
                 # post-merge only: filtering the raw versions could drop
                 # a key's latest row and resurrect an older matching one
@@ -1294,12 +1326,11 @@ class Lake:
             if cols is None:
                 tbls = [pq.read_table(q, filters=flt) for q in pruned]
             else:
-                tbls = []
-                for q in pruned:
-                    have = set(pq.read_schema(q).names)
-                    tbls.append(
-                        pq.read_table(q, filters=flt, columns=[c for c in cols if c in have])
-                    )
+                rv = reverse_renames_from_metadata(pid_schema)
+                tbls = [
+                    pq.read_table(q, filters=flt, columns=_file_read_columns(q, cols, rv))
+                    for q in pruned
+                ]
             return upcast_table(merge_partition_files(tbls, pid_schema), out_s), len(pruned)
 
         ray_ok = False
@@ -1400,14 +1431,14 @@ class Lake:
             since_version, to_version, table, latest_only, columns
         )
         needed = [f.name for f in target_h]
+        rev = reverse_renames_from_metadata(target_h)
         clean_h = pa.schema(list(target_h))
         tables = []
         for f in files:
             if columns is None:
                 t = pq.read_table(f)
             else:
-                have = set(pq.read_schema(f).names)
-                t = pq.read_table(f, columns=[c for c in needed if c in have])
+                t = pq.read_table(f, columns=_file_read_columns(f, needed, rev))
             t = upcast_table(ensure_helper_columns(t, seq=-1), target_h)
             t = t.filter(pc.greater(t["__seq"], pa.scalar(seq_floor, pa.int64())))
             if t.num_rows:
@@ -1488,7 +1519,9 @@ class Lake:
         read_cols = None if columns is None else [f.name for f in target_h]
         items = [{"files": fs} for fs in by_pid.values()]
 
-        def read_collapse(df, s=target, cols=read_cols) -> pa.Table:
+        rev_lo = reverse_renames_from_metadata(target_h)
+
+        def read_collapse(df, s=target, cols=read_cols, rv=rev_lo) -> pa.Table:
             out = []
             for fs in df["files"]:
                 tabs = []
@@ -1496,8 +1529,7 @@ class Lake:
                     if cols is None:
                         tabs.append(pq.read_table(f))
                     else:
-                        have = set(pq.read_schema(f).names)
-                        tabs.append(pq.read_table(f, columns=[c for c in cols if c in have]))
+                        tabs.append(pq.read_table(f, columns=_file_read_columns(f, cols, rv)))
                 w = pa.concat_tables([window_rows(t) for t in tabs], promote_options="default")
                 out.append(merge_delta_files([w], s).replace_schema_metadata(None))
             return pa.concat_tables(out, promote_options="default") if len(out) > 1 else out[0]

@@ -266,3 +266,75 @@ def test_lookup_columns(ray_session, lake):
             assert wgot.sort_by("doc_id").equals(got.sort_by("doc_id"))
     finally:
         srv.stop()
+
+
+def test_pruned_reads_resolve_renamed_columns(ray_session, tmp_path):
+    """REGRESSION (review finding): pruned reads over a rename_column
+    evolution must read the OLD physical name from pre-rename files and
+    coalesce — not silently null them. Covers read_dataset, read_table,
+    lookup, and the change feed."""
+    import pyarrow.compute as pc_
+
+    spec = EventLogSpec(
+        seed=75,
+        n_initial_docs=120,
+        n_events=900,
+        n_segments=4,
+        ddls=((0.5, {"op": "rename_column", "from": "source", "to": "origin"}),),
+    )
+    root = tmp_path / "fx"
+    info = write_fixture(spec, str(root))
+    lk = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=4)
+    replay(
+        lk,
+        info["segment_paths"],
+        ReplayConfig(num_partitions=4, segments_per_batch=2, sink_mode="delta"),
+    )
+    full = lk.read_table()
+    exp = full.select(["doc_id", "origin"])
+    assert exp["origin"].null_count < exp.num_rows  # pre-rename rows carry values
+
+    got_ds = lk.read_dataset(columns=["origin"]).to_pandas()
+    assert got_ds["origin"].notna().sum() == exp.num_rows - exp["origin"].null_count
+    got_tb = lk.read_table(columns=["origin"])
+    assert got_tb.sort_by("doc_id").equals(exp.sort_by("doc_id"))
+
+    keys = full["doc_id"].to_pylist()[:6]
+    got_lk = lk.lookup(keys, columns=["origin"])
+    exp_lk = lk.lookup(keys).select(["doc_id", "origin"])
+    assert got_lk.sort_by("doc_id").equals(exp_lk.sort_by("doc_id"))
+
+    feed_full = lk.read_changes_table(0)
+    feed_pruned = lk.read_changes_table(0, columns=["origin"])
+    keep = sorted(feed_pruned.column_names)
+    order = [("doc_id", "ascending"), ("__seq", "ascending")]
+    assert feed_pruned.select(keep).sort_by(order).equals(
+        feed_full.select(keep).sort_by(order)
+    )
+    # filtered read on the renamed column (post-merge semantics)
+    got_f = lk.read_dataset(filter=pc_.field("origin") == "web").to_pandas()
+    full_df = full.to_pandas()
+    assert sorted(got_f["doc_id"]) == sorted(full_df[full_df["origin"] == "web"]["doc_id"])
+
+
+def test_fast_path_pushdown_skipped_when_column_missing(ray_session, tmp_path):
+    """REGRESSION (review finding): a filter on a DDL-added column over
+    a uniformly pre-DDL file set must not be pushed into the scan (the
+    upcast null-fills; the scan would error)."""
+    import pyarrow.compute as pc_
+
+    spec = EventLogSpec(seed=76, n_initial_docs=100, n_events=200, n_segments=2)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    lk = Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=2)
+    # no replay: bootstrap files only (1/partition = fast path, uniform);
+    # journal an add_column DDL directly so the target schema gains a
+    # column no file physically has
+    m2 = lk.current()
+    m2.ddl_journal = list(m2.ddl_journal) + [
+        {"position": [0, 0], "ddl": {"op": "add_column", "name": "lang", "type": "string", "nullable": True, "default": None}}
+    ]
+    got = lk.read_dataset(m=m2, filter=pc_.field("lang") == "xx").to_pandas()
+    assert len(got) == 0  # null never matches; and no scan crash
+    got2 = lk.read_dataset(m=m2, columns=["lang"]).to_pandas()
+    assert got2["lang"].isna().all()

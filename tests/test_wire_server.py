@@ -446,7 +446,7 @@ def test_wire_stats(fx, server, tmp_path):
     admin = WireConsumer(server.host, server.port, client_id="admin")
     st = admin.stats()
     assert st["journal_head"] is not None and len(st["journal_head"]) == 2
-    assert st["n_settled_segments"] == 4
+    assert st["n_segments"] == 4
     rows = {c["client_id"]: c for c in st["clients"]}
     assert "admin" not in rows  # read-only: no consumer for the caller
     s1 = rows["s1"]
@@ -644,3 +644,29 @@ def test_wire_changes_column_pruning(ray_session, fx, tmp_path):
                 wire.changes(0, columns=["nope"])
     finally:
         srv.stop()
+
+
+def test_stats_not_blocked_by_long_poll(fx, server):
+    """REGRESSION (review finding): the admin stats read must not
+    serialize behind a session lock held by a long-polling get — busy
+    sessions answer from the durable meta snapshot."""
+    import threading
+    import time
+
+    c = WireConsumer(server.host, server.port, client_id="lp2", timeout=30)
+    c.subscribe()
+    _drain(c)
+    th = threading.Thread(target=lambda: c.get_without_ack(100, timeout_ms=5000))
+    th.start()
+    time.sleep(0.4)  # the drained long-poll now holds lp2's session lock
+    admin = WireConsumer(server.host, server.port, client_id="adm")
+    t0 = time.monotonic()
+    st = admin.stats(of="lp2")
+    elapsed = time.monotonic() - t0
+    th.join()
+    assert elapsed < 2.0, f"stats blocked {elapsed:.1f}s behind the long-poll"
+    (row,) = st["clients"]
+    assert row["attached"] is True
+    assert row["cursor"] == row["delivered"]  # drained durable snapshot
+    admin.close()
+    c.close()

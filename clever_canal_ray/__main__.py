@@ -13,6 +13,8 @@
     python -m clever_canal_ray lookup       --lake DIR --keys K [K ...] [--table T]
     python -m clever_canal_ray changes      --lake DIR --since V --out DIR [--latest-only]
     python -m clever_canal_ray consumer-stats --port P [--host H] [--of CLIENT_ID]
+    python -m clever_canal_ray derive       --journal DIR --state DIR [--key C] [--sum C ...]
+                                            [--follow] [--seed-lake DIR]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -91,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--table", default=None)
     ch.add_argument("--latest-only", action="store_true")
     ch.add_argument("--columns", nargs="+", default=None, help="prune the read to these payload columns")
+
+    dv = sub.add_parser("derive")  # maintained GROUP BY over the change stream
+    dv.add_argument("--journal", nargs="+", required=True)
+    dv.add_argument("--state", required=True)
+    dv.add_argument("--key", default="source", help="group-by column")
+    dv.add_argument("--sum", nargs="+", default=["n_tok"], help="columns to sum")
+    dv.add_argument("--client-id", default="agg")
+    dv.add_argument("--follow", action="store_true", help="keep folding as segments arrive")
+    dv.add_argument("--poll-ms", type=int, default=1000)
+    dv.add_argument("--idle-rounds", type=int, default=3)
+    dv.add_argument("--seed-lake", default=None, help="seed state from this lake's current rows")
 
     cs = sub.add_parser("consumer-stats")  # admin: per-client cursor/lag over the wire
     cs.add_argument("--host", default="127.0.0.1")
@@ -206,6 +219,35 @@ def main(argv: list[str] | None = None) -> int:
         n = sum(f.count_rows() for f in pads.dataset(args.out).get_fragments())
         print(json.dumps({"out": args.out, "rows": n, "since": args.since,
                           "to": args.to if args.to is not None else lake.current().version}))
+    elif args.cmd == "derive":
+        # driver-serial downstream (no Ray session needed): maintain the
+        # GROUP BY incrementally through the get/ack consumer loop
+        from clever_canal_ray.pipelines.derived import AggregateMaintainer
+
+        m = AggregateMaintainer(
+            args.journal,
+            args.state,
+            key_col=args.key,
+            sum_cols=tuple(args.sum),
+            client_id=args.client_id,
+        )
+        if args.seed_lake is not None:
+            try:
+                m.seed(Lake(args.seed_lake).read_table())
+            except RuntimeError:
+                pass  # resumed state: already seeded/folded, keep going
+        if args.follow:
+            folded = m.run_follow(
+                poll_ms=args.poll_ms, idle_rounds=args.idle_rounds
+            )
+        else:
+            folded = m.run_to_end()
+        print(
+            json.dumps(
+                {"folded": folded, "groups": m.table().to_pylist()},
+                default=str,
+            )
+        )
     elif args.cmd == "consumer-stats":
         from clever_canal_ray.server import WireConsumer
 

@@ -221,3 +221,33 @@ def test_run_follow_tracks_live_journal(tmp_path):
     # follow again on the now-static journal: idles out, state unchanged
     assert m.run_follow(batch_size=200, poll_ms=100, idle_rounds=2) == 0
     pd.testing.assert_frame_equal(_got(m), _final_state_agg(spec))
+
+
+def test_cli_derive_drain_and_resume(tmp_path, capsys):
+    """CLI wiring: `derive` seeds from a lake, drains the journal, and
+    a resumed invocation is an exactly-once no-op over the same state."""
+    import json
+
+    from clever_canal_ray.__main__ import main as cli_main
+    from clever_canal_ray.state.manifest import Lake
+
+    spec = EventLogSpec(seed=98, n_initial_docs=120, n_events=800, n_segments=3)
+    root = tmp_path / "fx"
+    write_fixture(spec, str(root))
+    Lake.create(str(tmp_path / "lake"), generate_lake(spec), num_partitions=2)
+    args = [
+        "derive",
+        "--journal", str(root / "segments"),
+        "--state", str(tmp_path / "state"),
+        "--seed-lake", str(tmp_path / "lake"),
+    ]
+    assert cli_main(args) == 0
+    out1 = json.loads(capsys.readouterr().out)
+    assert out1["folded"] > 0
+    exp = _final_state_agg(spec)
+    got = pd.DataFrame(out1["groups"]).sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # resume: seed skipped, nothing new to fold, state unchanged
+    assert cli_main(args) == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["folded"] == 0 and out2["groups"] == out1["groups"]

@@ -12,6 +12,7 @@
     python -m clever_canal_ray gen-fixture  --out DIR --events N [--docs N] [--segments N]
     python -m clever_canal_ray lookup       --lake DIR --keys K [K ...] [--table T]
     python -m clever_canal_ray changes      --lake DIR --since V --out DIR [--latest-only]
+    python -m clever_canal_ray mirror       --src LAKE --dst LAKE [--follow] [--poll S]
     python -m clever_canal_ray consumer-stats --port P [--host H] [--of CLIENT_ID]
     python -m clever_canal_ray derive       --journal DIR --state DIR [--key C] [--sum C ...]
                                             [--follow] [--seed-lake DIR]
@@ -104,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--poll-ms", type=int, default=1000)
     dv.add_argument("--idle-rounds", type=int, default=3)
     dv.add_argument("--seed-lake", default=None, help="seed state from this lake's current rows")
+
+    mi = sub.add_parser("mirror")  # lake->lake cascade replication
+    mi.add_argument("--src", required=True, help="source lake directory")
+    mi.add_argument("--dst", required=True, help="mirror lake directory")
+    mi.add_argument("--partitions", type=int, default=None, help="mirror partition count (bootstrap)")
+    mi.add_argument("--follow", action="store_true", help="keep syncing as the source advances")
+    mi.add_argument("--poll", type=float, default=1.0)
+    mi.add_argument("--idle-stop", type=int, default=None, help="stop after N empty polls")
 
     cs = sub.add_parser("consumer-stats")  # admin: per-client cursor/lag over the wire
     cs.add_argument("--host", default="127.0.0.1")
@@ -248,6 +257,34 @@ def main(argv: list[str] | None = None) -> int:
                 default=str,
             )
         )
+    elif args.cmd == "mirror":
+        import os
+        import time
+
+        _ray_session()
+        from clever_canal_ray.pipelines.mirror import mirror_bootstrap, mirror_sync
+
+        src = Lake(args.src)
+        if os.path.exists(os.path.join(args.dst, "_manifest", "_CURRENT")):
+            dst = Lake(args.dst)  # resume an existing mirror
+        else:
+            dst = mirror_bootstrap(src, args.dst, num_partitions=args.partitions)
+            print(
+                json.dumps(
+                    {"bootstrapped": args.dst, "source_version": dst.current().last_batch_id}
+                ),
+                flush=True,
+            )
+        idle = 0
+        while True:
+            out = mirror_sync(src, dst)
+            print(json.dumps(out), flush=True)
+            if not args.follow:
+                break
+            idle = idle + 1 if out.get("noop") else 0
+            if args.idle_stop is not None and idle >= args.idle_stop:
+                break
+            time.sleep(args.poll)
     elif args.cmd == "consumer-stats":
         from clever_canal_ray.server import WireConsumer
 

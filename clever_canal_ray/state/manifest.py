@@ -824,6 +824,7 @@ class Lake:
         else:
             parts = dict(cur.partitions)
         rows_upserted = rows_deleted = events_in = 0
+        seq_rewrite = False  # any partition fully rewritten (seq restamped)
         for pid, info in touched.items():
             if info.get("mode") == "noop":
                 # patch-only partition where every patch matched 0 rows
@@ -848,6 +849,7 @@ class Lake:
                 }
             else:  # compact sink: the file IS the partition now
                 parts[str(pid)] = {"files": [info["file"]], "rows": int(info["rows"])}
+                seq_rewrite = True
             rows_upserted += int(info.get("rows_upserted", 0))
             rows_deleted += int(info.get("rows_deleted", 0))
             events_in += int(info.get("events_in", 0))
@@ -895,6 +897,13 @@ class Lake:
             totals["last_execute_ts_ms"] = max(
                 int(totals.get("last_execute_ts_ms", 0)), int(metrics["max_execute_ts"])
             )
+        if seq_rewrite:
+            # a compact-path write restamps per-row __seq to this batch
+            # and folds tombstones — read_changes windows spanning this
+            # version re-emit rewritten rows (LWW-idempotent) but cannot
+            # see deletes folded into the rewrite; incremental consumers
+            # (pipelines/mirror) check this stamp and refuse the window
+            totals["last_seq_rewrite_version"] = cur.version + 1
         # full-history ledger: append-only jsonl sidecar (flat commit
         # cost; the manifest itself keeps only the last LEDGER_KEEP)
         with open(os.path.join(self.manifest_dir, "ledger.jsonl"), "a") as lf:
@@ -1867,6 +1876,13 @@ class Lake:
             raise CommitConflictError(
                 f"manifest moved {cur.version} -> {latest.version} during compact()"
             )
+        metrics = cur.metrics
+        if mode == "major" and results:
+            # stamp the version so incremental consumers (read_changes
+            # callers, pipelines/mirror) can detect a window that spans
+            # a tombstone-dropping rewrite instead of silently missing
+            # deletes folded into it
+            metrics = {**cur.metrics, "last_major_compact_version": cur.version + 1}
         m = Manifest(
             version=cur.version + 1,
             num_partitions=cur.num_partitions,
@@ -1878,7 +1894,7 @@ class Lake:
             ddl_journal=cur.ddl_journal,
             partitions=parts,
             ledger=cur.ledger,
-            metrics=cur.metrics,
+            metrics=metrics,
             tables=cur.tables,
         )
         self._write_manifest(m)

@@ -8,6 +8,10 @@
   corpus (one groupby on the bucket key); queries probe matching
   buckets and rerank exactly. Recall < 1 by design; multi-table
   probing trades compute for recall.
+- ``pq_train`` / ``pq_encode`` / ``pq_topk``: product quantization —
+  the compression tier (float32 embeddings → n_sub uint8 codes per
+  row); search runs in the compressed domain via per-query ADC lookup
+  tables, over-fetch + exact rerank recovers recall.
 """
 
 from __future__ import annotations
@@ -301,3 +305,138 @@ def random_projection(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# --- product quantization (compressed-domain ANN) -------------------------
+
+
+def _pq_split(m: np.ndarray, n_sub: int) -> np.ndarray:
+    """(n, d) -> (n, n_sub, d/n_sub); d must divide evenly."""
+    n, d = m.shape
+    if d % n_sub:
+        raise ValueError(f"embedding dim {d} not divisible by m={n_sub} subspaces")
+    return m.reshape(n, n_sub, d // n_sub)
+
+
+def pq_train(
+    ds,
+    n_sub: int = 8,
+    n_codes: int = 256,
+    sample_n: int = 20_000,
+    iters: int = 6,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks: per-subspace k-means over
+    a bounded deterministic sample (the FAISS practice — codebooks are
+    statistics of the distribution, not of every row; the sample is
+    the first ``sample_n`` rows by id so training is reproducible at
+    any parallelism). Vectors are L2-normalized first, so PQ inner
+    product approximates cosine like the rest of the ANN family.
+
+    Returns codebooks of shape (n_sub, n_codes, d/n_sub) — the index's
+    only global state, 256·d floats regardless of corpus size
+    (broadcast once by the encode/search stages).
+    """
+    sample = (
+        ds.map_batches(lambda df: df.nsmallest(sample_n, id_col), batch_format="pandas")
+        .to_pandas()
+        .nsmallest(sample_n, id_col)
+    )
+    x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    sub = _pq_split(x, n_sub)
+    books = []
+    for s in range(n_sub):
+        xs = sub[:, s, :]
+        k = min(n_codes, len(xs))
+        # deterministic seeds: first k distinct subvectors
+        _, first = np.unique(xs.round(12), axis=0, return_index=True)
+        cents = xs[np.sort(first)[:k]].copy()
+        if len(cents) < n_codes:  # degenerate sample: pad by repetition
+            cents = cents[np.arange(n_codes) % len(cents)]
+        for _ in range(iters):
+            # L2 assignment: argmin ||x-c||^2 = argmax x·c - ||c||²/2
+            aff = xs @ cents.T - 0.5 * (cents * cents).sum(1)[None, :]
+            a = np.argmax(aff, axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, a, xs)
+            counts = np.bincount(a, minlength=len(cents))
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]  # empty cells keep position
+        books.append(cents)
+    return np.stack(books)  # (n_sub, n_codes, d/n_sub)
+
+
+def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Compress the embedding column to ``n_sub`` uint8 codes per row
+    (e.g. 768-dim float32 = 3 KB -> 8-64 B): per batch, one
+    affinity matmul per subspace against the broadcast codebooks, no
+    shuffle. Returns a Dataset of (id_col, ``pq_code`` list<uint8>) —
+    the compressed index a 100-TB corpus can actually hold in hot
+    storage (the raw embeddings stay cold; search runs in the
+    compressed domain via :func:`pq_topk`)."""
+    import ray
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    ref = ray.put(cb)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        sub = _pq_split(m, books.shape[0])
+        codes = np.empty((len(m), books.shape[0]), dtype=np.uint8)
+        for s in range(books.shape[0]):
+            cents = books[s]
+            aff = sub[:, s, :] @ cents.T - 0.5 * (cents * cents).sum(1)[None, :]
+            codes[:, s] = np.argmax(aff, axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "pq_code": list(codes)})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(
+    codes_ds,
+    query_vecs: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k in the COMPRESSED domain: per
+    query a (n_sub × n_codes) lookup table of subspace inner products
+    is built once on the driver and broadcast; each batch scores its
+    rows with pure table gathers (sum over subspaces of
+    LUT[s, code[s]]) — no decompression, no matmul over d, no shuffle
+    — and keeps local top-k; driver final over blocks × Q × k rows.
+    Returns (query_i, vec_id, adc_sim) with adc_sim ≈ cosine (exact
+    cosine of the reconstructed vectors). Pair with
+    :func:`brute_force_topk` over an id semi-join for exact reranking
+    of an over-fetched candidate set."""
+    import ray
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    n_sub = cb.shape[0]
+    qsub = _pq_split(q, n_sub)  # (Q, n_sub, d/n_sub)
+    # LUT[qi, s, c] = q_sub(qi,s) · codebook(s,c)
+    lut = np.einsum("qsd,scd->qsc", qsub, cb)
+    ref = ray.put(lut)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tables = ray.get(ref)
+        codes = np.stack(df["pq_code"].to_numpy()).astype(np.int64)  # (n, n_sub)
+        ids = df[id_col].to_numpy()
+        rows = np.arange(codes.shape[1])[None, :]
+        out = []
+        for qi in range(tables.shape[0]):
+            sims = tables[qi][rows, codes].sum(axis=1)  # (n,)
+            top = np.argsort(-sims, kind="stable")[:k]
+            out.append(
+                pd.DataFrame({"query_i": qi, id_col: ids[top], "adc_sim": sims[top]})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = codes_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_i", "adc_sim", id_col], ascending=[True, False, True])
+    out = cand.groupby("query_i", sort=True).head(k).reset_index(drop=True)
+    out["adc_sim"] = out["adc_sim"].round(4)
+    return out

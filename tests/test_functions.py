@@ -1015,3 +1015,62 @@ def test_range_join_numeric_bands_and_empty_side(ray_session):
             ray.data.from_pandas(left),
             left_by="a_key", right_by="a_key", left_on="v", right_lo="v", right_hi="v",
         )
+
+
+def test_pq_ann_recall_and_compression(ray_session):
+    """Product quantization: codes are n_sub uint8 per row; ADC top-k
+    in the compressed domain recovers most of the exact top-k on
+    clustered data; ADC scores equal explicit reconstruction scores."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import (
+        _normalize,
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 24)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((120, 24)) * 0.4 for c in centers])
+    emb = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    ds = rd.from_pandas(emb).repartition(4)
+
+    books = pq_train(ds, n_sub=8, n_codes=256, sample_n=400, iters=8)
+    assert books.shape == (8, 256, 3)
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(codes) == len(vecs)
+    c0 = np.stack(codes["pq_code"].to_numpy())
+    assert c0.dtype == np.uint8 and c0.shape == (len(vecs), 8)  # 24 floats -> 8 bytes
+
+    q = vecs[:3]
+    exact = brute_force_topk(rd.from_pandas(emb), q, k=10)
+    approx = pq_topk(rd.from_pandas(codes).repartition(3), q, books, k=10)
+    for qi in range(3):
+        e = set(exact[exact["query_i"] == qi]["vec_id"])
+        a = set(approx[approx["query_i"] == qi]["vec_id"])
+        assert len(a & e) / 10 >= 0.6, f"pq recall too low for q{qi}"
+
+    # the deployment pattern: over-fetch in the compressed domain, then
+    # exact-rerank the candidate slice -> recall recovers to ~1
+    over = pq_topk(rd.from_pandas(codes), q, books, k=40)
+    for qi in range(3):
+        cand_ids = set(over[over["query_i"] == qi]["vec_id"])
+        sub = emb[emb["vec_id"].isin(cand_ids)]
+        rr = brute_force_topk(rd.from_pandas(sub), q[qi : qi + 1], k=10)
+        e = set(exact[exact["query_i"] == qi]["vec_id"])
+        assert len(set(rr["vec_id"]) & e) / 10 >= 0.9, f"rerank recall low for q{qi}"
+
+    # ADC == q · (reconstructed vector), up to float summation order
+    qn = _normalize(np.asarray(q, dtype=np.float64))
+    recon = books[np.arange(8)[None, :], c0].reshape(len(vecs), 24)
+    for _, r in approx.iterrows():
+        expect = float(qn[int(r["query_i"])] @ recon[int(r["vec_id"])])
+        assert abs(r["adc_sim"] - expect) < 1e-3  # adc_sim is rounded to 4dp
+
+    # block-layout invariance
+    b = pq_topk(rd.from_pandas(codes).repartition(9), q, books, k=10)
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )

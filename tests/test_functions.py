@@ -1074,3 +1074,42 @@ def test_pq_ann_recall_and_compression(ray_session):
     pd.testing.assert_frame_equal(
         approx.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_linear_probe_matches_closed_form_and_separates(ray_session):
+    """Distributed ridge == the single-machine closed form (same
+    sufficient statistics); a planted two-cluster labeling separates
+    cleanly; result invariant to block layout."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.probe import linear_probe_score, linear_probe_train
+
+    rng = np.random.default_rng(44)
+    pos = rng.standard_normal((150, 12)) + 2.5
+    neg = rng.standard_normal((150, 12)) - 2.5
+    x = np.concatenate([pos, neg])
+    y = np.concatenate([np.ones(150), -np.ones(150)])
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(x), "label": y})
+
+    w = linear_probe_train(rd.from_pandas(df).repartition(5), "label", l2=0.1)
+    # closed form on the driver: identical statistics, same solve
+    xd = np.concatenate([x, np.ones((300, 1))], axis=1)
+    reg = np.eye(13) * 0.1
+    reg[-1, -1] = 0.0
+    w_ref = np.linalg.solve(xd.T @ xd + reg, xd.T @ y)
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8)
+
+    w2 = linear_probe_train(rd.from_pandas(df).repartition(11), "label", l2=0.1)
+    np.testing.assert_allclose(w, w2, rtol=1e-8)  # layout invariance
+
+    scored = (
+        linear_probe_score(rd.from_pandas(df).repartition(4), w)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    acc = ((scored["probe_score"] > 0).to_numpy() == (y > 0)).mean()
+    assert acc >= 0.99
+    np.testing.assert_allclose(
+        scored["probe_score"].to_numpy(), xd @ w, rtol=1e-9
+    )

@@ -338,11 +338,22 @@ def pq_train(
     only global state, 256·d floats regardless of corpus size
     (broadcast once by the encode/search stages).
     """
-    sample = (
-        ds.map_batches(lambda df: df.nsmallest(sample_n, id_col), batch_format="pandas")
-        .to_pandas()
-        .nsmallest(sample_n, id_col)
-    )
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes} > 256: codes are uint8 (one byte per subspace)")
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col).head(sample_n)[[id_col, emb_col]]
+
+    # fold one block's prefix at a time — the driver holds at most
+    # 2·sample_n rows, never blocks × sample_n
+    sample = None
+    for b in ds.map_batches(prefilter, batch_format="pandas").iter_batches(
+        batch_size=None, batch_format="pandas"
+    ):
+        sample = b if sample is None else pd.concat([sample, b], ignore_index=True)
+        sample = sample.sort_values(id_col).head(sample_n)
+    if sample is None or sample.empty:
+        raise ValueError("pq_train: empty dataset")
     x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     sub = _pq_split(x, n_sub)
     books = []
@@ -378,6 +389,8 @@ def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding", id_col: str
     import ray
 
     cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.shape[1] > 256:
+        raise ValueError(f"codebooks carry {cb.shape[1]} codes/subspace > 256 (uint8 codes)")
     ref = ray.put(cb)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -425,11 +438,16 @@ def pq_topk(
         tables = ray.get(ref)
         codes = np.stack(df["pq_code"].to_numpy()).astype(np.int64)  # (n, n_sub)
         ids = df[id_col].to_numpy()
+        # local ties must break by id like the driver final does, or a
+        # tie straddling the local-k boundary varies with block layout
+        # (ADC sims are quantized — identical codes tie exactly)
+        id_rank = np.empty(len(ids), dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
         rows = np.arange(codes.shape[1])[None, :]
         out = []
         for qi in range(tables.shape[0]):
             sims = tables[qi][rows, codes].sum(axis=1)  # (n,)
-            top = np.argsort(-sims, kind="stable")[:k]
+            top = np.lexsort((id_rank, -sims))[:k]
             out.append(
                 pd.DataFrame({"query_i": qi, id_col: ids[top], "adc_sim": sims[top]})
             )

@@ -50,9 +50,15 @@ def _term_slots(texts: pa.ChunkedArray | pa.Array, terms: np.ndarray):
 
     Returns (doc lengths, flat doc index of matching tokens, flat term
     slot of matching tokens) — everything later stages need, one
-    factorize per batch."""
+    factorize per batch. (Same clamped-searchsorted membership kernel
+    as text.lm_nll_batch — kept separate because that one is a
+    hash-gated path; a change there must not ripple here and vice
+    versa.)"""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if pa.types.is_null(texts.type):  # all-null block infers type null
+        texts = texts.cast(pa.string())
+    texts = pc.fill_null(texts, "")  # null text scores like empty text
     split = pc.split_pattern(texts, pattern=" ")
     lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = split.flatten().to_numpy(zero_copy_only=False)
@@ -133,12 +139,19 @@ def bm25_topk(
         contrib = idf_b[None, :] * (tf * (k1 + 1.0)) / (tf + norm)
         scores = contrib @ qmat_b.T  # (docs × Q)
         ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        # local selection must use the SAME key as the driver final —
+        # (score_e6 desc, doc_id asc) — or a tie straddling the local-k
+        # boundary would make the result depend on block layout
+        id_rank = np.empty(len(t), dtype=np.int64)
+        id_rank[np.argsort(ids.to_numpy(zero_copy_only=False), kind="stable")] = np.arange(len(t))
+        e6 = np.floor(scores * 1e6 + 0.5).astype(np.int64)
         out_q, out_i, out_s = [], [], []
         for qi, (query_id, _) in enumerate(queries):
-            col = scores[:, qi]
-            nz = np.nonzero(col > 0.0)[0]
+            col = e6[:, qi]
+            nz = np.nonzero(col > 0)[0]
             if len(nz) > k:
-                nz = nz[np.argpartition(-col[nz], k - 1)[:k]]
+                order = np.lexsort((id_rank[nz], -col[nz]))[:k]
+                nz = nz[order]
             out_q.extend([query_id] * len(nz))
             out_i.extend(nz.tolist())
             out_s.extend(col[nz].tolist())
@@ -147,9 +160,7 @@ def bm25_topk(
                 "query_id": pa.array(out_q, pa.string()),
                 # take preserves the input id type (string, int, ...)
                 "doc_id": ids.take(pa.array(out_i, pa.int64())),
-                "score_e6": pa.array(
-                    np.floor(np.asarray(out_s, np.float64) * 1e6 + 0.5).astype(np.int64)
-                ),
+                "score_e6": pa.array(np.asarray(out_s, np.int64)),
             }
         )
 
@@ -167,7 +178,9 @@ def bm25_topk(
         {
             "query_id": pa.array(cdf["query_id"].to_numpy(dtype=object), pa.string()),
             "rank": pa.array(cdf["rank"].to_numpy(np.int64)),
-            "doc_id": pa.array(cdf["doc_id"].tolist(), id_type),
+            # infer from the candidate values (the schema()-derived
+            # id_type is only trusted for the typed-empty paths)
+            "doc_id": pa.array(cdf["doc_id"].tolist()),
             "score_e6": pa.array(cdf["score_e6"].to_numpy(np.int64)),
         }
     )
@@ -203,8 +216,9 @@ def bm25_topk_serial(
                     continue
                 idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
                 s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(d) / avgdl))
-            if s > 0:
-                scored.append((math.floor(s * 1e6 + 0.5), d_id))
+            s_e6 = math.floor(s * 1e6 + 0.5)
+            if s_e6 > 0:  # same cut as the distributed kernel
+                scored.append((s_e6, d_id))
         scored.sort(key=lambda x: (-x[0], x[1]))
         for r, (s_e6, d_id) in enumerate(scored[:k], 1):
             rows.append({"query_id": query_id, "rank": r, "doc_id": d_id, "score_e6": s_e6})

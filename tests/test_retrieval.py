@@ -117,3 +117,17 @@ def test_bm25_edges(ray_session):
     assert len(out) == 1 and out["rank"].tolist() == [1]
     # empty queries
     assert bm25_topk(_ds(df), [], k=3).num_rows == 0
+
+
+def test_bm25_ties_and_nulls(ray_session):
+    """Exact score ties (duplicate texts) at the local-k boundary break
+    by doc_id at EVERY block layout; null text scores like empty."""
+    df = pd.DataFrame(
+        {
+            "doc_id": ["z", "a", "m", "q"],
+            "text": ["ray data", "ray data", "ray data", None],
+        }
+    )
+    for parts in (1, 2, 4):
+        out = bm25_topk(_ds(df, parts=parts), [("q", "ray")], k=2).to_pandas()
+        assert out["doc_id"].tolist() == ["a", "m"], f"layout {parts}: {out}"

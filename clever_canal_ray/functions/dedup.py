@@ -932,12 +932,9 @@ def connected_components(
     return labels.map_batches(finish, batch_format="pandas")
 
 
-def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: int = 64):
-    """The corpus AFTER near-dup clustering: drop every doc whose
-    cluster label is not its own id (each component keeps its min-id
-    member — the keeper `connected_components` elected). The apply
-    step after pairs → verify → cluster, mirroring
-    ``exact_dedup_survivors`` for the near-duplicate path.
+def _survivors_anti_join(ds, drop_src_ds, extract_drop_ids, id_col: str, num_buckets: int):
+    """Shared apply step for the dedup family: drop every ``ds`` row
+    whose id appears in ``extract_drop_ids(drop_src_batch)``.
 
     Fully distributed: the drop-id set (one row per REMOVED doc — at
     heavy duplication the majority of the corpus) never lands on the
@@ -960,9 +957,7 @@ def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: in
         )
 
     def drop_side(t: pa.Table) -> pa.Table:
-        node = t["node"].to_numpy(zero_copy_only=False)
-        cluster = t["cluster"].to_numpy(zero_copy_only=False)
-        ids = pa.array(node[cluster != node]).cast(id_type)
+        ids = extract_drop_ids(t).cast(id_type)
         n = len(ids)
         cols = [ids if f.name == id_col else pa.nulls(n, f.type) for f in doc_schema]
         return pa.Table.from_arrays(cols + [pa.array(np.ones(n, bool))], schema=transport)
@@ -982,12 +977,30 @@ def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: in
         return t.filter(mask).drop_columns(["__drop", "__bucket"])
 
     u = ds.map_batches(docs_side, batch_format="pyarrow").union(
-        components_ds.map_batches(drop_side, batch_format="pyarrow")
+        drop_src_ds.map_batches(drop_side, batch_format="pyarrow")
     )
     return (
         u.map_batches(bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(anti_join, batch_format="pyarrow")
+    )
+
+
+def neardup_survivors(ds, components_ds, id_col: str = "doc_id", num_buckets: int = 64):
+    """The corpus AFTER near-dup clustering: drop every doc whose
+    cluster label is not its own id (each component keeps its min-id
+    member — the keeper `connected_components` elected). The apply
+    step after pairs → verify → cluster, mirroring
+    ``exact_dedup_survivors`` for the near-duplicate path; topology in
+    :func:`_survivors_anti_join`."""
+
+    def drop_ids(t: pa.Table) -> pa.Array:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        cluster = t["cluster"].to_numpy(zero_copy_only=False)
+        return pa.array(node[cluster != node])
+
+    return _survivors_anti_join(
+        ds, components_ds, drop_ids, id_col=id_col, num_buckets=num_buckets
     )
 
 
@@ -1615,3 +1628,141 @@ class StreamingDeduper:
     def distinct_seen(self) -> int:
         counts = ray.get([s.count.remote() for s in self.shards])
         return -1 if any(c < 0 for c in counts) else sum(counts)
+
+
+# --- SemDeDup (cluster-scoped semantic dedup) -------------------------------
+
+
+def semdedup(
+    ds,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    iters: int = 2,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_buckets: int = 32,
+    max_cluster_rows: int = 200_000,
+    row_block: int = 1024,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    scoped to k-means clusters — the embedding-dedup shape that DOES
+    reach 100 TB, unlike the exact all-pairs triangle join
+    (:func:`embedding_dup_pairs`): pair comparison is confined to each
+    cluster, so total flops are sum |C_i|^2 instead of n^2, and
+    ``n_clusters`` is the knob that bounds them (the paper runs 50k
+    clusters over LAION).
+
+    Semantics (the paper's published rule): within a cluster, order
+    items by cosine similarity TO THE CENTROID ascending (ties by id);
+    an item is a semantic duplicate — dropped — iff some EARLIER item
+    in that order has cosine >= ``threshold`` with it. The survivor of
+    any duplicate group is therefore the member least similar to the
+    centroid ("keep the most atypical example").
+
+    Topology: centroids come from :func:`ann.ivf_build_centroids`
+    (distributed Lloyd; broadcast k x d matrix) unless passed in;
+    assignment is one broadcast matmul per batch (zero shuffle); then
+    ONE bucketed groupby co-locates each cluster and the per-cluster
+    kernel streams the similarity matrix in ``row_block``-row slabs
+    (memory O(row_block x |C|), flops the inherent |C|^2/2). Clusters
+    above ``max_cluster_rows`` raise — the fix is more clusters, not
+    more memory.
+
+    Returns one decision row per vector:
+    ``(id_col:int64, cluster:int32, centroid_sim:float64, kept:int32)``.
+    """
+    from clever_canal_ray.functions.ann import _normalize, ivf_build_centroids
+
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            ds, n_centroids=n_clusters, iters=iters, emb_col=emb_col, id_col=id_col
+        )
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        cid = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(np.int64),
+                emb_col: df[emb_col].to_numpy(),
+                "cluster": cid.astype(np.int32),
+                "centroid_sim": sims[np.arange(len(cid)), cid].astype(np.float64),
+                "__bucket": (cid % num_buckets).astype(np.int64),
+            }
+        )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, cg in g.groupby("cluster", sort=False):
+            if len(cg) > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup cluster has {len(cg)} rows > max_cluster_rows="
+                    f"{max_cluster_rows}; raise n_clusters (pair flops are "
+                    "per-cluster quadratic by design)"
+                )
+            cg = cg.sort_values(
+                ["centroid_sim", id_col], kind="mergesort", ascending=[True, True]
+            )
+            m = _normalize(np.stack(cg[emb_col].to_numpy()).astype(np.float64))
+            n = len(cg)
+            dropped = np.zeros(n, dtype=bool)
+            # row slabs: rows [s:e) vs all EARLIER rows [0:e) — strict
+            # lower triangle within the slab masks self/later columns
+            for s in range(1, n, row_block):
+                e = min(s + row_block, n)
+                sims = m[s:e] @ m[:e].T
+                col = np.arange(e)
+                row = np.arange(s, e)
+                sims[col[None, :] >= row[:, None]] = -np.inf
+                dropped[s:e] = sims.max(axis=1) >= threshold
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: cg[id_col].to_numpy(np.int64),
+                        "cluster": cg["cluster"].to_numpy(np.int32),
+                        "centroid_sim": cg["centroid_sim"].to_numpy(np.float64),
+                        "kept": (~dropped).astype(np.int32),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int32),
+                "centroid_sim": pd.Series(dtype=np.float64),
+                "kept": pd.Series(dtype=np.int32),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: dedup_bucket(g.drop(columns="__bucket")), batch_format="pandas"
+        )
+    )
+
+
+def semdedup_survivors(ds, decisions_ds, id_col: str = "doc_id", num_buckets: int = 64):
+    """The corpus AFTER SemDeDup: drop every row whose decision row has
+    ``kept == 0``. Same fully-distributed bucketed anti-join as
+    :func:`neardup_survivors` — the drop-id set never lands on the
+    driver."""
+    import pyarrow.compute as pc
+
+    def drop_ids(t: pa.Table) -> pa.Array:
+        dropped = t.filter(pc.equal(t["kept"], pa.scalar(0, pa.int32())))
+        # decisions carry the vector id as their first column; honor a
+        # same-named column when the doc and decision id names match
+        name = id_col if id_col in dropped.schema.names else dropped.schema.names[0]
+        col = dropped[name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    return _survivors_anti_join(
+        ds, decisions_ds, drop_ids, id_col=id_col, num_buckets=num_buckets
+    )

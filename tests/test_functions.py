@@ -1113,3 +1113,99 @@ def test_linear_probe_matches_closed_form_and_separates(ray_session):
     np.testing.assert_allclose(
         scored["probe_score"].to_numpy(), xd @ w, rtol=1e-9
     )
+
+
+def _semdedup_serial(ids, vecs, centroids, threshold):
+    """Serial reference of the SemDeDup rule: per cluster, order by
+    (centroid_sim asc, id asc); drop i iff any earlier j has
+    cos(i, j) >= threshold."""
+    from clever_canal_ray.functions.ann import _normalize
+
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    m = _normalize(np.asarray(vecs, dtype=np.float64))
+    sims = m @ c.T
+    cid = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(cid)), cid]
+    kept = {}
+    for k in np.unique(cid):
+        idx = np.where(cid == k)[0]
+        order = idx[np.lexsort((np.asarray(ids)[idx], csim[idx]))]
+        for pos, i in enumerate(order):
+            dup = any(
+                float(m[i] @ m[j]) >= threshold for j in order[:pos]
+            )
+            kept[int(ids[i])] = (int(k), float(csim[i]), 0 if dup else 1)
+    return kept
+
+
+def test_semdedup_matches_serial_reference(ray_session):
+    """Distributed semdedup == the serial paper rule, exactly, and is
+    invariant to block layout."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import ivf_build_centroids
+    from clever_canal_ray.functions.dedup import semdedup
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((3, 12)) * 4
+    base = np.concatenate([c + rng.standard_normal((40, 12)) * 0.6 for c in centers])
+    # plant near-duplicates: copies with tiny noise
+    dups = base[::5] + rng.standard_normal((24, 12)) * 0.01
+    vecs = np.concatenate([base, dups])
+    ids = np.arange(len(vecs))
+    emb = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    ds = rd.from_pandas(emb)
+    cents = ivf_build_centroids(ds, n_centroids=3, iters=2)
+    got = (
+        semdedup(rd.from_pandas(emb), threshold=0.95, centroids=cents, num_buckets=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = _semdedup_serial(ids, vecs, cents, 0.95)
+    assert len(got) == len(ids)
+    for _, r in got.iterrows():
+        k, csim, kept = ref[int(r["vec_id"])]
+        assert int(r["cluster"]) == k
+        assert abs(float(r["centroid_sim"]) - csim) < 1e-9
+        assert int(r["kept"]) == kept, f"vec {r['vec_id']}: kept {r['kept']} != {kept}"
+    # planted dups actually got caught
+    assert (got["kept"] == 0).sum() >= 20
+    # block-layout invariance
+    got2 = (
+        semdedup(
+            rd.from_pandas(emb).repartition(7), threshold=0.95, centroids=cents, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_semdedup_survivors_and_cluster_guard(ray_session):
+    """Survivors drop exactly the kept==0 ids (distributed anti-join);
+    oversized clusters raise with the n_clusters hint."""
+    import pytest
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import semdedup, semdedup_survivors
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 8))
+    vecs = np.concatenate([base, base + 1e-4 * rng.standard_normal((60, 8))])
+    emb = pd.DataFrame({"vec_id": np.arange(120), "embedding": list(vecs)})
+    ds = rd.from_pandas(emb)
+    decisions = semdedup(ds, threshold=0.999, n_clusters=4, num_buckets=4)
+    dec = decisions.to_pandas()
+    dropped = set(dec[dec["kept"] == 0]["vec_id"])
+    assert len(dropped) >= 50  # each twin pair loses one member
+    surv = semdedup_survivors(
+        rd.from_pandas(emb), decisions, id_col="vec_id"
+    ).to_pandas()
+    assert set(surv["vec_id"]) == set(emb["vec_id"]) - dropped
+    assert list(surv.columns) == ["vec_id", "embedding"]
+
+    with pytest.raises(Exception, match="n_clusters"):
+        semdedup(ds, threshold=0.9, n_clusters=2, max_cluster_rows=10).to_pandas()

@@ -1,0 +1,154 @@
+"""BPE tokenizer training + encode: histogram parity, known-merge
+check, losslessness, cache/layout invariance, vocab guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from clever_canal_ray.functions.bpe import (
+    END_MARKER,
+    BpeEncoder,
+    bpe_encode,
+    bpe_train,
+    bpe_train_corpus,
+    encode_word,
+    word_histogram,
+)
+
+
+def _hist(d: dict) -> pd.DataFrame:
+    return pd.DataFrame({"w": list(d.keys()), "c": list(d.values())})
+
+
+def test_bpe_train_known_merges():
+    """The classic hug/pug/pun/bun/hugs histogram: ('u','g') is the
+    first merge (count 20: hug 10 + pug 5 + hugs 5); training is
+    deterministic and merged symbols compose."""
+    hist = _hist({"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5})
+    merges = bpe_train(hist, num_merges=4)
+    assert merges[0] == ("u", "g")
+    assert len(merges) == 4
+    # deterministic re-run
+    assert bpe_train(hist, num_merges=4) == merges
+
+
+def test_bpe_encode_reproduces_training_segmentation():
+    """Greedy rank-order apply == the trainer's final word state (the
+    standard BPE property), checked by replaying merges over the
+    histogram words serially."""
+    hist = _hist({"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5, "bug": 3})
+    merges = bpe_train(hist, num_merges=6, min_count=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    from clever_canal_ray.functions.bpe import _merge_word
+
+    state = {w: tuple(w) + (END_MARKER,) for w in hist["w"]}
+    for a, b in merges:
+        state = {w: _merge_word(s, (a, b), a + b) for w, s in state.items()}
+    for w in hist["w"]:
+        assert encode_word(w, ranks) == state[w], w
+
+
+def test_bpe_encode_lossless_and_oov():
+    hist = _hist({"low": 5, "lower": 2, "newest": 6, "widest": 3})
+    merges = bpe_train(hist, num_merges=10, min_count=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in ["low", "lowest", "newer", "zzz", "a"]:
+        pieces = encode_word(w, ranks)
+        assert "".join(pieces) == w + END_MARKER, w
+
+
+def test_word_histogram_matches_counter_and_guard(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the cat sat",
+                "the cat",
+                "a dog sat on the mat",
+                "",
+                "the the the",
+                "cat",
+            ],
+        }
+    )
+    hist = word_histogram(rd.from_pandas(docs).repartition(3), num_buckets=4)
+    ref = Counter(w for t in docs["text"] for w in t.split(" ") if w)
+    assert dict(zip(hist["w"], hist["c"])) == dict(ref)
+    # sorted by count desc then word
+    assert hist["c"].is_monotonic_decreasing or (
+        hist.sort_values(["c", "w"], ascending=[False, True])["w"].tolist()
+        == hist["w"].tolist()
+    )
+    # top_v cap keeps the most frequent
+    top = word_histogram(rd.from_pandas(docs), num_buckets=4, top_v=2)
+    assert len(top) == 2 and top["w"].iloc[0] == "the"
+    with pytest.raises(ValueError, match="max_vocab"):
+        word_histogram(rd.from_pandas(docs), num_buckets=4, max_vocab=3)
+
+
+def test_bpe_encode_distributed_matches_serial(ray_session):
+    """Distributed encode == per-word serial reference; invariant to
+    block layout; the actor cache returns identical results for words
+    repeating across batches."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    vocab = ["hugging", "puns", "bunting", "hug", "pun", "lower", "newest", "wide"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 9))) for _ in range(60)]
+    texts += ["", "hug"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = rd.from_pandas(docs)
+
+    merges = bpe_train_corpus(ds, num_merges=30, min_count=1, num_buckets=4)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    got = (
+        bpe_encode(rd.from_pandas(docs).repartition(5), merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["doc_id", "pieces", "n_pieces"]
+    for _, r in got.iterrows():
+        t = docs["text"].iloc[int(r["doc_id"])]
+        ref = [p for w in t.split(" ") if w for p in encode_word(w, ranks)]
+        assert list(r["pieces"]) == ref, r["doc_id"]
+        assert int(r["n_pieces"]) == len(ref)
+    # empty doc -> empty pieces
+    empty = got[got["doc_id"] == len(texts) - 2]["pieces"].iloc[0]
+    assert len(list(empty)) == 0
+
+    got2 = (
+        bpe_encode(rd.from_pandas(docs).repartition(2), merges, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_pieces"].tolist() == got2["n_pieces"].tolist()
+    assert [list(p) for p in got["pieces"]] == [list(p) for p in got2["pieces"]]
+
+
+def test_bpe_encoder_batch_kernel_direct():
+    """The vectorized ragged gather inside BpeEncoder.__call__ matches
+    a plain loop on a crafted batch (no Ray needed)."""
+    merges = bpe_train(_hist({"aaab": 4, "ab": 6, "ba": 5}), num_merges=5, min_count=1)
+    enc = BpeEncoder(merges, id_col="doc_id", text_col="text")
+    df = pd.DataFrame(
+        {"doc_id": [7, 8, 9], "text": ["ab aaab", "", "ba ba ab"]},
+        index=[10, 20, 30],  # non-default index must not break the gather
+    )
+    t = enc(df)
+    ranks = {m: i for i, m in enumerate(merges)}
+    rows = t.to_pylist()
+    for row in rows:
+        text = df[df["doc_id"] == row["doc_id"]]["text"].iloc[0]
+        ref = [p for w in text.split(" ") if w for p in encode_word(w, ranks)]
+        assert row["pieces"] == ref
+        assert row["n_pieces"] == len(ref)
+    # cache hit path: second call over the same words, same answer
+    t2 = enc(df)
+    assert t2.to_pylist() == rows

@@ -823,3 +823,183 @@ def chunk_tokens(
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# --- quality-aware selection under a token budget ---------------------------
+
+
+def select_by_token_budget(
+    ds,
+    budget_tokens: int,
+    score_col: str = "score",
+    tok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    num_bins: int = 4096,
+    max_refine: int = 4,
+    boundary_cap: int = 200_000,
+    bounds: tuple | None = None,
+):
+    """Budget-constrained curation: keep the highest-``score_col`` docs
+    whose cumulative ``tok_col`` stays within ``budget_tokens`` — "the
+    best 1T tokens of this corpus". EXACT prefix semantics: docs are
+    ranked by (score desc, id asc) and the maximal prefix with token
+    sum <= budget is kept (a doc that would overflow the budget stops
+    the prefix — sort-cumsum, not knapsack).
+
+    Scale shape — iterative histogram refinement (the distributed
+    order-statistic trick), never a global sort:
+
+    1. one min/max pass (skipped when ``bounds`` given);
+    2. one full pass emitting per-batch CONSTANT-SIZE partials
+       (token-weighted + row-count histograms, ``num_bins`` bins);
+       the driver folds them and finds the boundary bin — every bin
+       above it is kept whole;
+    3. only the boundary bin's rows (≈ n/num_bins) materialize; further
+       rounds re-histogram just that subset until it fits
+       ``boundary_cap``, then the driver resolves the exact prefix
+       among <= boundary_cap (id, score, tok) rows;
+    4. one filter pass: ``score >= cut`` OR id in the broadcast
+       boundary keep-set.
+
+    Ties: equal scores share a bin forever, so a tie-mass above
+    ``boundary_cap`` raises (the documented assumption) instead of
+    silently spilling the driver.
+
+    Returns ``(selected_ds, info)`` with info =
+    {cut, tokens_selected, docs_boundary_kept, budget_tokens}.
+    NaN scores are never selected.
+    """
+    import ray
+    import ray.data
+
+    if bounds is None:
+        clean = ds.map_batches(
+            lambda df: df[[score_col]].dropna(subset=[score_col]), batch_format="pandas"
+        )
+        mm = clean.aggregate(ray.data.aggregate.Min(score_col), ray.data.aggregate.Max(score_col))
+        lo = mm[f"min({score_col})"]
+        hi = mm[f"max({score_col})"]
+        if lo is None or hi is None:
+            return ds.filter(lambda r: False), {
+                "cut": None, "tokens_selected": 0, "docs_boundary_kept": 0,
+                "budget_tokens": int(budget_tokens),
+            }
+        lo, hi = float(lo), float(hi)
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+
+    def hist_partials(sub_ds, w_lo, w_hi, width):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[score_col].to_numpy().astype(np.float64)
+            t = df[tok_col].to_numpy().astype(np.int64)
+            m = ~np.isnan(s) & (s >= w_lo) & (s <= w_hi)
+            s, t = s[m], t[m]
+            idx = np.clip(((s - w_lo) / width).astype(np.int64), 0, num_bins - 1)
+            toks = np.bincount(idx, weights=t, minlength=num_bins).astype(np.int64)
+            rows = np.bincount(idx, minlength=num_bins).astype(np.int64)
+            return pd.DataFrame({"toks": [toks.tobytes()], "rows": [rows.tobytes()]})
+
+        parts = sub_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        toks = np.zeros(num_bins, np.int64)
+        rows = np.zeros(num_bins, np.int64)
+        for tb, rb in zip(parts["toks"], parts["rows"]):
+            toks += np.frombuffer(tb, np.int64)
+            rows += np.frombuffer(rb, np.int64)
+        return toks, rows
+
+    def window_subset(sub_ds, w_lo, w_hi, inclusive_hi=False):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[score_col].to_numpy().astype(np.float64)
+            upper = (s <= w_hi) if inclusive_hi else (s < w_hi)
+            m = ~np.isnan(s) & (s >= w_lo) & upper
+            return df.loc[m, [id_col, score_col, tok_col]]
+
+        return sub_ds.map_batches(fn, batch_format="pandas")
+
+    cut = None  # docs with score >= cut are kept whole
+    budget_rem = int(budget_tokens)
+    scan = ds
+    w_lo, w_hi = lo, hi
+    boundary_df = None
+    for round_i in range(max_refine):
+        if w_hi <= w_lo:  # degenerate window (all ties): pull it
+            boundary_df = window_subset(scan, w_lo, w_hi, inclusive_hi=True).to_pandas()
+            break
+        width = (w_hi - w_lo) / num_bins
+        toks, rows = hist_partials(scan, w_lo, w_hi, width)
+        rev_cum = np.cumsum(toks[::-1])[::-1]  # rev_cum[b] = tokens at bins >= b
+        fits = rev_cum <= budget_rem
+        if fits[0]:  # whole window fits: everything from w_lo up is kept
+            cut = w_lo
+            budget_rem -= int(rev_cum[0])
+            boundary_df = pd.DataFrame(columns=[id_col, score_col, tok_col])
+            break
+        b_star = int(np.argmax(fits)) - 1 if fits.any() else num_bins - 1
+        top_bin = b_star == num_bins - 1
+        if not top_bin:
+            # bins above b_star are kept whole; the cut moves DOWN to
+            # their lower edge. When the boundary IS the top bin there
+            # is no fully-kept region this round — the cut must stay at
+            # the previous round's value (never ≈ w_hi, where float
+            # rounding could re-admit boundary docs past the filter).
+            budget_rem -= int(rev_cum[b_star + 1])
+            cut = w_lo + (b_star + 1) * width
+        w_lo_new = w_lo + b_star * width
+        w_hi_new = w_hi if top_bin else (w_lo + (b_star + 1) * width)
+        n_boundary = int(rows[b_star])
+        if n_boundary <= boundary_cap:
+            boundary_df = window_subset(
+                scan, w_lo_new, w_hi_new, inclusive_hi=top_bin
+            ).to_pandas()
+            break
+        # refine inside the boundary bin only — materialize the ~n/num_bins subset
+        scan = window_subset(scan, w_lo_new, w_hi_new, inclusive_hi=top_bin).materialize()
+        w_lo, w_hi = w_lo_new, w_hi_new
+    else:
+        raise ValueError(
+            f"select_by_token_budget: boundary mass still > boundary_cap="
+            f"{boundary_cap} after {max_refine} refinements (tie-heavy score "
+            "column?); raise boundary_cap or num_bins"
+        )
+    if boundary_df is None:
+        boundary_df = pd.DataFrame(columns=[id_col, score_col, tok_col])
+    if len(boundary_df) > max(boundary_cap, num_bins):
+        raise ValueError(
+            f"select_by_token_budget: {len(boundary_df)} tied boundary rows "
+            f"exceed boundary_cap={boundary_cap}; ties share one bin and "
+            "cannot refine — raise boundary_cap"
+        )
+
+    # exact prefix among the boundary rows: (score desc, id asc)
+    kept_ids = np.array([], dtype=np.int64)
+    boundary_tokens = 0
+    if len(boundary_df):
+        b = boundary_df.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        csum = b[tok_col].to_numpy(np.int64).cumsum()
+        take = int(np.searchsorted(csum, budget_rem, side="right"))
+        kept_ids = b[id_col].to_numpy(np.int64)[:take]
+        boundary_tokens = int(csum[take - 1]) if take else 0
+    tokens_selected = int(budget_tokens) - budget_rem + boundary_tokens
+
+    ids_ref = ray.put(np.sort(kept_ids))
+    final_cut = cut if cut is not None else np.inf
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy().astype(np.float64)
+        m = ~np.isnan(s) & (s >= final_cut)
+        ids = ray.get(ids_ref)
+        if len(ids):
+            pos = np.searchsorted(ids, df[id_col].to_numpy(np.int64))
+            pos = np.clip(pos, 0, len(ids) - 1)
+            m |= ids[pos] == df[id_col].to_numpy(np.int64)
+        return df[m]
+
+    info = {
+        "cut": None if cut is None else float(final_cut),
+        "tokens_selected": tokens_selected,
+        "docs_boundary_kept": int(len(kept_ids)),
+        "budget_tokens": int(budget_tokens),
+    }
+    return ds.map_batches(keep, batch_format="pandas"), info

@@ -135,3 +135,86 @@ def test_hash_sample_fast_default_deterministic(ray_session):
     for r in range(8):
         seen += list(hash_sample(_ds(df), id_col="doc_id", denom=8, select_rem=r).to_pandas()["doc_id"])
     assert sorted(seen) == list(range(3000))
+
+
+def _budget_serial(df, budget, score_col="score", tok_col="n_tok", id_col="doc_id"):
+    b = df.dropna(subset=[score_col]).sort_values(
+        [score_col, id_col], ascending=[False, True], kind="mergesort"
+    )
+    csum = b[tok_col].to_numpy("int64").cumsum()
+    take = int(np.searchsorted(csum, budget, side="right"))
+    return set(b[id_col].to_numpy("int64")[:take])
+
+
+def test_select_by_token_budget_matches_serial(ray_session):
+    """Distributed histogram-refinement selection == the serial
+    sort-cumsum prefix, across budgets, with NaN scores excluded."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": rng.standard_normal(n),
+            "n_tok": rng.integers(1, 400, n).astype(np.int64),
+        }
+    )
+    df.loc[::97, "score"] = np.nan
+    total = int(df.dropna(subset=["score"])["n_tok"].sum())
+    for budget in [0, 1, 1000, total // 10, total // 2, total, total + 5]:
+        sel, info = select_by_token_budget(
+            rd.from_pandas(df).repartition(6), budget, num_bins=64, boundary_cap=500
+        )
+        p = sel.to_pandas()
+        got = set(p["doc_id"].to_numpy("int64")) if len(p) else set()
+        ref = _budget_serial(df, budget)
+        assert got == ref, f"budget={budget}: {len(got)} vs {len(ref)}"
+        toks = int(df[df["doc_id"].isin(got)]["n_tok"].sum())
+        assert toks <= budget or budget >= total
+        assert info["tokens_selected"] == toks
+        assert info["budget_tokens"] == budget
+
+
+def test_select_by_token_budget_ties_and_guard(ray_session):
+    """Tie-heavy (quantized) scores resolve exactly by id prefix; a tie
+    mass beyond boundary_cap raises the documented error."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": rng.integers(0, 5, n).astype(np.float64),  # 5 distinct values
+            "n_tok": np.full(n, 10, np.int64),
+        }
+    )
+    budget = 10 * 700  # cuts mid-tie inside one score value
+    sel, info = select_by_token_budget(
+        rd.from_pandas(df).repartition(4), budget, num_bins=16, boundary_cap=1000
+    )
+    got = set(sel.to_pandas()["doc_id"].to_numpy("int64"))
+    assert got == _budget_serial(df, budget)
+    assert info["tokens_selected"] == budget
+
+    with pytest.raises(ValueError, match="boundary_cap"):
+        select_by_token_budget(
+            rd.from_pandas(df), budget, num_bins=16, boundary_cap=50, max_refine=3
+        )
+
+
+def test_select_by_token_budget_empty_and_all_nan(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "score": [np.nan, np.nan], "n_tok": [5, 5]}
+    )
+    sel, info = select_by_token_budget(rd.from_pandas(df), 100)
+    assert sel.count() == 0 and info["tokens_selected"] == 0

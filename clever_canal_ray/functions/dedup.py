@@ -1766,3 +1766,130 @@ def semdedup_survivors(ds, decisions_ds, id_col: str = "doc_id", num_buckets: in
     return _survivors_anti_join(
         ds, decisions_ds, drop_ids, id_col=id_col, num_buckets=num_buckets
     )
+
+
+# --- cross-corpus dedup (new crawl vs existing training set) ---------------
+
+
+def _bloom_positions(h: np.ndarray, m: np.uint64, k: int):
+    """Kirsch-Mitzenmacher double hashing: bit i = (h1 + i*h2) mod m."""
+    from clever_canal_ray.functions.corpus import _splitmix64
+
+    h1 = np.ascontiguousarray(h, dtype=np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    return [((h1 + np.uint64(i) * h2) % m) for i in range(k)]
+
+
+def cross_corpus_dedup(
+    new_ds,
+    ref_ds,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    num_buckets: int = 64,
+    mode: str = "exact",
+    fp_bits: int = 1 << 24,
+    k: int = 4,
+):
+    """Dedup a NEW corpus against an existing REFERENCE corpus: drop
+    every new doc whose exact text already appears in the reference
+    (the standard ingest step — new crawl vs the training set already
+    in the lake). Returns the surviving NEW rows (reference unchanged).
+
+    ``mode="exact"`` (the default): both sides hash their text per
+    batch; the reference ships ONLY (hash) rows — its payload never
+    moves — and one bucketed exchange anti-joins new rows against
+    reference hashes per bucket. Exact; transport = new payload once +
+    8 B/doc for the reference.
+
+    ``mode="bloom"`` (zero-shuffle scale path): the reference side
+    emits one ``fp_bits``-bit Bloom bitmap partial per block
+    (Kirsch-Mitzenmacher double hashing, ``k`` probes), the driver
+    OR-folds them ONE AT A TIME via ``iter_batches`` (never all blocks
+    at once) and broadcasts the filter via ``ray.put``; the new corpus
+    streams through a membership test with NO exchange on either side.
+    False positives DROP new rows (never admit duplicates) at rate
+    ~(1 - e^{-kn/m})^k — size ``fp_bits`` ≈ 10+ bits per reference doc.
+    """
+    import pyarrow.compute as pc
+
+    rcol = ref_text_col or text_col
+
+    if mode == "bloom":
+        words = (int(fp_bits) + 63) // 64
+        m = np.uint64(fp_bits)
+
+        def ref_partial(df: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(words, dtype=np.uint64)
+            h = _stable_u64(df[rcol].to_numpy())
+            for pos in _bloom_positions(h, m, k):
+                np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+            return pd.DataFrame({"bits": [bits.tobytes()]})
+
+        folded = np.zeros(words, dtype=np.uint64)
+        for b in ref_ds.map_batches(ref_partial, batch_format="pandas").iter_batches(
+            batch_size=1, batch_format="pandas"
+        ):
+            for blob in b["bits"]:
+                folded |= np.frombuffer(blob, dtype=np.uint64)
+        bits_ref = ray.put(folded)
+
+        def keep_new(df: pd.DataFrame) -> pd.DataFrame:
+            bits = ray.get(bits_ref)
+            h = _stable_u64(df[text_col].to_numpy())
+            hit = np.ones(len(df), dtype=bool)
+            for pos in _bloom_positions(h, m, k):
+                word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+                hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+            return df[~hit]
+
+        return new_ds.map_batches(keep_new, batch_format="pandas")
+
+    if mode != "exact":
+        raise ValueError(f"cross_corpus_dedup: unknown mode {mode!r}")
+
+    sch = new_ds.schema()
+    doc_schema = getattr(sch, "base_schema", sch)
+    if not isinstance(doc_schema, pa.Schema):
+        doc_schema = new_ds.take_batch(1, batch_format="pyarrow").schema
+    transport = pa.schema(
+        list(doc_schema) + [pa.field("__h", pa.uint64()), pa.field("__ref", pa.bool_())]
+    )
+
+    def new_side(t: pa.Table) -> pa.Table:
+        h = _stable_u64(t[text_col].to_numpy(zero_copy_only=False))
+        arrays = [t.column(f.name) for f in doc_schema]
+        return pa.Table.from_arrays(
+            arrays + [pa.array(h, pa.uint64()), pa.array(np.zeros(t.num_rows, bool))],
+            schema=transport,
+        )
+
+    def ref_side(t: pa.Table) -> pa.Table:
+        h = np.unique(_stable_u64(t[rcol].to_numpy(zero_copy_only=False)))
+        n = len(h)
+        cols = [pa.nulls(n, f.type) for f in doc_schema]
+        return pa.Table.from_arrays(
+            cols + [pa.array(h, pa.uint64()), pa.array(np.ones(n, bool))],
+            schema=transport,
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        is_ref = t["__ref"].to_numpy(zero_copy_only=False)
+        hcol = t["__h"].combine_chunks() if isinstance(t["__h"], pa.ChunkedArray) else t["__h"]
+        ref_h = hcol.filter(pa.array(is_ref))
+        mask = pc.and_(pa.array(~is_ref), pc.invert(pc.is_in(hcol, value_set=ref_h)))
+        return t.filter(mask).drop_columns(["__h", "__ref", "__bucket"])
+
+    u = new_ds.map_batches(new_side, batch_format="pyarrow").union(
+        ref_ds.map_batches(ref_side, batch_format="pyarrow")
+    )
+    return (
+        u.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(anti_join, batch_format="pyarrow")
+    )

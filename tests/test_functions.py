@@ -1209,3 +1209,44 @@ def test_semdedup_survivors_and_cluster_guard(ray_session):
 
     with pytest.raises(Exception, match="n_clusters"):
         semdedup(ds, threshold=0.9, n_clusters=2, max_cluster_rows=10).to_pandas()
+
+
+def test_cross_corpus_dedup_exact_and_bloom(ray_session):
+    """Exact mode drops precisely the texts present in the reference;
+    bloom mode never admits a duplicate (false-drop-only) and at ample
+    bits matches exact; new-corpus-internal dups are NOT touched."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import cross_corpus_dedup
+
+    ref = pd.DataFrame({"doc_id": range(100), "text": [f"ref text {i}" for i in range(100)]})
+    new = pd.DataFrame(
+        {
+            "doc_id": range(1000, 1060),
+            "text": (
+                [f"ref text {i}" for i in range(30)]          # 30 dups of ref
+                + [f"new text {i}" for i in range(20)]        # 20 fresh
+                + ["same new text"] * 10                      # internal dups (kept)
+            ),
+        }
+    )
+    got = cross_corpus_dedup(
+        rd.from_pandas(new).repartition(4), rd.from_pandas(ref).repartition(3),
+        num_buckets=4,
+    ).to_pandas()
+    assert set(got["doc_id"]) == set(range(1030, 1060))
+    assert list(got.columns) == ["doc_id", "text"]
+
+    blm = cross_corpus_dedup(
+        rd.from_pandas(new).repartition(4), rd.from_pandas(ref).repartition(3),
+        mode="bloom", fp_bits=1 << 16,
+    ).to_pandas()
+    # never admits a true duplicate; at 64k bits / 100 keys fp ~ 0
+    assert set(blm["doc_id"]) == set(range(1030, 1060))
+
+    # tiny filter: false positives may drop fresh docs but NEVER admit a dup
+    tiny = cross_corpus_dedup(
+        rd.from_pandas(new), rd.from_pandas(ref), mode="bloom", fp_bits=256, k=2
+    ).to_pandas()
+    kept = set(tiny["doc_id"]) if len(tiny) else set()
+    assert kept <= set(range(1030, 1060))

@@ -1,0 +1,265 @@
+"""Beyond-gate-scale soak for the round-4 continuation ops:
+
+  bpe     — word_histogram + bpe_train + distributed encode at 2M docs
+            (gates run at 500 docs); lossless-encode spot check.
+  semdedup — cluster-scoped semantic dedup at 1M x 64-d vectors with
+            planted near-dups; recall + false-drop hard asserts.
+  budget  — select_by_token_budget at 20M scored rows; EXACT equality
+            vs a driver numpy sort-cumsum reference.
+
+Each prints one JSON line. Usage:
+  python scripts/soak_newops.py [bpe|semdedup|budget|all] [scale_override]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+OUT = "/tmp/soak_newops"
+
+
+def _init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+class TextGen:
+    """Zipf-ish deterministic corpus: doc i draws L word-ids from a
+    V-word vocab by splitmix64, squared to skew mass to low ids."""
+
+    L = 80
+    V = 60_000
+
+    def __init__(self):
+        self.vocab = np.array([f"w{i:05x}" for i in range(self.V)], dtype=object)
+
+    def __call__(self, batch) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _splitmix64
+
+        ids = batch["id"].to_numpy()
+        slots = ids[:, None] * np.int64(self.L) + np.arange(self.L, dtype=np.int64)[None, :]
+        u = _splitmix64(slots.reshape(-1)).astype(np.float64) / 2**64
+        w = ((u * u) * self.V).astype(np.int64).reshape(len(ids), self.L)
+        words = self.vocab[w]
+        return pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "text": [" ".join(r) for r in words]}
+        )
+
+
+def soak_bpe(n_docs: int = 2_000_000):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.bpe import (
+        END_MARKER,
+        bpe_encode,
+        bpe_train,
+        encode_word,
+        word_histogram,
+    )
+
+    corpus = os.path.join(OUT, "bpe_corpus")
+    shutil.rmtree(corpus, ignore_errors=True)
+    res = {"metric": "soak_bpe", "n_docs": n_docs}
+    t0 = time.perf_counter()
+    (
+        rd.range(n_docs, override_num_blocks=max(32, n_docs // 100_000))
+        .map_batches(TextGen, batch_format="pandas", concurrency=(2, 16))
+        .write_parquet(corpus)
+    )
+    res["gen_sec"] = round(time.perf_counter() - t0, 2)
+
+    ds = rd.read_parquet(corpus)
+    t0 = time.perf_counter()
+    hist = word_histogram(ds, num_buckets=64)
+    res["hist_sec"] = round(time.perf_counter() - t0, 2)
+    res["distinct_words"] = int(len(hist))
+    res["total_tokens"] = int(hist["c"].sum())
+
+    t0 = time.perf_counter()
+    merges = bpe_train(hist, num_merges=500)
+    res["train_sec"] = round(time.perf_counter() - t0, 2)
+    res["n_merges"] = len(merges)
+
+    t0 = time.perf_counter()
+    enc = bpe_encode(rd.read_parquet(corpus), merges, concurrency=(2, 16))
+    total_pieces = int(
+        enc.map_batches(
+            lambda t: pd.DataFrame({"s": [int(t["n_pieces"].to_pandas().sum())]}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    enc_sec = time.perf_counter() - t0
+    res["encode_sec"] = round(enc_sec, 2)
+    res["encode_docs_per_sec"] = int(n_docs / enc_sec)
+    res["total_pieces"] = total_pieces
+    assert total_pieces >= res["total_tokens"], "pieces cannot undercount words"
+
+    # lossless spot check on one batch
+    ranks = {m: i for i, m in enumerate(merges)}
+    sample = rd.read_parquet(corpus).take_batch(200, batch_format="pandas")
+    for t in sample["text"][:50]:
+        for w in t.split(" "):
+            assert "".join(encode_word(w, ranks)) == w + END_MARKER
+    res["lossless_check"] = "ok"
+    print(json.dumps(res))
+
+
+def soak_semdedup(n_vecs: int = 1_000_000, dim: int = 64, n_clusters: int = 256):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import semdedup
+
+    res = {"metric": "soak_semdedup", "n_vecs": n_vecs, "dim": dim, "n_clusters": n_clusters}
+    vec_dir = os.path.join(OUT, "vecs")
+    shutil.rmtree(vec_dir, ignore_errors=True)
+
+    centers_n = 64
+
+    def gen(batch) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _splitmix64
+
+        ids = batch["id"].to_numpy()
+        # deterministic per-id gaussian-ish vector around one of centers_n hubs
+        base = np.where(ids % 10 == 1, ids - 1, ids)
+        hub = (_splitmix64(base) % np.uint64(centers_n)).astype(np.int64)
+        hub_mat = (
+            _splitmix64(
+                (np.arange(centers_n)[:, None] * np.int64(dim) + np.arange(dim)[None, :]).reshape(-1)
+            ).astype(np.float64) / 2**63 - 1.0
+        ).reshape(centers_n, dim) * 4.0
+        slots = base[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)[None, :]
+        noise = (_splitmix64(slots.reshape(-1) + np.int64(2**42)).astype(np.float64) / 2**63 - 1.0).reshape(
+            len(ids), dim
+        )
+        v = hub_mat[hub] + noise * 0.6
+        dup = ids % 10 == 1
+        if dup.any():  # near-dup of id-1: tiny deterministic perturbation
+            tiny = (_splitmix64(ids[dup] + np.int64(2**43)).astype(np.float64) / 2**63 - 1.0)
+            v[dup] += tiny[:, None] * 1e-4
+        return pd.DataFrame({"vec_id": ids.astype(np.int64), "embedding": list(v.astype(np.float32))})
+
+    t0 = time.perf_counter()
+    (
+        rd.range(n_vecs, override_num_blocks=max(32, n_vecs // 50_000))
+        .map_batches(gen, batch_format="pandas")
+        .write_parquet(vec_dir)
+    )
+    res["gen_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dec = semdedup(
+        rd.read_parquet(vec_dir),
+        threshold=0.999,
+        n_clusters=n_clusters,
+        iters=2,
+        num_buckets=n_clusters,
+        max_cluster_rows=400_000,
+    ).materialize()
+    sd_sec = time.perf_counter() - t0
+    res["semdedup_sec"] = round(sd_sec, 2)
+    res["vecs_per_sec"] = int(n_vecs / sd_sec)
+
+    # distributed checks: planted dup (i, i-1) pairs land in the same
+    # cluster (same hub), so one of each pair must drop
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [len(df)],
+                "dropped": [int((df["kept"] == 0).sum())],
+                "dropped_planted": [int(((df["kept"] == 0) & ((df["vec_id"] % 10 == 1) | ((df["vec_id"] % 10 == 0)))).sum())],
+            }
+        )
+
+    agg = dec.map_batches(check, batch_format="pandas").to_pandas().sum()
+    res["rows"] = int(agg["n"])
+    res["dropped"] = int(agg["dropped"])
+    planted = n_vecs // 10
+    res["planted_pairs"] = planted
+    res["drop_recall"] = round(agg["dropped"] / planted, 4)
+    assert agg["n"] == n_vecs
+    assert agg["dropped"] >= 0.95 * planted, f"recall {agg['dropped']}/{planted}"
+    # false drops: every dropped id must belong to a planted pair
+    assert agg["dropped_planted"] == agg["dropped"], "non-planted vector dropped"
+    print(json.dumps(res))
+
+
+def soak_budget(n_rows: int = 20_000_000):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    res = {"metric": "soak_budget_select", "n_rows": n_rows}
+
+    def gen(batch) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _splitmix64
+
+        ids = batch["id"].to_numpy()
+        score = _splitmix64(ids).astype(np.float64) / 2**64
+        n_tok = (_splitmix64(ids + np.int64(2**41)) % np.uint64(900) + np.uint64(100)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "score": score, "n_tok": n_tok})
+
+    base = rd.range(n_rows, override_num_blocks=64).map_batches(gen, batch_format="pandas").materialize()
+    total = int(base.map_batches(
+        lambda df: pd.DataFrame({"s": [df["n_tok"].sum()]}), batch_format="pandas"
+    ).to_pandas()["s"].sum())
+    budget = total // 4
+    res["budget_tokens"] = budget
+
+    t0 = time.perf_counter()
+    sel, info = select_by_token_budget(base, budget, num_bins=4096, boundary_cap=200_000)
+    got_tokens = int(sel.map_batches(
+        lambda df: pd.DataFrame({"s": [df["n_tok"].sum()], "n": [len(df)]}), batch_format="pandas"
+    ).to_pandas().agg({"s": "sum"})["s"])
+    sel_sec = time.perf_counter() - t0
+    res["select_sec"] = round(sel_sec, 2)
+    res["rows_per_sec"] = int(n_rows / sel_sec)
+    res["tokens_selected"] = info["tokens_selected"]
+    assert got_tokens == info["tokens_selected"] <= budget
+
+    # exact reference on the driver (scores fit: 20M float64 = 160 MB)
+    p = base.select_columns(["doc_id", "score", "n_tok"]).to_pandas()
+    order = np.lexsort((p["doc_id"].to_numpy(), -p["score"].to_numpy()))
+    csum = p["n_tok"].to_numpy(np.int64)[order].cumsum()
+    take = int(np.searchsorted(csum, budget, side="right"))
+    ref_tokens = int(csum[take - 1]) if take else 0
+    assert got_tokens == ref_tokens, (got_tokens, ref_tokens)
+    res["exact_vs_serial"] = "ok"
+    res["cut"] = info["cut"]
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    os.makedirs(OUT, exist_ok=True)
+    _init()
+    if which in ("bpe", "all"):
+        soak_bpe(scale or 2_000_000)
+    if which in ("semdedup", "all"):
+        soak_semdedup(scale or 1_000_000)
+    if which in ("budget", "all"):
+        soak_budget(scale or 20_000_000)
+    import ray
+
+    ray.shutdown()

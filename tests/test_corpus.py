@@ -218,3 +218,39 @@ def test_select_by_token_budget_empty_and_all_nan(ray_session):
     )
     sel, info = select_by_token_budget(rd.from_pandas(df), 100)
     assert sel.count() == 0 and info["tokens_selected"] == 0
+
+
+def test_select_by_token_budget_matches_duckdb_oracle(ray_session):
+    """Budget prefix == the SQL window-cumsum oracle (csum is strictly
+    increasing, so `csum <= budget` IS the prefix)."""
+    import duckdb
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": np.round(rng.standard_normal(n), 3),  # some ties
+            "n_tok": rng.integers(1, 300, n).astype(np.int64),
+        }
+    )
+    budget = int(df["n_tok"].sum()) // 3
+    sel, info = select_by_token_budget(
+        rd.from_pandas(df).repartition(5), budget, num_bins=128, boundary_cap=400
+    )
+    got = sorted(sel.to_pandas()["doc_id"])
+    ref = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT doc_id,
+                 SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS csum
+          FROM df
+        )
+        SELECT doc_id FROM ranked WHERE csum <= {budget} ORDER BY doc_id
+        """
+    ).df()["doc_id"].tolist()
+    assert got == ref

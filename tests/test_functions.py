@@ -1250,3 +1250,27 @@ def test_cross_corpus_dedup_exact_and_bloom(ray_session):
     ).to_pandas()
     kept = set(tiny["doc_id"]) if len(tiny) else set()
     assert kept <= set(range(1030, 1060))
+
+
+def test_cross_corpus_dedup_matches_duckdb_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import cross_corpus_dedup
+
+    rng = np.random.default_rng(13)
+    ref = pd.DataFrame(
+        {"doc_id": range(300), "text": [f"t {int(i)}" for i in rng.integers(0, 200, 300)]}
+    )
+    new = pd.DataFrame(
+        {"doc_id": range(500, 900), "text": [f"t {int(i)}" for i in rng.integers(100, 500, 400)]}
+    )
+    got = sorted(
+        cross_corpus_dedup(
+            rd.from_pandas(new).repartition(4), rd.from_pandas(ref).repartition(3), num_buckets=8
+        ).to_pandas()["doc_id"]
+    )
+    oracle = duckdb.sql(
+        "SELECT doc_id FROM new WHERE text NOT IN (SELECT text FROM ref) ORDER BY doc_id"
+    ).df()["doc_id"].tolist()
+    assert got == oracle

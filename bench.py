@@ -209,6 +209,9 @@ def bench_queries() -> dict[str, float]:
         ("minhash_pairs", q.minhash_pairs),
         ("ann_topk", q.ann_topk),
         ("text_quality", q.text_quality),
+        ("semdedup", q.semdedup_embeddings),
+        ("bpe_encode", q.bpe_encode_docs),
+        ("dsir_select", q.dsir_select_docs),
     ]:
         t0 = time.time()
         res = fn(SF_DIR)

@@ -1655,3 +1655,52 @@ def analytic_dim_counts(sf_dir: str):
     )
     counts["n_part_types"] = np.int64(n_types)
     return counts
+
+
+# --- round-4 continuation ops (bench-only; the 50-gate cap is full —
+# their exactness oracles live in pytest: test_functions/test_bpe/
+# test_corpus/test_dsir) ------------------------------------------------
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup decisions over the embeddings table (cluster-scoped
+    semantic dedup; rows-only — per-cluster pair logic not
+    SQL-expressible; serial-rule parity tested in pytest)."""
+    from clever_canal_ray.functions.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.97, n_clusters=32, num_buckets=32)
+
+
+def bpe_encode_docs(sf_dir: str):
+    """BPE train (300 merges off the word-histogram exchange) + encode
+    of the documents table through the cached actor pool."""
+    from clever_canal_ray.functions.bpe import bpe_encode, bpe_train_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train_corpus(ds, num_merges=300, num_buckets=32)
+    return bpe_encode(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), merges
+    ).select_columns(["doc_id", "n_pieces"])
+
+
+def dsir_select_docs(sf_dir: str):
+    """DSIR selection: target = the corpus' en docs, select 1000 docs
+    by Gumbel-top-k over hashed-n-gram importance weights."""
+    from clever_canal_ray.functions.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        dsir_sample,
+        hashed_ngram_totals,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    p = hashed_ngram_totals(docs.filter(expr="lang == 'en'"), n_buckets=8192)
+    q = hashed_ngram_totals(_read(sf_dir, "documents", columns=["doc_id", "text"]), n_buckets=8192)
+    lr = dsir_log_ratio(p, q)
+    w = dsir_log_weights(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), lr
+    )
+    return dsir_sample(w, n_select=1000, seed=7, temperature=0.05).select_columns(
+        ["doc_id", "log_w"]
+    )

@@ -260,3 +260,85 @@ def test_minhash_signatures_property(texts, k):
     ref = np.stack([mh.signature(t) for t in texts])
     got = mh.signatures_batch(texts)
     assert np.array_equal(ref, got)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8), min_size=1, max_size=25
+    ),
+    counts=st.lists(st.integers(1, 50), min_size=25, max_size=25),
+    num_merges=st.integers(0, 40),
+)
+def test_bpe_train_encode_property(words, counts, num_merges):
+    """For ANY word histogram: training is deterministic; greedy-rank
+    encode of a training word == the trainer's final segmentation;
+    encode is lossless for arbitrary words (incl. OOV)."""
+    import pandas as pd
+
+    from clever_canal_ray.functions.bpe import (
+        END_MARKER,
+        _merge_word,
+        bpe_train,
+        encode_word,
+    )
+
+    uniq = sorted(set(words))
+    hist = pd.DataFrame({"w": uniq, "c": counts[: len(uniq)]})
+    merges = bpe_train(hist, num_merges=num_merges, min_count=1)
+    assert merges == bpe_train(hist, num_merges=num_merges, min_count=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+    state = {w: tuple(w) + (END_MARKER,) for w in uniq}
+    for a, b in merges:
+        state = {w: _merge_word(s, (a, b), a + b) for w, s in state.items()}
+    for w in uniq:
+        enc = encode_word(w, ranks)
+        assert enc == state[w]
+        assert "".join(enc) == w + END_MARKER
+    for w in ["zzz", "abcabc", "a"]:
+        assert "".join(encode_word(w, ranks)) == w + END_MARKER
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 400),
+    budget_frac=st.floats(0.0, 1.2),
+    quantize=st.booleans(),
+    num_bins=st.sampled_from([4, 16, 64]),
+)
+def test_select_by_token_budget_property(ray_session, seed, n, budget_frac, quantize, num_bins):
+    """ANY score distribution (incl. heavy ties via quantization), ANY
+    budget: distributed selection == the serial sort-cumsum prefix."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    rng = np.random.default_rng(seed)
+    score = rng.standard_normal(n)
+    if quantize:
+        score = np.round(score, 1)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": score,
+            "n_tok": rng.integers(1, 60, n).astype(np.int64),
+        }
+    )
+    budget = int(df["n_tok"].sum() * budget_frac)
+    sel, info = select_by_token_budget(
+        rd.from_pandas(df).repartition(3), budget, num_bins=num_bins, boundary_cap=n + 1
+    )
+    p = sel.to_pandas()
+    got = set(p["doc_id"].to_numpy("int64")) if len(p) else set()
+    b = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    csum = b["n_tok"].to_numpy("int64").cumsum()
+    take = int(np.searchsorted(csum, budget, side="right"))
+    assert got == set(b["doc_id"].to_numpy("int64")[:take])
+    assert info["tokens_selected"] == (int(csum[take - 1]) if take else 0)

@@ -8,7 +8,7 @@
             vs a driver numpy sort-cumsum reference.
 
 Each prints one JSON line. Usage:
-  python scripts/soak_newops.py [bpe|semdedup|budget|all] [scale_override]
+  python scripts/soak_newops.py [bpe|semdedup|curate|budget|all] [scale_override]
 """
 
 from __future__ import annotations
@@ -247,6 +247,83 @@ def soak_budget(n_rows: int = 20_000_000):
     res["exact_vs_serial"] = "ok"
     res["cut"] = info["cut"]
     print(json.dumps(res))
+class CurationGen:
+    """Deterministic 4M-doc mixed corpus with planted categories by id
+    residue (mod 20): 0-13 good en (unique), 14-15 exact dups of id-14,
+    16-17 german, 18 short, 19 contaminated."""
+
+    EVAL_SENT = "september benchmark answers must never leak into training"
+    V = 50_000
+
+    def __init__(self):
+        self.vocab = np.array([f"w{i:05x}" for i in range(self.V)], dtype=object)
+
+    def __call__(self, batch) -> pd.DataFrame:
+        from clever_canal_ray.functions.corpus import _splitmix64
+
+        ids = batch["id"].to_numpy()
+        res = ids % 20
+        # body words keyed off a base id so dups are exact copies
+        base = np.where((res == 14) | (res == 15), ids - (res - 13), ids)
+        L = 30
+        slots = base[:, None] * np.int64(L) + np.arange(L, dtype=np.int64)[None, :]
+        w = _splitmix64(slots.reshape(-1)).reshape(len(ids), L) % np.uint64(self.V)
+        bodies = [" ".join(r) for r in self.vocab[w]]
+        texts = []
+        for i, r, b in zip(ids, res, bodies):
+            if r in (16, 17):
+                texts.append(f"der hund ist nicht ein und die katze {b}")
+            elif r == 18:
+                texts.append("the and of")
+            elif r == 19:
+                texts.append(f"the {self.EVAL_SENT} is in that {b}")
+            else:
+                texts.append(f"the item is in that box and {b}")
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "text": texts})
+
+
+def soak_curate(n_docs: int = 4_000_000):
+    import ray.data as rd
+
+    from clever_canal_ray.pipelines.curation import curate_corpus
+
+    corpus = os.path.join(OUT, "curate_corpus")
+    shutil.rmtree(corpus, ignore_errors=True)
+    res = {"metric": "soak_curate", "n_docs": n_docs}
+    t0 = time.perf_counter()
+    (
+        rd.range(n_docs, override_num_blocks=max(32, n_docs // 100_000))
+        .map_batches(CurationGen, batch_format="pandas", concurrency=(2, 16))
+        .write_parquet(corpus)
+    )
+    res["gen_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    curated, report = curate_corpus(
+        rd.read_parquet(corpus),
+        keep_langs=("en",),
+        min_tokens=6,
+        exact_dedup=True,
+        eval_texts=[CurationGen.EVAL_SENT],
+        report=True,
+    )
+    n_final = curated.count()
+    wall = time.perf_counter() - t0
+    res["curate_sec"] = round(wall, 2)
+    res["docs_per_sec"] = int(n_docs / wall)
+    res["stages"] = {s: int(c) for s, c in report}
+    res["final_rows"] = int(n_final)
+    g = n_docs // 20  # docs per residue class
+    assert res["stages"]["lang_filter"] == n_docs - 2 * g, res["stages"]
+    assert res["stages"]["length_filter"] == n_docs - 3 * g, res["stages"]
+    # exact dedup: residues 14 and 15 both rebuild residue 13's body
+    # (base = id-1 / id-2) under the same header, so each 20-block has
+    # three identical texts {13, 14, 15}; min-id (13) survives -> two
+    # drops per block.
+    assert res["stages"]["exact_dedup"] == n_docs - 3 * g - 2 * g, res["stages"]
+    assert res["stages"]["decontaminate"] == res["stages"]["exact_dedup"] - g
+    assert n_final == res["stages"]["decontaminate"]
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
@@ -258,6 +335,8 @@ if __name__ == "__main__":
         soak_bpe(scale or 2_000_000)
     if which in ("semdedup", "all"):
         soak_semdedup(scale or 1_000_000)
+    if which in ("curate", "all"):
+        soak_curate(scale or 4_000_000)
     if which in ("budget", "all"):
         soak_budget(scale or 20_000_000)
     import ray

@@ -16,6 +16,9 @@
     python -m clever_canal_ray consumer-stats --port P [--host H] [--of CLIENT_ID]
     python -m clever_canal_ray derive       --journal DIR --state DIR [--key C] [--sum C ...]
                                             [--follow] [--seed-lake DIR]
+    python -m clever_canal_ray curate       --in PARQUET [...] --out DIR [--langs en ...]
+                                            [--min-tokens N] [--near-dedup] [--reference PARQUET]
+                                            [--eval-file TXT] [--budget-tokens N] [--report]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -125,6 +128,21 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=0)
     sv.add_argument("--lake", default=None, help="enable the lookup RPC against this lake")
+
+    cu = sub.add_parser("curate")  # one-call training-data curation
+    cu.add_argument("--in", dest="src", nargs="+", required=True, help="input parquet file(s)/dir(s)")
+    cu.add_argument("--out", required=True, help="output parquet directory")
+    cu.add_argument("--langs", nargs="+", default=None, help="keep these languages")
+    cu.add_argument("--min-tokens", type=int, default=None)
+    cu.add_argument("--max-tokens", type=int, default=None)
+    cu.add_argument("--no-exact-dedup", action="store_true")
+    cu.add_argument("--near-dedup", action="store_true")
+    cu.add_argument("--near-threshold", type=float, default=0.7)
+    cu.add_argument("--reference", nargs="+", default=None, help="drop docs already in this corpus")
+    cu.add_argument("--eval-file", default=None, help="text file of eval lines to decontaminate against")
+    cu.add_argument("--budget-tokens", type=int, default=None)
+    cu.add_argument("--budget-score-col", default=None)
+    cu.add_argument("--report", action="store_true", help="count rows after each stage (extra passes)")
 
     args = p.parse_args(argv)
 
@@ -303,6 +321,32 @@ def main(argv: list[str] | None = None) -> int:
             srv.serve_forever()
         except KeyboardInterrupt:  # pragma: no cover
             srv.stop()
+    elif args.cmd == "curate":
+        _ray_session()
+        import ray.data as rd
+
+        from clever_canal_ray.pipelines.curation import curate_corpus
+
+        eval_texts = None
+        if args.eval_file:
+            with open(args.eval_file) as fh:
+                eval_texts = [ln.strip() for ln in fh if ln.strip()]
+        curated, report = curate_corpus(
+            rd.read_parquet(args.src),
+            keep_langs=tuple(args.langs) if args.langs else None,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            exact_dedup=not args.no_exact_dedup,
+            near_dedup=args.near_dedup,
+            near_threshold=args.near_threshold,
+            reference_ds=rd.read_parquet(args.reference) if args.reference else None,
+            eval_texts=eval_texts,
+            budget_tokens=args.budget_tokens,
+            budget_score_col=args.budget_score_col,
+            report=args.report,
+        )
+        curated.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "stages": dict(report)}))
     return 0
 
 

@@ -107,3 +107,38 @@ def test_curate_corpus_budget_and_dsir_selection(ray_session):
     sel = curated2.to_pandas()
     assert len(sel) == 20
     assert (sel["doc_id"] < 40).mean() >= 0.9
+
+
+def test_curate_cli_subprocess(tmp_path):
+    """The curate subcommand runs the chain in its own process:
+    parquet in → curated parquet out, stage report on stdout."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    df, eval_sent = _corpus()
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    evalf = str(tmp_path / "eval.txt")
+    df.to_parquet(src)
+    with open(evalf, "w") as fh:
+        fh.write(eval_sent + "\n")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "clever_canal_ray", "curate",
+            "--in", src, "--out", out, "--langs", "en",
+            "--min-tokens", "6", "--eval-file", evalf, "--report",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["stages"]["decontaminate"] == 40  # the en docs 0..39
+    import pandas as pd
+
+    got = pd.read_parquet(out).sort_values("doc_id")
+    # en docs 0..39 survive lang+length; 300s are exact dups (dropped);
+    # contaminated 400s dropped; no reference corpus in this run
+    assert got["doc_id"].tolist() == list(range(40))

@@ -45,6 +45,26 @@ def actor_pool(lo: int = 2, cap: int = 0) -> tuple[int, int]:
     return (lo, hi)
 
 
+def actor_pool_free(lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that always leave at least one CPU
+    for non-actor stages. Ray 2.49's streaming executor deadlocks when
+    an actor pool can claim every CPU while an upstream NON-actor stage
+    (a parquet read, a shuffle) still needs one to produce the pool's
+    input (observed: read_parquet → fused actor stage at 4 CPUs; same
+    root cause as the fixed-pool clamp in corpus.decontaminate). Use
+    this instead of :func:`actor_pool` whenever the stage's input may
+    come from a read rather than in-memory blocks."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:  # pragma: no cover - ray import/startup races
+        cpus = 0
+    if cpus <= 0:
+        cpus = os.cpu_count() or (lo + 1)
+    return (lo, max(lo, cpus - 1))
+
+
 @dataclass
 class ReplayConfig:
     num_partitions: int = 16  # lake hash partitions (P)

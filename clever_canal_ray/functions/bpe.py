@@ -259,9 +259,15 @@ class BpeEncoder:
 
 
 def bpe_encode(ds, merges, id_col: str = "doc_id", text_col: str = "text",
-               concurrency=(2, 8)):
+               concurrency=None):
     """Distributed BPE encode: documents stream through a
-    :class:`BpeEncoder` actor pool (ranks + cache once per actor)."""
+    :class:`BpeEncoder` actor pool (ranks + cache once per actor).
+    Default pool bounds leave one CPU free for the upstream read
+    (config.actor_pool_free)."""
+    if concurrency is None:
+        from clever_canal_ray.config import actor_pool_free
+
+        concurrency = actor_pool_free(lo=2)
     return ds.map_batches(
         BpeEncoder,
         fn_constructor_kwargs={"merges": merges, "id_col": id_col, "text_col": text_col},

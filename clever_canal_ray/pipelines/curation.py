@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from clever_canal_ray.config import actor_pool_free
+
 
 def _lang_filter_stage(keep_langs):
     from clever_canal_ray.functions.text import LangId
@@ -107,7 +109,7 @@ def curate_corpus(
             cur.map_batches(
                 _lang_filter_stage(keep_langs),
                 batch_format="pandas",
-                concurrency=(2, 8),
+                concurrency=actor_pool_free(),
             ),
         )
 
@@ -165,7 +167,7 @@ def curate_corpus(
                 _DecontamFilter,
                 fn_constructor_args=(ref,),
                 batch_format="pandas",
-                concurrency=(2, 8),
+                concurrency=actor_pool_free(),
             ),
         )
 
@@ -223,3 +225,197 @@ def curate_corpus(
         )
 
     return cur, stages
+
+
+# --- incremental curation (curated lake in lockstep with a source lake) ----
+
+
+class CurateJudge:
+    """Per-row keep mask for the incremental path — only the PER-DOC
+    deterministic stages (language, token-length bounds,
+    decontamination): an updated doc's verdict must not depend on what
+    else happens to be in the window, so a crash-retried sync rejudges
+    identically. Built once per actor; live rows that fail any filter
+    flip to TOMBSTONES (the doc may already live in the curated lake
+    from an earlier sync and must be vacated), upstream tombstones pass
+    through untouched."""
+
+    def __init__(
+        self,
+        keep_langs=None,
+        min_tokens=None,
+        max_tokens=None,
+        eval_grams_ref=None,
+        decontam_max_hits: int = 0,
+        text_col: str = "text",
+    ):
+        from clever_canal_ray.functions.corpus import Decontaminator
+        from clever_canal_ray.functions.text import LangId
+
+        self.langid = LangId() if keep_langs else None
+        self.keep_langs = list(keep_langs or ())
+        self.lo = None if min_tokens is None else int(min_tokens)
+        self.hi = None if max_tokens is None else int(max_tokens)
+        self.decon = Decontaminator(eval_grams_ref) if eval_grams_ref is not None else None
+        self.max_hits = int(decontam_max_hits)
+        self.text_col = text_col
+
+    def mask(self, df: pd.DataFrame) -> np.ndarray:
+        m = np.ones(len(df), bool)
+        body = df.rename(columns={self.text_col: "text"})[["doc_id", "text"]].reset_index(
+            drop=True
+        )
+        if self.langid is not None:
+            pred = self.langid(body)["pred_lang"].to_numpy()
+            m &= np.isin(pred, self.keep_langs)
+        if self.lo is not None or self.hi is not None:
+            n = df[self.text_col].str.count(" ").to_numpy() + 1
+            if self.lo is not None:
+                m &= n >= self.lo
+            if self.hi is not None:
+                m &= n <= self.hi
+        if self.decon is not None:
+            hits = self.decon(body)["n_hits"].to_numpy()
+            m &= hits <= self.max_hits
+        return m
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        out = df.copy()
+        live = ~df["__deleted"].to_numpy(bool)
+        out["__deleted"] = ~(live & self.mask(df))
+        return out
+
+
+def _window_exact_dedup(feed, text_col: str, id_col: str, num_buckets: int = 16):
+    """Within one sync window: among LIVE rows sharing an exact text,
+    keep the minimum-id doc and flip the rest to tombstones (they may
+    shadow earlier curated rows). One bucketed exchange over the window
+    only — the window is the changed-rows set, tiny next to the lake."""
+    from clever_canal_ray.functions.corpus import _fast_u64
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        live = ~df["__deleted"].to_numpy(bool)
+        h = np.zeros(len(df), np.uint64)
+        if live.any():
+            h[live] = _fast_u64(df.loc[live, text_col].to_numpy())
+        out["__b"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        live = ~g["__deleted"].to_numpy(bool)
+        sub = g[live].sort_values([text_col, id_col], kind="mergesort")
+        dup_idx = sub.index[sub.duplicated(text_col)]
+        if len(dup_idx):
+            g.loc[dup_idx, "__deleted"] = True
+        return g.drop(columns="__b")
+
+    return feed.map_batches(bucket, batch_format="pandas").groupby("__b").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def curate_bootstrap(
+    src,
+    dst_dir: str,
+    num_partitions: int | None = None,
+    src_version: int | None = None,
+    keep_langs=None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    eval_texts=None,
+    decontam_max_hits: int = 0,
+    text_col: str = "text",
+):
+    """Create a CURATED lake from a pinned version of a source lake —
+    the bootstrap half of incremental curation. Same distributed
+    snapshot copy as ``mirror_bootstrap`` (cursor stamped to the pinned
+    source version), with the per-doc filters + exact dedup applied in
+    stream. Single-table sources only (the curated projection is one
+    documents table)."""
+    from clever_canal_ray.pipelines.mirror import mirror_bootstrap
+
+    if src.current().tables is not None:
+        raise ValueError("curate_bootstrap: single-table source lakes only")
+
+    def transform(ds):
+        cur, _ = curate_corpus(
+            ds,
+            text_col=text_col,
+            keep_langs=keep_langs,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            exact_dedup=True,
+            eval_texts=eval_texts,
+            decontam_max_hits=decontam_max_hits,
+        )
+        return cur
+
+    return mirror_bootstrap(
+        src, dst_dir, num_partitions=num_partitions, src_version=src_version,
+        transform=transform,
+    )
+
+
+def curate_sync(
+    src,
+    dst,
+    to_version: int | None = None,
+    keep_langs=None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    eval_texts=None,
+    decontam_max_hits: int = 0,
+    window_exact_dedup: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Advance a curated lake over the source's change-feed window —
+    the CDC side and the curation side composed: the raw documents lake
+    is maintained by replay; this keeps the training-set projection in
+    lockstep, exactly-once (cursor = ``dst.last_batch_id`` = applied
+    source version, one atomic commit — all of ``mirror_sync``'s
+    machinery, window-refusal rules included).
+
+    Per changed key the verdict is independent and deterministic
+    (CurateJudge): passes the filters → upsert; fails OR deleted
+    upstream → tombstone (vacates any earlier curated copy).
+    ``window_exact_dedup`` additionally keeps one live row per exact
+    text WITHIN the window (min id). Cross-window/global dedup stays a
+    batch job over the curated lake (near_dedup_corpus /
+    cross_corpus_dedup) — an incremental judge must not depend on
+    state outside the window.
+    """
+    import ray
+
+    from clever_canal_ray.functions.corpus import Decontaminator
+    from clever_canal_ray.pipelines.mirror import mirror_sync
+
+    if src.current().tables is not None:
+        raise ValueError("curate_sync: single-table source lakes only")
+    eval_ref = (
+        ray.put(Decontaminator.build_eval_grams(eval_texts)) if eval_texts is not None else None
+    )
+
+    def transform(feed):
+        judged = feed.map_batches(
+            CurateJudge,
+            fn_constructor_kwargs={
+                "keep_langs": keep_langs,
+                "min_tokens": min_tokens,
+                "max_tokens": max_tokens,
+                "eval_grams_ref": eval_ref,
+                "decontam_max_hits": decontam_max_hits,
+                "text_col": text_col,
+            },
+            batch_format="pandas",
+            concurrency=actor_pool_free(),
+        )
+        if window_exact_dedup:
+            judged = _window_exact_dedup(judged, text_col, id_col)
+        return judged
+
+    return mirror_sync(src, dst, to_version=to_version, transform=transform)

@@ -89,6 +89,7 @@ def mirror_bootstrap(
     dst_dir: str,
     num_partitions: int | None = None,
     src_version: int | None = None,
+    transform=None,
 ) -> Lake:
     """Create a mirror of ``src`` at a pinned manifest version.
 
@@ -104,8 +105,12 @@ def mirror_bootstrap(
     """
     v0 = src.current().version if src_version is None else int(src_version)
     m0 = src.manifest_at(v0)
+    if transform is None:
+        transform = lambda ds: ds  # noqa: E731
     if m0.tables is not None:
-        initials = {name: src.read_dataset(m=m0, table=name) for name in sorted(m0.tables)}
+        initials = {
+            name: transform(src.read_dataset(m=m0, table=name)) for name in sorted(m0.tables)
+        }
         ppt = {name: t["num_partitions"] for name, t in m0.tables.items()}
         journals = {name: list(t["ddl_journal"]) for name, t in m0.tables.items()}
         dst = Lake.create_multi_from_datasets(
@@ -127,7 +132,7 @@ def mirror_bootstrap(
     else:
         dst = Lake.create_from_dataset(
             dst_dir,
-            src.read_dataset(m=m0),
+            transform(src.read_dataset(m=m0)),
             num_partitions=num_partitions or m0.num_partitions,
             start_position=tuple(m0.hwm),
             ddl_journal=list(m0.ddl_journal),
@@ -217,12 +222,20 @@ def _apply_feed(
     }
 
 
-def mirror_sync(src: Lake, dst: Lake, to_version: int | None = None) -> dict:
+def mirror_sync(src: Lake, dst: Lake, to_version: int | None = None, transform=None) -> dict:
     """Apply the source's change-feed window (cursor, ``to_version``]
     to the mirror in one atomic commit. Returns a summary dict;
     ``noop=True`` when already caught up. Raises
     :class:`MirrorWindowError` when the window cannot be applied
-    exactly (see module docstring)."""
+    exactly (see module docstring).
+
+    ``transform``: optional ``Dataset -> Dataset`` hook applied to each
+    collapsed feed window before it routes into the mirror — the
+    derived-mirror extension point (e.g. incremental curation flips
+    filtered-out rows to tombstones). The transform must preserve the
+    feed schema (payload + ``__seq`` + ``__deleted``) and must be
+    DETERMINISTIC per row: a crash-retried sync re-runs it over the
+    same window and has to produce the same commit."""
     dst_m = dst.current()
     v0 = dst_m.last_batch_id
     if v0 < 0:
@@ -292,12 +305,16 @@ def mirror_sync(src: Lake, dst: Lake, to_version: int | None = None) -> dict:
     touched: dict[int, dict] = {}
     if m1.tables is None:
         feed = src.read_changes(v0, to_version=v1, latest_only=True)
+        if transform is not None:
+            feed = transform(feed)
         touched = _apply_feed(
             dst.dir, feed, 0, dst_m.num_partitions, v1, truncs.get(trunc_target)
         )
     else:
         for name in sorted(m1.tables):
             feed = src.read_changes(v0, to_version=v1, table=name, latest_only=True)
+            if transform is not None:
+                feed = transform(feed)
             trec = routing_after[name]
             touched.update(
                 _apply_feed(

@@ -1003,3 +1003,81 @@ def select_by_token_budget(
         "budget_tokens": int(budget_tokens),
     }
     return ds.map_batches(keep, batch_format="pandas"), info
+
+
+def corpus_report(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    top_words: int = 20,
+    quantile_qs: tuple = (0.5, 0.9, 0.99),
+) -> dict:
+    """One-call corpus statistics card — the "what is in this corpus"
+    snapshot a curation run starts and ends with:
+
+    - ``n_docs``, ``total_tokens``, token-length quantiles
+      (fixed-bin :func:`approx_quantiles`, constant-size partials);
+    - ``distinct_texts`` (HyperLogLog on the text hash) and the implied
+      ``approx_dup_ratio``;
+    - ``top_words`` most frequent tokens (bucketed
+      :func:`token_histogram` exchange);
+    - per-``source_col`` doc counts when given (constant partials).
+
+    Every sub-statistic is one streaming pass with constant-size or
+    bounded partials — the report costs a handful of corpus scans and
+    no driver materialization beyond the summaries. Diagnostic tool:
+    fuse the passes yourself if you need it on the hot path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    base = ds.materialize()
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        n_tok = pc.add(pc.count_substring(t[text_col], pattern=" "), 1)
+        return pd.DataFrame(
+            {"docs": [t.num_rows], "toks": [int(pc.sum(n_tok).as_py() or 0)]}
+        )
+
+    counts = base.map_batches(count_partial, batch_format="pyarrow").to_pandas().sum()
+
+    def with_ntok(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.add(pc.count_substring(t[text_col], pattern=" "), 1), pa.int64())
+        return pa.table({"n_tok": n})
+
+    q = approx_quantiles(base.map_batches(with_ntok, batch_format="pyarrow"), "n_tok", list(quantile_qs))
+
+    def hash_col(df: pd.DataFrame) -> pd.DataFrame:
+        from clever_canal_ray.functions.dedup import _stable_u64
+
+        return pd.DataFrame({"h": _stable_u64(df[text_col].to_numpy())})
+
+    distinct = approx_distinct(base.map_batches(hash_col, batch_format="pandas"), "h")
+
+    report = {
+        "n_docs": int(counts["docs"]),
+        "total_tokens": int(counts["toks"]),
+        "token_quantiles": {float(r["q"]): float(r["value"]) for _, r in q.iterrows()},
+        "distinct_texts": int(distinct),
+        "approx_dup_ratio": round(
+            max(0.0, 1.0 - distinct / counts["docs"]) if counts["docs"] else 0.0, 4
+        ),
+        "top_words": token_histogram(base, text_col=text_col, top_n=top_words).to_dict(
+            "records"
+        ),
+    }
+    if source_col is not None:
+        def src_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[source_col].value_counts()
+            return pd.DataFrame({"source": c.index, "n": c.to_numpy()})
+
+        agg = (
+            base.map_batches(src_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("source")["n"]
+            .sum()
+            .sort_values(ascending=False)
+        )
+        report["by_source"] = {str(k): int(v) for k, v in agg.items()}
+    return report

@@ -254,3 +254,28 @@ def test_select_by_token_budget_matches_duckdb_oracle(ray_session):
         """
     ).df()["doc_id"].tolist()
     assert got == ref
+
+
+def test_corpus_report_card(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import corpus_report
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": ["alpha beta gamma"] * 50 + [f"delta epsilon {i} zeta" for i in range(50)],
+            "source": ["web"] * 70 + ["books"] * 30,
+        }
+    )
+    rep = corpus_report(rd.from_pandas(df).repartition(4), source_col="source", top_words=3)
+    assert rep["n_docs"] == 100
+    assert rep["total_tokens"] == 50 * 3 + 50 * 4
+    assert rep["by_source"] == {"web": 70, "books": 30}
+    # 51 distinct texts; HLL within its ~2% band
+    assert abs(rep["distinct_texts"] - 51) <= 3
+    assert 0.4 <= rep["approx_dup_ratio"] <= 0.55
+    words = {w["word"] for w in rep["top_words"]}
+    assert {"delta", "epsilon", "zeta"} & words or {"alpha", "beta", "gamma"} & words
+    qs = rep["token_quantiles"]
+    assert set(qs) == {0.5, 0.9, 0.99} and all(3 <= v <= 4.1 for v in qs.values())

@@ -200,10 +200,16 @@ class BpeEncoder:
     n_pieces: int32)`` per document."""
 
     def __init__(self, merges: list[tuple[str, str]], id_col: str = "doc_id",
-                 text_col: str = "text", end_marker: str = END_MARKER):
+                 text_col: str = "text", end_marker: str = END_MARKER,
+                 vocab: dict | None = None, source_col: str | None = None):
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
         self.id_col, self.text_col, self.end_marker = id_col, text_col, end_marker
         self.cache: dict = {}
+        # id mode (bpe_encode_ids): emit the lake's tokenized-sequence
+        # schema instead of string pieces
+        self.vocab = vocab
+        self.unk_id = vocab.get(UNK, 0) if vocab is not None else 0
+        self.source_col = source_col
 
     def _pieces_of(self, word: str) -> tuple:
         got = self.cache.get(word)
@@ -246,6 +252,23 @@ class BpeEncoder:
         per_doc = np.bincount(doc_pos, weights=tok_lens, minlength=n_docs).astype(np.int64)
         doc_off = np.zeros(n_docs + 1, np.int64)
         np.cumsum(per_doc, out=doc_off[1:])
+        if self.vocab is not None:
+            ids = (
+                pd.Series(pieces_flat).map(self.vocab).fillna(self.unk_id).to_numpy(np.int32)
+                if total
+                else np.array([], np.int32)
+            )
+            tokens = pa.ListArray.from_arrays(
+                pa.array(doc_off, pa.int32()), pa.array(ids, pa.int32())
+            )
+            cols = {
+                self.id_col: pa.array(df[self.id_col].to_numpy()),
+                "tokens": tokens,
+                "n_tok": pa.array(per_doc.astype(np.int32)),
+            }
+            if self.source_col is not None:
+                cols["source"] = pa.array(df[self.source_col].astype(object), pa.string())
+            return pa.table(cols)
         pieces_arr = pa.ListArray.from_arrays(
             pa.array(doc_off, pa.int32()), pa.array(pieces_flat, pa.string())
         )
@@ -271,6 +294,63 @@ def bpe_encode(ds, merges, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(
         BpeEncoder,
         fn_constructor_kwargs={"merges": merges, "id_col": id_col, "text_col": text_col},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+UNK = "<unk>"
+
+
+def bpe_vocab(word_counts: pd.DataFrame, merges: list[tuple[str, str]],
+              end_marker: str = END_MARKER) -> dict[str, int]:
+    """Deterministic piece -> id vocabulary: ``<unk>`` = 0, the end
+    marker = 1, then every character seen in the training histogram
+    (sorted), then merged symbols in merge order. Encoding a corpus
+    disjoint from the histogram can hit unseen characters — those
+    pieces map to ``<unk>`` (byte-fallback is a tokenizer-design
+    choice out of scope here)."""
+    chars = sorted({c for w in word_counts["w"] for c in str(w)})
+    vocab: dict[str, int] = {UNK: 0, end_marker: 1}
+    for c in chars:
+        if c not in vocab:
+            vocab[c] = len(vocab)
+    for a, b in merges:
+        s = a + b
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    ds,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = None,
+    concurrency=None,
+):
+    """Encode a text corpus into THE tokenized-sequence table this
+    engine's lake maintains (BASELINE.json input_hint:
+    ``doc_id, tokens: array<int32>, n_tok: int32, source``) — the
+    text-side on-ramp: raw documents -> trained BPE -> the exact
+    payload schema `Lake.create_from_dataset` ingests and CDC replay
+    then keeps fresh. Same cached actor pool as :func:`bpe_encode`;
+    pieces map to vocab ids vectorized (unknowns -> ``<unk>``)."""
+    if concurrency is None:
+        from clever_canal_ray.config import actor_pool_free
+
+        concurrency = actor_pool_free(lo=2)
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={
+            "merges": merges,
+            "id_col": id_col,
+            "text_col": text_col,
+            "vocab": vocab,
+            "source_col": source_col,
+        },
         batch_format="pandas",
         concurrency=concurrency,
     )

@@ -152,3 +152,66 @@ def test_bpe_encoder_batch_kernel_direct():
     # cache hit path: second call over the same words, same answer
     t2 = enc(df)
     assert t2.to_pylist() == rows
+
+
+def test_bpe_encode_ids_lake_schema(ray_session):
+    """bpe_encode_ids emits the engine's tokenized-sequence payload
+    (doc_id, tokens: list<int32>, n_tok: int32, source): ids decode
+    back to the piece stream via the vocab, unknown chars map to <unk>,
+    and the output feeds Lake.create_from_dataset unchanged."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.bpe import (
+        UNK,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+        encode_word,
+        word_histogram,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["hug pug", "pun bun hug", "hugs", "", "hug hug", "zzz"],
+            "source": ["web"] * 3 + ["books"] * 3,
+        }
+    )
+    train = rd.from_pandas(docs[docs["doc_id"] < 5])  # 'z' stays unseen
+    hist = word_histogram(train, num_buckets=4)
+    merges = bpe_train(hist, num_merges=10, min_count=1)
+    vocab = bpe_vocab(hist, merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    inv = {v: k for k, v in vocab.items()}
+
+    out = (
+        bpe_encode_ids(rd.from_pandas(docs).repartition(3), merges, vocab, source_col="source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "tokens", "n_tok", "source"]
+    for _, r in out.iterrows():
+        text = docs["text"].iloc[int(r["doc_id"])]
+        ref = [p for w in text.split(" ") if w for p in encode_word(w, ranks)]
+        got = [inv[int(t)] for t in r["tokens"]]
+        if "z" in text:  # unseen char: every z-piece maps to <unk>
+            assert got and all(g in (UNK, "</w>") or "z" not in g for g in got)
+        else:
+            assert got == ref
+        assert int(r["n_tok"]) == len(ref)
+    assert out["tokens"].iloc[3] is not None and len(list(out["tokens"].iloc[3])) == 0
+
+    # the output IS a valid lake payload
+    from clever_canal_ray.state.manifest import Lake
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        lake = Lake.create_from_dataset(
+            d + "/lake",
+            bpe_encode_ids(rd.from_pandas(docs), merges, vocab, source_col="source"),
+            num_partitions=2,
+        )
+        t = lake.read_table().to_pandas()
+        assert len(t) == 6 and set(t.columns) >= {"doc_id", "tokens", "n_tok", "source"}

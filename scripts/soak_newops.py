@@ -4,11 +4,15 @@
             (gates run at 500 docs); lossless-encode spot check.
   semdedup — cluster-scoped semantic dedup at 1M x 64-d vectors with
             planted near-dups; recall + false-drop hard asserts.
+  curate  — the one-call curate_corpus chain at 4M docs with planted
+            categories; per-stage counts asserted exactly.
+  inc     — incremental curation: 1M-doc source lake, bootstrap +
+            4 change windows; batch re-curation == incremental lake.
   budget  — select_by_token_budget at 20M scored rows; EXACT equality
             vs a driver numpy sort-cumsum reference.
 
 Each prints one JSON line. Usage:
-  python scripts/soak_newops.py [bpe|semdedup|curate|budget|all] [scale_override]
+  python scripts/soak_newops.py [bpe|semdedup|curate|inc|budget|all] [scale]
 """
 
 from __future__ import annotations

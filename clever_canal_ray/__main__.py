@@ -19,6 +19,9 @@
     python -m clever_canal_ray curate       --in PARQUET [...] --out DIR [--langs en ...]
                                             [--min-tokens N] [--near-dedup] [--reference PARQUET]
                                             [--eval-file TXT] [--budget-tokens N] [--report]
+    python -m clever_canal_ray train-tokenizer --in PARQUET [...] --out TOK.json [--merges N]
+    python -m clever_canal_ray encode       --in PARQUET [...] --out DIR --tokenizer TOK.json
+                                            [--pieces] [--source-col C]
 
 Owns its Ray session (scripts do; library code never does).
 """
@@ -143,6 +146,21 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--budget-tokens", type=int, default=None)
     cu.add_argument("--budget-score-col", default=None)
     cu.add_argument("--report", action="store_true", help="count rows after each stage (extra passes)")
+
+    tt = sub.add_parser("train-tokenizer")  # corpus -> BPE merges + vocab artifact
+    tt.add_argument("--in", dest="src", nargs="+", required=True)
+    tt.add_argument("--out", required=True, help="tokenizer JSON path")
+    tt.add_argument("--merges", type=int, default=1000)
+    tt.add_argument("--min-count", type=int, default=2)
+    tt.add_argument("--top-v", type=int, default=None, help="cap the trainer's word histogram")
+
+    en = sub.add_parser("encode")  # corpus -> tokenized-sequence parquet
+    en.add_argument("--in", dest="src", nargs="+", required=True)
+    en.add_argument("--out", required=True, help="output parquet directory")
+    en.add_argument("--tokenizer", required=True, help="tokenizer JSON from train-tokenizer")
+    en.add_argument("--pieces", action="store_true",
+                    help="emit string pieces instead of the tokens/n_tok id payload")
+    en.add_argument("--source-col", default=None, help="carry this column as `source`")
 
     args = p.parse_args(argv)
 
@@ -347,6 +365,38 @@ def main(argv: list[str] | None = None) -> int:
         )
         curated.write_parquet(args.out)
         print(json.dumps({"out": args.out, "stages": dict(report)}))
+    elif args.cmd == "train-tokenizer":
+        _ray_session()
+        import ray.data as rd
+
+        from clever_canal_ray.functions.bpe import (
+            bpe_train,
+            bpe_vocab,
+            save_tokenizer,
+            word_histogram,
+        )
+
+        hist = word_histogram(rd.read_parquet(args.src), top_v=args.top_v)
+        merges = bpe_train(hist, num_merges=args.merges, min_count=args.min_count)
+        vocab = bpe_vocab(hist, merges)
+        save_tokenizer(args.out, merges, vocab)
+        print(json.dumps({"out": args.out, "merges": len(merges), "vocab": len(vocab)}))
+    elif args.cmd == "encode":
+        _ray_session()
+        import ray.data as rd
+
+        from clever_canal_ray.functions.bpe import bpe_encode, bpe_encode_ids, load_tokenizer
+
+        merges, vocab = load_tokenizer(args.tokenizer)
+        ds = rd.read_parquet(args.src)
+        if args.pieces:
+            out_ds = bpe_encode(ds, merges)
+        else:
+            if vocab is None:
+                raise SystemExit("encode: tokenizer file has no vocab; re-train or use --pieces")
+            out_ds = bpe_encode_ids(ds, merges, vocab, source_col=args.source_col)
+        out_ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out_ds.count()}))
     return 0
 
 

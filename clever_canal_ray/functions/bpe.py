@@ -354,3 +354,32 @@ def bpe_encode_ids(
         batch_format="pandas",
         concurrency=concurrency,
     )
+
+
+def save_tokenizer(path: str, merges: list[tuple[str, str]], vocab: dict[str, int] | None = None) -> None:
+    """Persist a trained tokenizer as one JSON artifact (merges in rank
+    order + optional piece->id vocab) — atomic replace so a concurrent
+    reader never sees a torn file."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"format": "clever_canal_ray.bpe.v1",
+             "end_marker": END_MARKER,
+             "merges": [list(m) for m in merges],
+             "vocab": vocab},
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def load_tokenizer(path: str) -> tuple[list[tuple[str, str]], dict[str, int] | None]:
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    if d.get("format") != "clever_canal_ray.bpe.v1":
+        raise ValueError(f"{path}: not a clever_canal_ray BPE tokenizer file")
+    return [tuple(m) for m in d["merges"]], d.get("vocab")

@@ -215,3 +215,52 @@ def test_bpe_encode_ids_lake_schema(ray_session):
         )
         t = lake.read_table().to_pandas()
         assert len(t) == 6 and set(t.columns) >= {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_tokenizer_cli_train_and_encode(tmp_path):
+    """train-tokenizer → encode in real subprocesses: corpus parquet in,
+    tokenized-sequence parquet out, round-trippable via the artifact."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [f"hug pug pun bun item {i % 7}" for i in range(40)],
+            "src": ["web"] * 40,
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src)
+    tok = str(tmp_path / "tok.json")
+    out = str(tmp_path / "encoded")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "clever_canal_ray", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    t = run("train-tokenizer", "--in", src, "--out", tok, "--merges", "30", "--min-count", "1")
+    assert t["merges"] > 0 and t["vocab"] > 2
+
+    e = run("encode", "--in", src, "--out", out, "--tokenizer", tok, "--source-col", "src")
+    assert e["rows"] == 40
+    got = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "tokens", "n_tok", "source"]
+    assert (got["n_tok"] > 0).all() and (got["source"] == "web").all()
+
+    # artifact round trip == in-process encode
+    from clever_canal_ray.functions.bpe import encode_word, load_tokenizer
+
+    merges, vocab = load_tokenizer(tok)
+    inv = {v: k for k, v in vocab.items()}
+    ranks = {m: i for i, m in enumerate(merges)}
+    row = got.iloc[3]
+    ref = [p for w in docs["text"].iloc[3].split(" ") for p in encode_word(w, ranks)]
+    assert [inv[int(x)] for x in row["tokens"]] == ref

@@ -1081,3 +1081,95 @@ def corpus_report(
         )
         report["by_source"] = {str(k): int(v) for k, v in agg.items()}
     return report
+
+
+def pack_bins(
+    ds,
+    ctx: int,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+    num_buckets: int = 64,
+    mirror: bool = False,
+):
+    """Doc-boundary sequence packing: assign whole documents to
+    fixed-capacity ``ctx``-token bins minimizing padding — the
+    padding-free-batching step (contrast :func:`pack_sequences` /
+    ``chunk_tokens``, the concat-and-chunk path that SPLITS docs
+    across window boundaries).
+
+    Topology: docs hash into ``num_buckets`` groups (ONE bucketed
+    exchange of (id, n_tok) pairs — payloads never move), each bucket
+    runs best-fit-decreasing over its own docs (sort by n_tok desc,
+    id asc; the classic 11/9·OPT+1 waste bound holds per bucket), and
+    bin ids are globally unique as ``bucket * 2^32 + local``.
+    Deterministic at any parallelism/layout: bucket membership and
+    in-bucket order depend only on ids. The per-bucket loop is
+    per-DOC with an O(log bins) bisect per step (docs/bucket
+    iterations, not tokens).
+
+    Docs longer than ``ctx`` get a bin of their own, flagged
+    ``oversize=1`` (callers chunk those first via ``chunk_tokens``).
+    Returns one row per doc: ``(id_col, n_tok, bin_id:int64,
+    bin_off:int64, oversize:int32)`` with sum(n_tok) <= ctx per
+    regular bin.
+    """
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, tok_col]].copy()
+        out["__b"] = (_hash_u64(df[id_col], mirror) % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        b = int(g["__b"].iloc[0])
+        base = np.int64(b) << np.int64(32)
+        g = g.sort_values([tok_col, id_col], ascending=[False, True], kind="mergesort")
+        n = g[tok_col].to_numpy(np.int64)
+        rooms: list[int] = []  # open-bin remaining capacity, sorted asc
+        rids: list[int] = []  # parallel local bin index
+        n_bins = 0
+        bin_id = np.empty(len(g), np.int64)
+        bin_off = np.empty(len(g), np.int64)
+        oversize = np.zeros(len(g), np.int32)
+        for i, tok in enumerate(n):
+            tok = int(tok)
+            if tok > ctx:
+                bin_id[i] = base + n_bins  # closed solo bin
+                bin_off[i] = 0
+                oversize[i] = 1
+                n_bins += 1
+                continue
+            # best fit: tightest open bin that still has room
+            j = bisect.bisect_left(rooms, tok)
+            if j == len(rooms):
+                bin_id[i] = base + n_bins
+                bin_off[i] = 0
+                r = ctx - tok
+                k = bisect.bisect_left(rooms, r)
+                rooms.insert(k, r)
+                rids.insert(k, n_bins)
+                n_bins += 1
+            else:
+                r, k_bin = rooms.pop(j), rids.pop(j)
+                bin_id[i] = base + k_bin
+                bin_off[i] = ctx - r
+                r -= tok
+                k = bisect.bisect_left(rooms, r)
+                rooms.insert(k, r)
+                rids.insert(k, k_bin)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                tok_col: n,
+                "bin_id": bin_id,
+                "bin_off": bin_off,
+                "oversize": oversize,
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: pack(g), batch_format="pandas")
+    )

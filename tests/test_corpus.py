@@ -279,3 +279,56 @@ def test_corpus_report_card(ray_session):
     assert {"delta", "epsilon", "zeta"} & words or {"alpha", "beta", "gamma"} & words
     qs = rep["token_quantiles"]
     assert set(qs) == {0.5, 0.9, 0.99} and all(3 <= v <= 4.1 for v in qs.values())
+
+
+def test_pack_bins_ffd_invariants(ray_session):
+    """Every doc lands in exactly one bin; regular bins never exceed
+    ctx; offsets tile each bin; oversize docs sit alone flagged;
+    deterministic across block layouts; utilization beats naive
+    one-doc-per-bin."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import pack_bins
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    ctx = 1024
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tok": rng.integers(10, 900, n).astype(np.int64),
+        }
+    )
+    df.loc[:4, "n_tok"] = ctx + 100  # oversize
+
+    out = (
+        pack_bins(rd.from_pandas(df).repartition(5), ctx, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == df["doc_id"].tolist()
+    assert (out[out["oversize"] == 1]["doc_id"] < 5).all() and (out["oversize"] == 1).sum() == 5
+
+    g = out[out["oversize"] == 0].groupby("bin_id")
+    assert (g["n_tok"].sum() <= ctx).all()
+    # offsets tile: sorted offsets per bin == cumsum of sizes in that order
+    for _, grp in g:
+        grp = grp.sort_values("bin_off")
+        expect = np.concatenate(([0], grp["n_tok"].to_numpy()[:-1].cumsum()))
+        assert (grp["bin_off"].to_numpy() == expect).all()
+    # oversize bins are solo
+    solo = out[out["oversize"] == 1].groupby("bin_id").size()
+    assert (solo == 1).all()
+
+    out2 = (
+        pack_bins(rd.from_pandas(df).repartition(2), ctx, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    # utilization: BFD bins should run well above 80% full on this mix
+    util = g["n_tok"].sum().mean() / ctx
+    assert util > 0.8, util

@@ -19,6 +19,8 @@
     python -m clever_canal_ray curate       --in PARQUET [...] --out DIR [--langs en ...]
                                             [--min-tokens N] [--near-dedup] [--reference PARQUET]
                                             [--eval-file TXT] [--budget-tokens N] [--report]
+    python -m clever_canal_ray curate-sync  --src LAKE --dst LAKE [--bootstrap] [--langs en ...]
+                                            [--min-tokens N] [--eval-file TXT] [--follow]
     python -m clever_canal_ray train-tokenizer --in PARQUET [...] --out TOK.json [--merges N]
     python -m clever_canal_ray encode       --in PARQUET [...] --out DIR --tokenizer TOK.json
                                             [--pieces] [--source-col C]
@@ -146,6 +148,25 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--budget-tokens", type=int, default=None)
     cu.add_argument("--budget-score-col", default=None)
     cu.add_argument("--report", action="store_true", help="count rows after each stage (extra passes)")
+
+    cu.add_argument("--target", nargs="+", default=None,
+                    help="DSIR: select docs resembling this target corpus")
+    cu.add_argument("--dsir-select", type=int, default=None, help="DSIR: docs to keep")
+    cu.add_argument("--dsir-temperature", type=float, default=0.1)
+
+    ci = sub.add_parser("curate-sync")  # curated lake in lockstep with a source lake
+    ci.add_argument("--src", required=True, help="source lake directory")
+    ci.add_argument("--dst", required=True, help="curated lake directory")
+    ci.add_argument("--bootstrap", action="store_true",
+                    help="create the curated lake from the source's current version first")
+    ci.add_argument("--partitions", type=int, default=None, help="curated partition count (bootstrap)")
+    ci.add_argument("--langs", nargs="+", default=None)
+    ci.add_argument("--min-tokens", type=int, default=None)
+    ci.add_argument("--max-tokens", type=int, default=None)
+    ci.add_argument("--eval-file", default=None)
+    ci.add_argument("--follow", action="store_true", help="keep syncing as the source advances")
+    ci.add_argument("--poll", type=float, default=1.0)
+    ci.add_argument("--idle-stop", type=int, default=None, help="stop after N empty polls")
 
     tt = sub.add_parser("train-tokenizer")  # corpus -> BPE merges + vocab artifact
     tt.add_argument("--in", dest="src", nargs="+", required=True)
@@ -359,12 +380,47 @@ def main(argv: list[str] | None = None) -> int:
             near_threshold=args.near_threshold,
             reference_ds=rd.read_parquet(args.reference) if args.reference else None,
             eval_texts=eval_texts,
+            target_ds=rd.read_parquet(args.target) if args.target else None,
+            dsir_n_select=args.dsir_select,
+            dsir_temperature=args.dsir_temperature,
             budget_tokens=args.budget_tokens,
             budget_score_col=args.budget_score_col,
             report=args.report,
         )
         curated.write_parquet(args.out)
         print(json.dumps({"out": args.out, "stages": dict(report)}))
+    elif args.cmd == "curate-sync":
+        _ray_session()
+        import time as _time
+
+        from clever_canal_ray.pipelines.curation import curate_bootstrap, curate_sync
+
+        eval_texts = None
+        if args.eval_file:
+            with open(args.eval_file) as fh:
+                eval_texts = [ln.strip() for ln in fh if ln.strip()]
+        filters = dict(
+            keep_langs=tuple(args.langs) if args.langs else None,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            eval_texts=eval_texts,
+        )
+        src = Lake(args.src)
+        if args.bootstrap:
+            dst = curate_bootstrap(src, args.dst, num_partitions=args.partitions, **filters)
+            print(json.dumps({"bootstrap": True, "cursor": dst.current().last_batch_id}), flush=True)
+        else:
+            dst = Lake(args.dst)
+        idle = 0
+        while True:
+            r = curate_sync(src, dst, **filters)
+            print(json.dumps(r), flush=True)
+            if not args.follow:
+                break
+            idle = idle + 1 if r.get("noop") else 0
+            if args.idle_stop is not None and idle >= args.idle_stop:
+                break
+            _time.sleep(args.poll)
     elif args.cmd == "train-tokenizer":
         _ray_session()
         import ray.data as rd

@@ -171,3 +171,43 @@ def test_curate_sync_refuses_multi_table(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="single-table"):
         curate_sync(src, src)
+
+
+def test_curate_sync_cli_subprocess(ray_session, tmp_path):
+    """curate-sync CLI: bootstrap + one sync in a real subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import ray.data as rd
+
+    src = Lake.create_from_dataset(
+        str(tmp_path / "src"),
+        rd.from_pandas(_src_docs()),
+        num_partitions=4,
+        ddl_journal=[BASE_DDL],
+    )
+    evalf = str(tmp_path / "eval.txt")
+    with open(evalf, "w") as fh:
+        fh.write(EVAL_SENT + "\n")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def run():
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "clever_canal_ray", "curate-sync",
+                "--src", str(tmp_path / "src"), "--dst", str(tmp_path / "dst"),
+                "--bootstrap", "--partitions", "3",
+                "--langs", "en", "--min-tokens", "6", "--eval-file", evalf,
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+
+    lines = run()
+    assert lines[0]["bootstrap"] is True
+    assert lines[1]["noop"] is True  # bootstrap pinned the current version
+    dst = Lake(str(tmp_path / "dst"))
+    assert _curated_state(dst)["doc_id"].tolist() == list(range(30))

@@ -142,3 +142,33 @@ def test_curate_cli_subprocess(tmp_path):
     # en docs 0..39 survive lang+length; 300s are exact dups (dropped);
     # contaminated 400s dropped; no reference corpus in this run
     assert got["doc_id"].tolist() == list(range(40))
+
+
+def test_curate_cli_dsir_selection(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    df, _ = _corpus()
+    en = df[df["doc_id"] < 40]
+    mixed = df[(df["doc_id"] < 40) | ((df["doc_id"] >= 100) & (df["doc_id"] < 110))]
+    src = str(tmp_path / "mixed.parquet")
+    tgt = str(tmp_path / "target.parquet")
+    out = str(tmp_path / "sel")
+    mixed.to_parquet(src)
+    en.to_parquet(tgt)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "clever_canal_ray", "curate",
+            "--in", src, "--out", out, "--no-exact-dedup",
+            "--target", tgt, "--dsir-select", "20", "--dsir-temperature", "0.01",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+
+    sel = pd.read_parquet(out)
+    assert len(sel) == 20 and (sel["doc_id"] < 40).mean() >= 0.9

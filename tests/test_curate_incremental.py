@@ -211,3 +211,46 @@ def test_curate_sync_cli_subprocess(ray_session, tmp_path):
     assert lines[1]["noop"] is True  # bootstrap pinned the current version
     dst = Lake(str(tmp_path / "dst"))
     assert _curated_state(dst)["doc_id"].tolist() == list(range(30))
+
+
+def test_curate_sync_crash_retry_idempotent(ray_session, tmp_path, monkeypatch):
+    """A crash between the judged delta writes and the commit leaves
+    only orphans; the retried sync re-judges the SAME window
+    deterministically and converges to the same curated state."""
+    import pytest
+    import ray.data as rd
+
+    src = Lake.create_from_dataset(
+        str(tmp_path / "src"),
+        rd.from_pandas(_src_docs()),
+        num_partitions=4,
+        ddl_journal=[BASE_DDL],
+    )
+    dst = curate_bootstrap(src, str(tmp_path / "dst"), num_partitions=3, **_filters())
+    _commit_changes(
+        src,
+        pd.DataFrame(
+            {"doc_id": [5, 6, 200], "text": [_good(5) + " v2", "the and of", _good(200)]}
+        ),
+        delete_ids=[7],
+    )
+
+    real_commit = Lake.commit_batch
+    state = {"boom": True}
+
+    def flaky(self, *a, **kw):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected crash before commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(Lake, "commit_batch", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_sync(src, dst, **_filters())
+    out = curate_sync(src, dst, **_filters())
+    assert not out["noop"]
+    state_df = _curated_state(dst)
+    assert state_df["doc_id"].tolist() == sorted(set(range(30)) - {6, 7}) + [200]
+    # orphans from the crashed attempt are gc-able; state unchanged
+    dst.gc(keep_manifests=1, min_age_sec=0.0)
+    assert _curated_state(dst)["doc_id"].tolist() == sorted(set(range(30)) - {6, 7}) + [200]

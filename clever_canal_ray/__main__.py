@@ -140,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--langs", nargs="+", default=None, help="keep these languages")
     cu.add_argument("--min-tokens", type=int, default=None)
     cu.add_argument("--max-tokens", type=int, default=None)
+    cu.add_argument("--gopher", action="store_true", help="apply the Gopher quality rule set")
     cu.add_argument("--no-exact-dedup", action="store_true")
     cu.add_argument("--near-dedup", action="store_true")
     cu.add_argument("--near-threshold", type=float, default=0.7)
@@ -375,6 +376,7 @@ def main(argv: list[str] | None = None) -> int:
             keep_langs=tuple(args.langs) if args.langs else None,
             min_tokens=args.min_tokens,
             max_tokens=args.max_tokens,
+            quality_preset="gopher" if args.gopher else None,
             exact_dedup=not args.no_exact_dedup,
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,

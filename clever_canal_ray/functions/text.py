@@ -640,3 +640,115 @@ def redact(ds, col: str, patterns=None, out_col: str | None = None, count_col: s
         return df
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+# --- Gopher quality rules (Rae et al. 2021, Appendix A.1) -----------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(batch) -> pa.Table:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 A.1.1), vectorized — one row per doc with each
+    rule's boolean plus the conjunction ``gopher_pass``:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10 (non-space chars / words — exact
+      under single-space separation, the corpus contract everywhere
+      else in this engine)
+    - symbol-to-word ratio (``#`` or ``...``/``…``) <= 0.1
+    - < 90% of lines start with a bullet; < 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct Gopher stop words present
+
+    Zero per-row Python: Arrow split + ``is_in``/regex counts +
+    cumsum-diff per-doc folds (the quality_scores kernel pattern).
+    """
+    t = _text_table(batch)
+    import pyarrow.compute as pc
+
+    texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    split = pc.split_pattern(texts, pattern=" ")
+    n_tok = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    ends = np.cumsum(n_tok)
+    starts = ends - n_tok
+
+    def per_doc(flat_bool) -> np.ndarray:
+        c = np.zeros(len(flat_bool) + 1, np.int64)
+        np.cumsum(flat_bool, out=c[1:])
+        return c[ends] - c[starts]
+
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_space = pc.count_substring(texts, pattern=" ").to_numpy(zero_copy_only=False)
+    mean_wl = np.divide(
+        n_chars - n_space, n_tok, out=np.zeros(len(n_tok), np.float64), where=n_tok > 0
+    )
+
+    n_hash = pc.count_substring(texts, pattern="#").to_numpy(zero_copy_only=False)
+    n_ell = (
+        pc.count_substring(texts, pattern="...").to_numpy(zero_copy_only=False)
+        + pc.count_substring(texts, pattern="…").to_numpy(zero_copy_only=False)
+    )
+    sym_ratio = np.divide(
+        n_hash + n_ell, n_tok, out=np.zeros(len(n_tok), np.float64), where=n_tok > 0
+    )
+
+    lines = pc.split_pattern(texts, pattern="\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_lines = lines.flatten()
+    l_ends = np.cumsum(n_lines)
+    l_starts = l_ends - n_lines
+    bullet = pc.match_substring_regex(
+        flat_lines, pattern=r"^\s*(•|\*|-|‣|◦)"
+    ).to_numpy(zero_copy_only=False)
+    ell_end = pc.match_substring_regex(
+        flat_lines, pattern=r"(\.\.\.|…)\s*$"
+    ).to_numpy(zero_copy_only=False)
+
+    def per_doc_lines(flat_bool) -> np.ndarray:
+        c = np.zeros(len(flat_bool) + 1, np.int64)
+        np.cumsum(flat_bool, out=c[1:])
+        return c[l_ends] - c[l_starts]
+
+    bullet_frac = np.divide(
+        per_doc_lines(bullet), n_lines, out=np.zeros(len(n_lines), np.float64), where=n_lines > 0
+    )
+    ell_frac = np.divide(
+        per_doc_lines(ell_end), n_lines, out=np.zeros(len(n_lines), np.float64), where=n_lines > 0
+    )
+
+    has_alpha = pc.match_substring_regex(flat, pattern="[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    alpha_frac = np.divide(
+        per_doc(has_alpha), n_tok, out=np.zeros(len(n_tok), np.float64), where=n_tok > 0
+    )
+
+    lowered = pc.utf8_lower(flat)
+    stop_distinct = np.zeros(len(n_tok), np.int64)
+    for w in GOPHER_STOPWORDS:
+        hit = per_doc(pc.equal(lowered, pa.scalar(w)).to_numpy(zero_copy_only=False))
+        stop_distinct += (hit > 0).astype(np.int64)
+
+    r_words = (n_tok >= 50) & (n_tok <= 100_000)
+    r_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = sym_ratio <= 0.1
+    r_bullet = bullet_frac < 0.9
+    r_ell = ell_frac < 0.3
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_distinct >= 2
+    passed = r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_tok),
+            "mean_word_len": pa.array(np.round(mean_wl, 6)),
+            "symbol_ratio": pa.array(np.round(sym_ratio, 6)),
+            "bullet_frac": pa.array(np.round(bullet_frac, 6)),
+            "ellipsis_frac": pa.array(np.round(ell_frac, 6)),
+            "alpha_frac": pa.array(np.round(alpha_frac, 6)),
+            "stop_distinct": pa.array(stop_distinct),
+            "gopher_pass": pa.array(passed.astype(np.int32)),
+        }
+    )

@@ -47,6 +47,7 @@ def curate_corpus(
     keep_langs: tuple | None = None,
     min_tokens: int | None = None,
     max_tokens: int | None = None,
+    quality_preset: str | None = None,
     exact_dedup: bool = True,
     near_dedup: bool = False,
     near_threshold: float = 0.7,
@@ -68,6 +69,8 @@ def curate_corpus(
       1. ``keep_langs``: LangId actor pool, keep listed languages.
       2. ``min_tokens``/``max_tokens``: whitespace-token length bounds
          (pure-Arrow count, zero shuffle).
+      2b. ``quality_preset="gopher"``: the published Gopher rule set
+         (text.gopher_quality), keep only passing docs.
       3. ``exact_dedup``: keep each exact text's min-id doc
          (bucketed hash exchange + distributed survivor semi-join).
       4. ``near_dedup``: MinHash → exact-Jaccard verify → components →
@@ -127,6 +130,19 @@ def curate_corpus(
             return t.filter(mask)
 
         cur = note("length_filter", cur.map_batches(len_filter, batch_format="pyarrow"))
+
+    if quality_preset is not None:
+        if quality_preset != "gopher":
+            raise ValueError(f"unknown quality_preset {quality_preset!r} (have: 'gopher')")
+        from clever_canal_ray.functions.text import gopher_quality
+
+        def gopher_filter(t):
+            import pyarrow.compute as pc
+
+            mask = pc.equal(gopher_quality(t)["gopher_pass"], 1)
+            return t.filter(mask)
+
+        cur = note("gopher_quality", cur.map_batches(gopher_filter, batch_format="pyarrow"))
 
     if exact_dedup:
         cur = note(

@@ -172,3 +172,25 @@ def test_curate_cli_dsir_selection(tmp_path):
 
     sel = pd.read_parquet(out)
     assert len(sel) == 20 and (sel["doc_id"] < 40).mean() >= 0.9
+
+
+def test_curate_corpus_gopher_preset(ray_session):
+    import ray.data as rd
+
+    filler = " ".join(f"word{i} the of and be to that have with" for i in range(12))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [filler, "tiny doc", " ".join(["123 456"] * 40)],
+        }
+    )
+    curated, report = curate_corpus(
+        rd.from_pandas(df), quality_preset="gopher", exact_dedup=False, report=True
+    )
+    got = curated.to_pandas()
+    assert got["doc_id"].tolist() == [0]
+    assert dict(report)["gopher_quality"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_preset"):
+        curate_corpus(rd.from_pandas(df), quality_preset="nope")

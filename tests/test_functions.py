@@ -1274,3 +1274,60 @@ def test_cross_corpus_dedup_matches_duckdb_oracle(ray_session):
         "SELECT doc_id FROM new WHERE text NOT IN (SELECT text FROM ref) ORDER BY doc_id"
     ).df()["doc_id"].tolist()
     assert got == oracle
+
+
+def test_gopher_quality_matches_row_reference(ray_session):
+    """Vectorized Gopher rules == a plain per-row implementation on
+    crafted docs hitting each rule; distributed == local kernel."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.text import GOPHER_STOPWORDS, gopher_quality
+
+    filler = " ".join(f"word{i} the of and be to that have with" for i in range(12))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                filler,                                    # passes everything
+                "tiny doc",                                # too few words
+                " ".join(["a"] * 60),                      # mean word len < 3
+                filler + " " + "#" * 1 + " #" * 30,        # symbol ratio > 0.1
+                "\n".join(["• item " + filler[:20]] * 10), # bullets
+                "\n".join([f"line {i} trailing..." for i in range(10)]) + " " + filler[:0],  # ellipsis ends
+                " ".join(["123 456"] * 40),                # no alpha words
+                " ".join(["foo bar baz"] * 30),            # no gopher stopwords
+            ],
+        }
+    )
+
+    def ref_row(t):
+        words = [w for w in t.split(" ") if w != ""] or [""]
+        words = t.split(" ")
+        n = len(words)
+        nonspace = len(t) - t.count(" ")
+        mwl = nonspace / n if n else 0.0
+        sym = (t.count("#") + t.count("...") + t.count("…")) / n if n else 0.0
+        lines = t.split("\n")
+        import re
+
+        bf = sum(bool(re.match(r"^\s*(•|\*|-|‣|◦)", ln)) for ln in lines) / len(lines)
+        ef = sum(bool(re.search(r"(\.\.\.|…)\s*$", ln)) for ln in lines) / len(lines)
+        af = sum(bool(re.search("[A-Za-z]", w)) for w in words) / n if n else 0.0
+        sd = sum(1 for w in GOPHER_STOPWORDS if w in [x.lower() for x in words])
+        return (
+            (50 <= n <= 100_000) and (3.0 <= mwl <= 10.0) and sym <= 0.1
+            and bf < 0.9 and ef < 0.3 and af >= 0.8 and sd >= 2
+        )
+
+    got = (
+        rd.from_pandas(docs)
+        .repartition(3)
+        .map_batches(gopher_quality, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        t = docs["text"].iloc[int(r["doc_id"])]
+        assert bool(r["gopher_pass"]) == ref_row(t), (r["doc_id"], dict(r))
+    assert got["gopher_pass"].tolist() == [1, 0, 0, 0, 0, 0, 0, 0]

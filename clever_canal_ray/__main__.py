@@ -141,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-tokens", type=int, default=None)
     cu.add_argument("--max-tokens", type=int, default=None)
     cu.add_argument("--gopher", action="store_true", help="apply the Gopher quality rule set")
+    cu.add_argument("--c4", action="store_true", help="apply the C4 line-cleaning + page rules")
     cu.add_argument("--no-exact-dedup", action="store_true")
     cu.add_argument("--near-dedup", action="store_true")
     cu.add_argument("--near-threshold", type=float, default=0.7)
@@ -376,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
             keep_langs=tuple(args.langs) if args.langs else None,
             min_tokens=args.min_tokens,
             max_tokens=args.max_tokens,
-            quality_preset="gopher" if args.gopher else None,
+            quality_preset="gopher" if args.gopher else ("c4" if args.c4 else None),
             exact_dedup=not args.no_exact_dedup,
             near_dedup=args.near_dedup,
             near_threshold=args.near_threshold,

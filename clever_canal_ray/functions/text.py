@@ -752,3 +752,71 @@ def gopher_quality(batch) -> pa.Table:
             "gopher_pass": pa.array(passed.astype(np.int32)),
         }
     )
+
+
+# --- C4 cleaning rules (Raffel et al. 2020, §2.2) -------------------------
+
+
+def c4_clean(batch) -> pa.Table:
+    """The published C4 line+page cleaning rules (arXiv:1910.10683
+    §2.2), vectorized — returns the CLEANED text plus the page verdict:
+
+    line level (dropped from the text):
+    - keep only lines ending in terminal punctuation (. ! ? ")
+    - keep only lines with >= 5 words
+    - drop lines containing the word "javascript" (any case)
+
+    page level (``c4_keep = 0``):
+    - fewer than 3 kept lines/sentences
+    - contains "lorem ipsum" (any case) or a curly brace ``{``
+
+    Zero per-row Python: one Arrow line split, RE2 predicates over the
+    flat line array, ragged re-assembly via ``pc.binary_join`` with the
+    kept-line ListArray rebuilt from cumsum offsets.
+    """
+    t = _text_table(batch)
+    import pyarrow.compute as pc
+
+    texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    lines = pc.split_pattern(texts, pattern="\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lines.flatten()
+
+    terminal = pc.match_substring_regex(flat, pattern=r'[.!?"]\s*$').to_numpy(
+        zero_copy_only=False
+    )
+    # >= 5 words == >= 4 separating spaces between non-space runs
+    five_words = pc.match_substring_regex(
+        flat, pattern=r"^\s*(?:\S+\s+){4,}\S+"
+    ).to_numpy(zero_copy_only=False)
+    no_js = np.invert(
+        pc.match_substring_regex(flat, pattern=r"(?i)javascript").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    keep_line = terminal & five_words & no_js
+
+    ends = np.cumsum(n_lines)
+    starts = ends - n_lines
+    c = np.zeros(len(keep_line) + 1, np.int64)
+    np.cumsum(keep_line, out=c[1:])
+    kept_per_doc = c[ends] - c[starts]
+
+    kept_flat = flat.filter(pa.array(keep_line))
+    off = np.zeros(len(n_lines) + 1, np.int64)
+    np.cumsum(kept_per_doc, out=off[1:])
+    kept_lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), kept_flat)
+    cleaned = pc.binary_join(kept_lists, pa.scalar("\n"))
+
+    bad_page = pc.match_substring_regex(texts, pattern=r"(?i)lorem ipsum|\{").to_numpy(
+        zero_copy_only=False
+    )
+    keep_page = (kept_per_doc >= 3) & np.invert(bad_page)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": cleaned,
+            "n_lines_kept": pa.array(kept_per_doc),
+            "c4_keep": pa.array(keep_page.astype(np.int32)),
+        }
+    )

@@ -69,8 +69,9 @@ def curate_corpus(
       1. ``keep_langs``: LangId actor pool, keep listed languages.
       2. ``min_tokens``/``max_tokens``: whitespace-token length bounds
          (pure-Arrow count, zero shuffle).
-      2b. ``quality_preset="gopher"``: the published Gopher rule set
-         (text.gopher_quality), keep only passing docs.
+      2b. ``quality_preset``: "gopher" (Rae 2021 rule set, doc filter)
+         or "c4" (Raffel 2020 line cleaning — kept lines REPLACE the
+         text — plus the page filter).
       3. ``exact_dedup``: keep each exact text's min-id doc
          (bucketed hash exchange + distributed survivor semi-join).
       4. ``near_dedup``: MinHash → exact-Jaccard verify → components →
@@ -132,17 +133,37 @@ def curate_corpus(
         cur = note("length_filter", cur.map_batches(len_filter, batch_format="pyarrow"))
 
     if quality_preset is not None:
-        if quality_preset != "gopher":
-            raise ValueError(f"unknown quality_preset {quality_preset!r} (have: 'gopher')")
-        from clever_canal_ray.functions.text import gopher_quality
+        if quality_preset not in ("gopher", "c4"):
+            raise ValueError(
+                f"unknown quality_preset {quality_preset!r} (have: 'gopher', 'c4')"
+            )
+        if quality_preset == "gopher":
+            from clever_canal_ray.functions.text import gopher_quality
 
-        def gopher_filter(t):
-            import pyarrow.compute as pc
+            def gopher_filter(t):
+                import pyarrow.compute as pc
 
-            mask = pc.equal(gopher_quality(t)["gopher_pass"], 1)
-            return t.filter(mask)
+                mask = pc.equal(gopher_quality(t)["gopher_pass"], 1)
+                return t.filter(mask)
 
-        cur = note("gopher_quality", cur.map_batches(gopher_filter, batch_format="pyarrow"))
+            cur = note("gopher_quality", cur.map_batches(gopher_filter, batch_format="pyarrow"))
+        else:
+            # C4 is a text TRANSFORM + page filter: kept lines replace
+            # the text column, failing pages drop
+            from clever_canal_ray.functions.text import c4_clean
+
+            def c4_stage(t):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                cleaned = c4_clean(t)
+                keep = pc.equal(cleaned["c4_keep"], 1)
+                out = t.set_column(
+                    t.schema.get_field_index(text_col), text_col, cleaned["text"]
+                )
+                return out.filter(keep)
+
+            cur = note("c4_clean", cur.map_batches(c4_stage, batch_format="pyarrow"))
 
     if exact_dedup:
         cur = note(

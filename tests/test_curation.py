@@ -194,3 +194,26 @@ def test_curate_corpus_gopher_preset(ray_session):
 
     with pytest.raises(ValueError, match="quality_preset"):
         curate_corpus(rd.from_pandas(df), quality_preset="nope")
+
+
+def test_curate_corpus_c4_preset(ray_session):
+    import ray.data as rd
+
+    good = "this line has plenty of words and ends properly."
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "\n".join([good] * 3 + ["junk line no punctuation"]),
+                good,  # < 3 kept lines -> page dropped
+                "\n".join([good] * 4) + "\ncode { x }",  # curly brace page
+            ],
+        }
+    )
+    curated, report = curate_corpus(
+        rd.from_pandas(df), quality_preset="c4", exact_dedup=False, report=True
+    )
+    got = curated.to_pandas()
+    assert got["doc_id"].tolist() == [0]
+    assert got["text"].iloc[0] == "\n".join([good] * 3)  # junk line removed
+    assert dict(report)["c4_clean"] == 1

@@ -1331,3 +1331,55 @@ def test_gopher_quality_matches_row_reference(ray_session):
         t = docs["text"].iloc[int(r["doc_id"])]
         assert bool(r["gopher_pass"]) == ref_row(t), (r["doc_id"], dict(r))
     assert got["gopher_pass"].tolist() == [1, 0, 0, 0, 0, 0, 0, 0]
+
+
+def test_c4_clean_matches_row_reference(ray_session):
+    """Vectorized C4 rules == a plain per-row implementation; cleaned
+    text preserves kept-line order; page verdicts match."""
+    import re
+
+    import ray.data as rd
+
+    from clever_canal_ray.functions.text import c4_clean
+
+    good = "this line has plenty of words and ends properly."
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(7, dtype=np.int64),
+            "text": [
+                "\n".join([good, "short line.", "no terminal punctuation here at all",
+                           good + " indeed!", 'a quoted ending with five words "', good]),
+                good,  # single sentence -> < 3 kept lines
+                "\n".join([good] * 3) + "\nenable javascript to view this page.",
+                "\n".join([good] * 4) + "\nlorem ipsum dolor sit amet.",
+                "\n".join([good] * 4) + "\nsome code { return 1; }",
+                "",
+                "\n".join([good] * 3),
+            ],
+        }
+    )
+
+    def ref(t):
+        kept = [
+            ln
+            for ln in t.split("\n")
+            if re.search(r'[.!?"]\s*$', ln)
+            and re.match(r"^\s*(?:\S+\s+){4,}\S+", ln)
+            and not re.search(r"(?i)javascript", ln)
+        ]
+        keep_page = len(kept) >= 3 and not re.search(r"(?i)lorem ipsum|\{", t)
+        return "\n".join(kept), int(keep_page)
+
+    got = (
+        rd.from_pandas(docs)
+        .repartition(3)
+        .map_batches(c4_clean, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        txt, keep = ref(docs["text"].iloc[int(r["doc_id"])])
+        assert r["text"] == txt, r["doc_id"]
+        assert int(r["c4_keep"]) == keep, r["doc_id"]
+    assert got["c4_keep"].tolist() == [1, 0, 1, 0, 0, 0, 1]

@@ -820,3 +820,44 @@ def c4_clean(batch) -> pa.Table:
             "c4_keep": pa.array(keep_page.astype(np.int32)),
         }
     )
+
+
+def line_repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """The duplicate-LINE/PARAGRAPH half of Gopher's repetition filters
+    (A.1.2; the n-gram half lives in :func:`repetition_stats`): per doc,
+    the fraction of lines (and of line CHARACTERS) occupied by
+    duplicated lines, and the same pair for blank-line-separated
+    paragraphs. All ×1e6 half-up ints (exact SQL mirroring convention).
+
+    Vectorized: one split + explode per granularity; duplicate masks by
+    (doc, unit) `duplicated(keep=False)` minus one surviving copy per
+    distinct repeated unit; per-doc folds via bincount.
+    """
+    batch = batch.reset_index(drop=True)
+    out = batch[["doc_id"]].copy()
+    n_rows = len(batch)
+
+    def frac_pair(sep: str) -> tuple[np.ndarray, np.ndarray]:
+        units = batch["text"].str.split(sep)
+        flat = units.explode()
+        mask = flat.notna() & (flat != "")
+        kept = flat[mask]
+        doc = batch.index.get_indexer(kept.index)
+        if not len(kept):
+            return np.zeros(n_rows, np.int64), np.zeros(n_rows, np.int64)
+        df = pd.DataFrame({"d": doc, "u": kept.to_numpy(), "n": kept.str.len().to_numpy()})
+        # a unit is "duplicated mass" if it is a 2nd+ occurrence of its
+        # (doc, text) pair — Gopher counts the surplus copies
+        surplus = df.duplicated(["d", "u"]).to_numpy()
+        tot_units = np.bincount(df["d"], minlength=n_rows)
+        dup_units = np.bincount(df["d"][surplus], minlength=n_rows)
+        tot_chars = np.bincount(df["d"], weights=df["n"], minlength=n_rows)
+        dup_chars = np.bincount(df["d"][surplus], weights=df["n"][surplus], minlength=n_rows)
+        f_units = np.divide(dup_units, tot_units, out=np.zeros(n_rows), where=tot_units > 0)
+        f_chars = np.divide(dup_chars, tot_chars, out=np.zeros(n_rows), where=tot_chars > 0)
+        e6 = lambda a: np.floor(a * 1_000_000 + 0.5).astype(np.int64)  # noqa: E731
+        return e6(f_units), e6(f_chars)
+
+    out["dup_line_e6"], out["dup_line_char_e6"] = frac_pair("\n")
+    out["dup_para_e6"], out["dup_para_char_e6"] = frac_pair("\n\n")
+    return out

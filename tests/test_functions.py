@@ -1383,3 +1383,52 @@ def test_c4_clean_matches_row_reference(ray_session):
         assert r["text"] == txt, r["doc_id"]
         assert int(r["c4_keep"]) == keep, r["doc_id"]
     assert got["c4_keep"].tolist() == [1, 0, 1, 0, 0, 0, 1]
+
+
+def test_line_repetition_stats_matches_row_reference(ray_session):
+    import ray.data as rd
+
+    from clever_canal_ray.functions.text import line_repetition_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "aaa\nbbb\naaa\nccc",          # 1 of 4 lines is surplus dup
+                "p one\n\np one\n\np two",     # paragraph dup
+                "unique one\nunique two",
+                "",
+            ],
+        }
+    )
+
+    def ref(t):
+        def pair(sep):
+            units = [u for u in t.split(sep) if u]
+            if not units:
+                return 0, 0
+            seen, surplus, surplus_chars = set(), 0, 0
+            for u in units:
+                if u in seen:
+                    surplus += 1
+                    surplus_chars += len(u)
+                seen.add(u)
+            tot_chars = sum(len(u) for u in units)
+            e6 = lambda x: int(np.floor(x * 1_000_000 + 0.5))  # noqa: E731
+            return e6(surplus / len(units)), e6(surplus_chars / tot_chars)
+
+        return pair("\n"), pair("\n\n")
+
+    got = (
+        rd.from_pandas(docs)
+        .repartition(2)
+        .map_batches(line_repetition_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        (l_u, l_c), (p_u, p_c) = ref(docs["text"].iloc[int(r["doc_id"])])
+        assert (r["dup_line_e6"], r["dup_line_char_e6"]) == (l_u, l_c), r["doc_id"]
+        assert (r["dup_para_e6"], r["dup_para_char_e6"]) == (p_u, p_c), r["doc_id"]
+    assert got["dup_line_e6"].iloc[0] == 250000

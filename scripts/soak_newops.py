@@ -442,6 +442,64 @@ def soak_curate_incremental(n_docs: int = 1_000_000, n_windows: int = 4, window_
     print(json.dumps(res))
 
 
+def soak_dsir(n_docs: int = 4_000_000):
+    """DSIR at corpus scale: hashed-n-gram totals over a 4M-doc mixed
+    corpus (en-marker vs de-marker planted domains via CurationGen),
+    log-ratio weights, Gumbel-top-k selection. Hard asserts: selection
+    is ~all target-domain docs; constant-size partials only."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        dsir_sample,
+        hashed_ngram_totals,
+    )
+
+    corpus = os.path.join(OUT, "dsir_corpus")
+    shutil.rmtree(corpus, ignore_errors=True)
+    res = {"metric": "soak_dsir", "n_docs": n_docs}
+    t0 = time.perf_counter()
+    (
+        rd.range(n_docs, override_num_blocks=max(32, n_docs // 100_000))
+        .map_batches(CurationGen, batch_format="pandas", concurrency=(2, 16))
+        .write_parquet(corpus)
+    )
+    res["gen_sec"] = round(time.perf_counter() - t0, 2)
+
+    B = 65_536
+    # target = the german residue classes (16, 17) — the MINORITY domain
+    t0 = time.perf_counter()
+    def target_only(df):
+        r = df["doc_id"].to_numpy() % 20
+        return df[(r == 16) | (r == 17)]
+
+    p = hashed_ngram_totals(
+        rd.read_parquet(corpus).map_batches(target_only, batch_format="pandas"),
+        n_buckets=B,
+    )
+    q = hashed_ngram_totals(rd.read_parquet(corpus), n_buckets=B)
+    res["totals_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    w = dsir_log_weights(rd.read_parquet(corpus), dsir_log_ratio(p, q))
+    n_sel = n_docs // 20  # half the target-domain mass (target = 2/20 of docs)
+    sel = dsir_sample(w, n_select=n_sel, seed=3, temperature=0.05).materialize()
+    res["select_sec"] = round(time.perf_counter() - t0, 2)
+    res["docs_per_sec"] = int(n_docs / (res["totals_sec"] + res["select_sec"]))
+
+    def check(df):
+        r = df["doc_id"].to_numpy() % 20
+        return pd.DataFrame({"n": [len(df)], "target": [int(((r == 16) | (r == 17)).sum())]})
+
+    agg = sel.map_batches(check, batch_format="pandas").to_pandas().sum()
+    res["selected"] = int(agg["n"])
+    res["target_share"] = round(agg["target"] / agg["n"], 4)
+    assert agg["n"] == n_sel
+    assert res["target_share"] >= 0.95, res
+    print(json.dumps(res))
+
+
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -456,6 +514,8 @@ if __name__ == "__main__":
         soak_curate(scale or 4_000_000)
     if which in ("inc", "all"):
         soak_curate_incremental(scale or 1_000_000)
+    if which in ("dsir", "all"):
+        soak_dsir(scale or 4_000_000)
     if which in ("budget", "all"):
         soak_budget(scale or 20_000_000)
     import ray

@@ -12,7 +12,7 @@
             vs a driver numpy sort-cumsum reference.
 
 Each prints one JSON line. Usage:
-  python scripts/soak_newops.py [bpe|semdedup|curate|inc|budget|all] [scale]
+  python scripts/soak_newops.py [bpe|semdedup|curate|inc|dsir|budget|all] [scale]
 """
 
 from __future__ import annotations

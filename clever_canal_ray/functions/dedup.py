@@ -28,6 +28,32 @@ def _stable_u64(strings) -> np.ndarray:
     return pd.util.hash_array(np.asarray(strings, dtype=object), categorize=False)
 
 
+def _arrow_schema_of(ds) -> pa.Schema:
+    """The dataset's Arrow payload schema WITHOUT a Limit execution.
+
+    ``ds.schema().base_schema`` is already Arrow for parquet-read /
+    arrow-block datasets; pandas-block datasets (from_pandas in tests)
+    expose a PandasBlockSchema instead. The obvious fallbacks —
+    ``take_batch(1)`` / an early-broken ``iter_batches`` — run a
+    cancelled LimitOperator execution, and repeated cancellations
+    segfault Ray 2.49's raylet AT SHUTDOWN (reproduced 6/6 in
+    /tmp-scale scripts; the crash killed whole pytest sessions after
+    every test had passed). Routing the schema probe through an
+    identity ``map_batches(batch_format="pyarrow")`` makes schema
+    resolution itself produce the Arrow schema with no cancellation —
+    measured clean across repeated sessions."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    mapped = ds.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    base = getattr(mapped, "base_schema", mapped)
+    if not isinstance(base, pa.Schema):  # pragma: no cover - ray internals moved
+        raise TypeError(f"cannot resolve an Arrow schema from {type(base)}")
+    return base
+
+
+
 # --- exact dedup ----------------------------------------------------------
 
 
@@ -100,12 +126,7 @@ def exact_dedup_survivors(
 
         return ds.map_batches(survivors, batch_format="pyarrow")
 
-    sch = ds.schema()
-    doc_schema = getattr(sch, "base_schema", sch)
-    if not isinstance(doc_schema, pa.Schema):
-        # pandas-block datasets: infer the Arrow schema from one row
-        # (tiny prefix execution, driver-side planning only)
-        doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
+    doc_schema = _arrow_schema_of(ds)
     id_type = doc_schema.field(id_col).type
     transport = pa.schema(list(doc_schema) + [pa.field("__keep", pa.bool_())])
 
@@ -943,10 +964,7 @@ def _survivors_anti_join(ds, drop_src_ds, extract_drop_ids, id_col: str, num_buc
     zero-copy Arrow anti-join (inverted ``pc.is_in``)."""
     import pyarrow.compute as pc
 
-    sch = ds.schema()
-    doc_schema = getattr(sch, "base_schema", sch)
-    if not isinstance(doc_schema, pa.Schema):
-        doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
+    doc_schema = _arrow_schema_of(ds)
     id_type = doc_schema.field(id_col).type
     transport = pa.schema(list(doc_schema) + [pa.field("__drop", pa.bool_())])
 
@@ -1848,10 +1866,7 @@ def cross_corpus_dedup(
     if mode != "exact":
         raise ValueError(f"cross_corpus_dedup: unknown mode {mode!r}")
 
-    sch = new_ds.schema()
-    doc_schema = getattr(sch, "base_schema", sch)
-    if not isinstance(doc_schema, pa.Schema):
-        doc_schema = new_ds.take_batch(1, batch_format="pyarrow").schema
+    doc_schema = _arrow_schema_of(new_ds)
     transport = pa.schema(
         list(doc_schema) + [pa.field("__h", pa.uint64()), pa.field("__ref", pa.bool_())]
     )

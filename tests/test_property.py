@@ -342,3 +342,91 @@ def test_select_by_token_budget_property(ray_session, seed, n, budget_frac, quan
     take = int(np.searchsorted(csum, budget, side="right"))
     assert got == set(b["doc_id"].to_numpy("int64")[:take])
     assert info["tokens_selected"] == (int(csum[take - 1]) if take else 0)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(5, 120),
+    dim=st.sampled_from([4, 8, 16]),
+    threshold=st.floats(0.5, 0.999),
+    n_clusters=st.integers(1, 6),
+)
+def test_semdedup_property(ray_session, seed, n, dim, threshold, n_clusters):
+    """ANY vector set / threshold / cluster count: distributed semdedup
+    == the serial paper rule."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.ann import ivf_build_centroids
+    from clever_canal_ray.functions.dedup import semdedup
+    from tests.test_functions import _semdedup_serial
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    # sprinkle exact duplicates and near-duplicates
+    for i in range(0, n, 7):
+        j = (i * 3 + 1) % n
+        vecs[i] = vecs[j] + rng.standard_normal(dim) * 1e-6
+    emb = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ds = rd.from_pandas(emb).repartition(3)
+    cents = ivf_build_centroids(ds, n_centroids=min(n_clusters, n), iters=1)
+    got = (
+        semdedup(rd.from_pandas(emb).repartition(2), threshold=threshold,
+                 centroids=cents, num_buckets=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = _semdedup_serial(np.arange(n), vecs, cents, threshold)
+    assert len(got) == n
+    for _, r in got.iterrows():
+        k, csim, kept = ref[int(r["vec_id"])]
+        assert int(r["cluster"]) == k and int(r["kept"]) == kept
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_new=st.integers(1, 150),
+    n_ref=st.integers(0, 150),
+    vocab=st.integers(1, 40),
+)
+def test_cross_corpus_dedup_property(ray_session, seed, n_new, n_ref, vocab):
+    """ANY overlap profile: exact cross-corpus dedup == the set
+    difference on text membership (new-internal dups preserved)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import cross_corpus_dedup
+
+    rng = np.random.default_rng(seed)
+    new = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_new, dtype=np.int64),
+            "text": [f"t {int(x)}" for x in rng.integers(0, vocab, n_new)],
+        }
+    )
+    ref = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, 1000 + n_ref, dtype=np.int64),
+            "text": [f"t {int(x)}" for x in rng.integers(0, vocab, n_ref)],
+        }
+    )
+    got = cross_corpus_dedup(
+        rd.from_pandas(new).repartition(3), rd.from_pandas(ref).repartition(2), num_buckets=4
+    ).to_pandas()
+    ref_texts = set(ref["text"])
+    expect = sorted(new[~new["text"].isin(ref_texts)]["doc_id"])
+    have = sorted(got["doc_id"]) if len(got) else []
+    assert have == expect

@@ -81,7 +81,14 @@ def kway_merge_head(shard_datasets, ts_col: str, pos_col: str, head: int):
     ds = shard_datasets[0].map_batches(local_head, batch_format="pandas")
     for other in shard_datasets[1:]:
         ds = ds.union(other.map_batches(local_head, batch_format="pandas"))
-    return ds.sort([ts_col, pos_col]).limit(head)
+    # final head on the driver over the ≤ blocks × head candidates —
+    # NOT ds.limit(): a LimitOperator cancels in-flight tasks, and
+    # accumulated cancellations segfault Ray 2.49's raylet at shutdown
+    # (see dedup._arrow_schema_of)
+    import ray.data as rd
+
+    merged = ds.sort([ts_col, pos_col]).to_pandas().head(head).reset_index(drop=True)
+    return rd.from_pandas(merged)
 
 
 def dedup_positions(ds, pos_col: str, group_cols: list[str]):

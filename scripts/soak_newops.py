@@ -121,7 +121,14 @@ def soak_bpe(n_docs: int = 2_000_000):
 
     # lossless spot check on one batch
     ranks = {m: i for i, m in enumerate(merges)}
-    sample = rd.read_parquet(corpus).take_batch(200, batch_format="pandas")
+    # direct pyarrow read of one file — no Ray LimitOperator (its
+    # cancelled execution can segfault the raylet at shutdown; see
+    # dedup._arrow_schema_of)
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    sample = _pq.read_table(sorted(glob.glob(os.path.join(corpus, "*.parquet"))[:1])[0]).slice(0, 200).to_pandas()
     for t in sample["text"][:50]:
         for w in t.split(" "):
             assert "".join(encode_word(w, ranks)) == w + END_MARKER

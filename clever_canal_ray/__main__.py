@@ -455,7 +455,16 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("encode: tokenizer file has no vocab; re-train or use --pieces")
             out_ds = bpe_encode_ids(ds, merges, vocab, source_col=args.source_col)
         out_ds.write_parquet(args.out)
-        print(json.dumps({"out": args.out, "rows": out_ds.count()}))
+        # count from the written footers — out_ds.count() would re-run
+        # the whole encode pipeline a second time
+        import glob
+
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{args.out}/*.parquet")
+        )
+        print(json.dumps({"out": args.out, "rows": rows}))
     return 0
 
 

@@ -240,6 +240,17 @@ def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_p
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def _assign_cosine(df, cents: np.ndarray, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-centroid by cosine for one batch against pre-normalized
+    centroids: (cid, winning similarity), float64 — the shared kernel
+    under cluster_assign and dedup.semdedup (one implementation, one
+    set of normalization semantics)."""
+    m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+    sims = m @ cents.T
+    cid = np.argmax(sims, axis=1)
+    return cid, sims[np.arange(len(cid)), cid]
+
+
 def cluster_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
                    id_prefix: str = "cluster"):
     """Corpus clustering (domain discovery): assign every row to its
@@ -261,13 +272,10 @@ def cluster_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
     ref = ray.put(cents)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
-        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-        sims = m @ c.T
-        cid = np.argmax(sims, axis=1)
+        cid, win = _assign_cosine(df, ray.get(ref), emb_col)
         out = df.copy()
         out[f"{id_prefix}_id"] = cid.astype(np.int32)
-        out[f"{id_prefix}_sim"] = sims[np.arange(len(cid)), cid].astype(np.float32)
+        out[f"{id_prefix}_sim"] = win.astype(np.float32)
         return out
 
     return ds.map_batches(fn, batch_format="pandas")

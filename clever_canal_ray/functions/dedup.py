@@ -199,7 +199,14 @@ def _run_pair_indices(b: np.ndarray, h: np.ndarray, order_within: np.ndarray):
     if not ias:
         e = np.array([], dtype=np.int64)
         return order, e, e
-    return order, np.concatenate(ias), np.concatenate(ibs)
+    ia, ib = np.concatenate(ias), np.concatenate(ibs)
+    # strict a < b by order_within: a doc_id appearing on TWO rows of a
+    # bucket (self-unioned corpus, re-emitted rows) must not produce a
+    # self-pair — within a run order_within is sorted, so equality is
+    # the only violation possible
+    ow = order_within[order]
+    keep = ow[ia] != ow[ib]
+    return order, ia[keep], ib[keep]
 
 
 def _pair_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
@@ -1700,16 +1707,15 @@ def semdedup(
     ref = ray.put(cents)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
-        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-        sims = m @ c.T
-        cid = np.argmax(sims, axis=1)
+        from clever_canal_ray.functions.ann import _assign_cosine
+
+        cid, win = _assign_cosine(df, ray.get(ref), emb_col)
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(np.int64),
                 emb_col: df[emb_col].to_numpy(),
                 "cluster": cid.astype(np.int32),
-                "centroid_sim": sims[np.arange(len(cid)), cid].astype(np.float64),
+                "centroid_sim": win,
                 "__bucket": (cid % num_buckets).astype(np.int64),
             }
         )

@@ -53,6 +53,11 @@ def token_counts_regex(batch) -> pa.Table:
     Unicode (identical on ASCII corpora).
 
     SQL mirror: ``len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))``.
+
+    BEHAVIOR NOTE: RE2's ``\\w`` is ASCII — accented/non-Latin letters
+    count as punctuation-class tokens ('café' → 'caf', 'é'), unlike
+    Python ``re``'s Unicode ``\\w``. Identical on ASCII corpora; for
+    Unicode word semantics plug a real tokenizer into ``Tokenize``.
     """
     t = _text_table(batch)
     import pyarrow.compute as pc

@@ -321,7 +321,13 @@ class CurateJudge:
             return df
         out = df.copy()
         live = ~df["__deleted"].to_numpy(bool)
-        out["__deleted"] = ~(live & self.mask(df))
+        # judge ONLY live rows: tombstones carry NULL payloads (the
+        # delta sink writes no text on deletes) and must pass through
+        # without ever reaching the text kernels
+        keep = np.zeros(len(df), bool)
+        if live.any():
+            keep[live] = self.mask(df[live])
+        out["__deleted"] = ~(live & keep)
         return out
 
 

@@ -150,12 +150,28 @@ def mirror_bootstrap(
     return dst
 
 
-def _window_truncates(src: Lake, floor_batch: int, ceil_batch: int) -> dict:
+def _window_truncates(src: Lake, floor_batch: int, ceil_batch: int, m_ceil=None) -> dict:
     """Truncates committed in (floor_batch, ceil_batch], from the
     source ledger: target (True = whole lake, str = table) -> LAST
-    truncate batch id for that target."""
+    truncate batch id for that target.
+
+    Fast path: the ceiling manifest's inline ring (last LEDGER_KEEP
+    records) covers the window whenever it is not full OR its oldest
+    record is at/below the floor — O(64) per sync instead of re-reading
+    the whole ledger.jsonl on every poll of a long-lived ``--follow``
+    loop. A mirror lagging further than the ring falls back to the
+    full-history sidecar."""
+    from clever_canal_ray.state.manifest import LEDGER_KEEP
+
+    recs = None
+    if m_ceil is not None and m_ceil.ledger:
+        ids = [r.get("batch_id", -1) for r in m_ceil.ledger]
+        if len(m_ceil.ledger) < LEDGER_KEEP or min(ids) <= floor_batch:
+            recs = m_ceil.ledger
+    if recs is None:
+        recs = src.full_ledger()
     out: dict = {}
-    for rec in src.full_ledger():
+    for rec in recs:
         b = rec.get("batch_id", -1)
         t = rec.get("truncate")
         if t and floor_batch < b <= ceil_batch:
@@ -282,7 +298,7 @@ def mirror_sync(src: Lake, dst: Lake, to_version: int | None = None, transform=N
     new_ddls = sj[len(dj):]
     # truncates in the window, by source batch id; at most one target
     # per sync commit (sync more often across multi-truncate windows)
-    truncs = _window_truncates(src, m0.last_batch_id, m1.last_batch_id)
+    truncs = _window_truncates(src, m0.last_batch_id, m1.last_batch_id, m_ceil=m1)
     if m1.tables is not None:
         routing_after = (
             route_ddls(dst_m.tables, new_ddls, min_new_base=dst_m.next_base_pid())

@@ -38,18 +38,13 @@ _K = 7
 _U64 = np.uint64
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constants) —
-    derives the second, independent probe hash from the SipHash."""
-    z = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
-    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
-    return z ^ (z >> _U64(31))
-
-
 def key_hashes(doc_ids) -> tuple[np.ndarray, np.ndarray]:
-    """(h1, h2) probe hashes for an array of keys; h2 forced odd so the
-    double-hashing stride never collapses."""
+    """(h1, h2) probe hashes for an array of keys; h2 derives from h1
+    via the shared splitmix64 finalizer (functions/corpus — ONE
+    implementation repo-wide; bit-identical on uint64 input), forced
+    odd so the double-hashing stride never collapses."""
+    from clever_canal_ray.functions.corpus import _splitmix64
+
     h1 = stable_hash(doc_ids)
     h2 = _splitmix64(h1) | _U64(1)
     return h1, h2

@@ -59,6 +59,11 @@ HELPER_COLS = ("__seq", "__deleted")
 # Bounds per-commit manifest size/IO to O(P + K) instead of O(batches).
 LEDGER_KEEP = 64
 
+# footer-signature sets for the filtered-read pushdown check, keyed by
+# (lake dir, manifest version, table) — files under a committed version
+# are immutable so entries never go stale; bounded by periodic clear
+_PUSHDOWN_SIG_CACHE: dict = {}
+
 # file-order tie-break headroom per __seq in merge_partition_files
 _SEQ_RANK_STRIDE = 1 << 20
 
@@ -1186,8 +1191,17 @@ class Lake:
                 # has every result column — uniform footers alone aren't
                 # enough (a uniformly PRE-ddl file set lacks an added
                 # column the expression may reference; the upcast path
-                # null-fills it, the scan would error)
-                sigs = {frozenset(pq.read_schema(f).names) for f in files}
+                # null-fills it, the scan would error). The footer scan
+                # is O(files) driver I/O — cached per (dir, manifest
+                # version): data files under a version are immutable, so
+                # the signature set can never change for that key.
+                cache_key = (self.dir, m.version, table)
+                sigs = _PUSHDOWN_SIG_CACHE.get(cache_key)
+                if sigs is None:
+                    sigs = {frozenset(pq.read_schema(f).names) for f in files}
+                    if len(_PUSHDOWN_SIG_CACHE) > 256:  # bounded, newest wins
+                        _PUSHDOWN_SIG_CACHE.clear()
+                    _PUSHDOWN_SIG_CACHE[cache_key] = sigs
                 if len(sigs) == 1 and set(target.names) <= next(iter(sigs)):
                     pushdown = filter
             ds = _read(files, scan_filter=pushdown)

@@ -50,11 +50,13 @@ def _commit_changes(lake: Lake, upserts: pd.DataFrame | None, delete_ids=None):
             )
         )
     for d in delete_ids or []:
+        # tombstones carry NULL payloads — exactly what the replay
+        # delta sink writes on deletes (the judge must never touch them)
         parts.append(
             pa.table(
                 {
                     "doc_id": pa.array([int(d)], pa.int64()),
-                    "text": pa.array(["x"], pa.string()),
+                    "text": pa.array([None], pa.string()),
                     "__deleted": pa.array([True]),
                 }
             )

@@ -1432,3 +1432,19 @@ def test_line_repetition_stats_matches_row_reference(ray_session):
         assert (r["dup_line_e6"], r["dup_line_char_e6"]) == (l_u, l_c), r["doc_id"]
         assert (r["dup_para_e6"], r["dup_para_char_e6"]) == (p_u, p_c), r["doc_id"]
     assert got["dup_line_e6"].iloc[0] == 250000
+
+
+def test_minhash_no_self_pairs_on_duplicate_ids(ray_session):
+    """A doc_id appearing twice (self-unioned corpus) must not emit
+    a==b self-pairs — the a<b contract holds for every LSH pair path."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.dedup import minhash_lsh_pairs, simhash_dup_pairs
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d e f g h"] * 3})
+    doubled = pd.concat([docs, docs], ignore_index=True)
+    pairs = minhash_lsh_pairs(rd.from_pandas(doubled), threshold=0.5, num_buckets=4).to_pandas()
+    assert len(pairs) and (pairs["a"] < pairs["b"]).all()
+    sp = simhash_dup_pairs(rd.from_pandas(doubled), num_buckets=4).to_pandas()
+    if len(sp):
+        assert (sp["a"] < sp["b"]).all()

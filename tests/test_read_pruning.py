@@ -338,3 +338,45 @@ def test_fast_path_pushdown_skipped_when_column_missing(ray_session, tmp_path):
     assert len(got) == 0  # null never matches; and no scan crash
     got2 = lk.read_dataset(m=m2, columns=["lang"]).to_pandas()
     assert got2["lang"].isna().all()
+
+
+def test_filtered_read_pushdown_cache_across_versions(ray_session, lake, tmp_path):
+    """The per-version footer-signature cache must never serve a stale
+    verdict: a new committed batch (new manifest version, new files)
+    re-derives the signature set and the filtered read sees new rows."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from clever_canal_ray.state.partitioning import partition_ids
+
+    pc = _pc()
+    dst = str(tmp_path / "lake_cache")
+    shutil.copytree(lake.dir, dst)
+    lk = Lake(dst)
+    lk.compact()
+    before = lk.read_dataset(filter=pc.field("source") == "web").to_pandas()
+
+    # commit one more web-source row -> new version, delta file appears
+    m = lk.current()
+    sch = m.payload_schema
+    row = {f.name: [None] for f in sch}
+    row["doc_id"] = ["zz_cache_probe"] if sch.field("doc_id").type == pa.string() else [10**9]
+    if "source" in sch.names:
+        row["source"] = ["web"]
+    if "tokens" in sch.names:
+        row["tokens"] = [np.array([1, 2], dtype=np.int32)]
+    if "n_tok" in sch.names:
+        row["n_tok"] = [2]
+    body = pa.table({**{k: pa.array(v, sch.field(k).type) for k, v in row.items()},
+                     "__deleted": pa.array([False])})
+    body = body.cast(pa.schema(list(sch) + [pa.field("__deleted", pa.bool_())]))
+    pid = int(partition_ids(body["doc_id"].to_numpy(zero_copy_only=False), m.num_partitions)[0])
+    rel = lk._write_part_file(body, pid, m.last_batch_id + 1)
+    lk.commit_batch(
+        m, batch_id=m.last_batch_id + 1, new_hwm=(99, 99),
+        touched={pid: {"file": rel, "rows": 1, "mode": "append", "events_in": 1}},
+    )
+    after = lk.read_dataset(filter=pc.field("source") == "web").to_pandas()
+    assert len(after) == len(before) + 1

@@ -888,13 +888,32 @@ def select_by_token_budget(
     else:
         lo, hi = float(bounds[0]), float(bounds[1])
 
-    def hist_partials(sub_ds, w_lo, w_hi, width):
+    # EVERY membership decision (histogram counts, boundary/refinement
+    # subsets, and the final keep filter) uses the ONE clipped-trunc bin
+    # computation below — a recomputed float cut (`s >= w_lo + k*width`)
+    # can disagree with `trunc((s-w_lo)/width)` by 1 ulp at a bin edge,
+    # silently excluding a doc that was counted into the kept region.
+    # The refinement trail (one (w_lo, width, b_star) entry per round)
+    # is replayed verbatim in the final filter instead.
+    def _bin_idx(s, valid, w_lo, width):
+        q = np.where(valid, (s - w_lo) / width, -1.0)
+        return np.clip(q.astype(np.int64), 0, num_bins - 1)
+
+    def _round0_mask(s):
+        # the round-0 window clamp ([lo,hi] = exact data min/max, or the
+        # caller's `bounds`); replayed identically in the keep filter
+        return ~np.isnan(s) & (s >= lo) & (s <= hi)
+
+    def hist_partials(sub_ds, w_lo, width, round0: bool):
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             s = df[score_col].to_numpy().astype(np.float64)
             t = df[tok_col].to_numpy().astype(np.int64)
-            m = ~np.isnan(s) & (s >= w_lo) & (s <= w_hi)
-            s, t = s[m], t[m]
-            idx = np.clip(((s - w_lo) / width).astype(np.int64), 0, num_bins - 1)
+            # refined rounds: scan IS the previous boundary bin by
+            # construction — clip absorbs <=1-ulp edge drift instead of
+            # a window mask silently dropping (and losing) edge rows
+            m = _round0_mask(s) if round0 else ~np.isnan(s)
+            idx = _bin_idx(s, m, w_lo, width)[m]
+            t = t[m]
             toks = np.bincount(idx, weights=t, minlength=num_bins).astype(np.int64)
             rows = np.bincount(idx, minlength=num_bins).astype(np.int64)
             return pd.DataFrame({"toks": [toks.tobytes()], "rows": [rows.tobytes()]})
@@ -907,54 +926,71 @@ def select_by_token_budget(
             rows += np.frombuffer(rb, np.int64)
         return toks, rows
 
-    def window_subset(sub_ds, w_lo, w_hi, inclusive_hi=False):
+    def bin_subset(sub_ds, w_lo, width, b_sel, round0: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             s = df[score_col].to_numpy().astype(np.float64)
-            upper = (s <= w_hi) if inclusive_hi else (s < w_hi)
-            m = ~np.isnan(s) & (s >= w_lo) & upper
+            m = _round0_mask(s) if round0 else ~np.isnan(s)
+            m &= _bin_idx(s, m, w_lo, width) == b_sel
             return df.loc[m, [id_col, score_col, tok_col]]
 
         return sub_ds.map_batches(fn, batch_format="pandas")
 
-    cut = None  # docs with score >= cut are kept whole
+    def tie_subset(sub_ds, round0: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            s = df[score_col].to_numpy().astype(np.float64)
+            m = _round0_mask(s) if round0 else ~np.isnan(s)
+            return df.loc[m, [id_col, score_col, tok_col]]
+
+        return sub_ds.map_batches(fn, batch_format="pandas")
+
+    cut = None  # informational float edge (info dict only, never a predicate)
+    trail = []  # (w_lo, width, b_star, whole) per refinement round
     budget_rem = int(budget_tokens)
     scan = ds
     w_lo, w_hi = lo, hi
     boundary_df = None
     for round_i in range(max_refine):
-        if w_hi <= w_lo:  # degenerate window (all ties): pull it
-            boundary_df = window_subset(scan, w_lo, w_hi, inclusive_hi=True).to_pandas()
+        round0 = round_i == 0
+        if w_hi <= w_lo:  # degenerate window (all ties): pull it —
+            # but COUNT first: a constant score column would otherwise
+            # materialize the whole remaining window on the driver
+            # before the boundary_cap guard ever ran (OOM, not the
+            # documented error)
+            sub = tie_subset(scan, round0)
+            if sub.count() > max(boundary_cap, num_bins):
+                raise ValueError(
+                    f"select_by_token_budget: degenerate (all-tied) score "
+                    f"window holds more than boundary_cap={boundary_cap} "
+                    "rows; ties share one bin and cannot refine — raise "
+                    "boundary_cap"
+                )
+            boundary_df = sub.to_pandas()
             break
         width = (w_hi - w_lo) / num_bins
-        toks, rows = hist_partials(scan, w_lo, w_hi, width)
+        toks, rows = hist_partials(scan, w_lo, width, round0)
         rev_cum = np.cumsum(toks[::-1])[::-1]  # rev_cum[b] = tokens at bins >= b
         fits = rev_cum <= budget_rem
-        if fits[0]:  # whole window fits: everything from w_lo up is kept
+        if fits[0]:  # whole window fits: everything in it is kept
             cut = w_lo
             budget_rem -= int(rev_cum[0])
+            trail.append((w_lo, width, None, True))
             boundary_df = pd.DataFrame(columns=[id_col, score_col, tok_col])
             break
         b_star = int(np.argmax(fits)) - 1 if fits.any() else num_bins - 1
         top_bin = b_star == num_bins - 1
         if not top_bin:
-            # bins above b_star are kept whole; the cut moves DOWN to
-            # their lower edge. When the boundary IS the top bin there
-            # is no fully-kept region this round — the cut must stay at
-            # the previous round's value (never ≈ w_hi, where float
-            # rounding could re-admit boundary docs past the filter).
+            # bins above b_star are kept whole. When the boundary IS the
+            # top bin there is no fully-kept region this round.
             budget_rem -= int(rev_cum[b_star + 1])
             cut = w_lo + (b_star + 1) * width
-        w_lo_new = w_lo + b_star * width
-        w_hi_new = w_hi if top_bin else (w_lo + (b_star + 1) * width)
+        trail.append((w_lo, width, b_star, False))
         n_boundary = int(rows[b_star])
         if n_boundary <= boundary_cap:
-            boundary_df = window_subset(
-                scan, w_lo_new, w_hi_new, inclusive_hi=top_bin
-            ).to_pandas()
+            boundary_df = bin_subset(scan, w_lo, width, b_star, round0).to_pandas()
             break
         # refine inside the boundary bin only — materialize the ~n/num_bins subset
-        scan = window_subset(scan, w_lo_new, w_hi_new, inclusive_hi=top_bin).materialize()
-        w_lo, w_hi = w_lo_new, w_hi_new
+        scan = bin_subset(scan, w_lo, width, b_star, round0).materialize()
+        w_lo, w_hi = w_lo + b_star * width, w_lo + (b_star + 1) * width
     else:
         raise ValueError(
             f"select_by_token_budget: boundary mass still > boundary_cap="
@@ -984,11 +1020,21 @@ def select_by_token_budget(
     tokens_selected = int(budget_tokens) - budget_rem + boundary_tokens
 
     ids_ref = ray.put(np.sort(kept_ids))
-    final_cut = cut if cut is not None else np.inf
+    trail_t = tuple(trail)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         s = df[score_col].to_numpy().astype(np.float64)
-        m = ~np.isnan(s) & (s >= final_cut)
+        # replay the refinement trail with the IDENTICAL bin computation
+        # the histograms used — never a recomputed float cut
+        m_win = _round0_mask(s)
+        m = np.zeros(len(s), bool)
+        for t_lo, t_w, t_b, t_whole in trail_t:
+            if t_whole:  # fits[0] fired: the whole round window is kept
+                m |= m_win
+                break
+            idx = _bin_idx(s, m_win, t_lo, t_w)
+            m |= m_win & (idx > t_b)  # bins above the boundary: kept whole
+            m_win &= idx == t_b  # descend into the boundary bin
         ids = ray.get(ids_ref)
         if len(ids):
             pos = np.searchsorted(ids, df[id_col].to_numpy(np.int64))
@@ -997,7 +1043,7 @@ def select_by_token_budget(
         return df[m]
 
     info = {
-        "cut": None if cut is None else float(final_cut),
+        "cut": None if cut is None else float(cut),
         "tokens_selected": tokens_selected,
         "docs_boundary_kept": int(len(kept_ids)),
         "budget_tokens": int(budget_tokens),

@@ -77,6 +77,9 @@ def quality_scores(batch) -> pa.Table:
     import pyarrow.compute as pc
 
     texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    # null-as-empty: a null text misaligns the cumsum-diff folds for the
+    # whole batch (null list length -> NaN -> garbage int offsets)
+    texts = pc.fill_null(texts, "")
     split = pc.split_pattern(texts, pattern=" ")
     n_tok = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
     hits = pc.is_in(split.flatten(), value_set=pa.array(STOPWORDS)).to_numpy(
@@ -161,6 +164,10 @@ def rolling_fingerprints(batch, k: int = 8, window: int = 16) -> pa.Table:
         return pa.table(
             {"doc_id": t["doc_id"], "rolling_fp": pa.array(np.zeros(n, np.int64))}
         )
+    if arr.null_count:  # null slots may carry bogus offsets; treat as ""
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
     odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + n + 1].astype(
@@ -673,6 +680,10 @@ def gopher_quality(batch) -> pa.Table:
     import pyarrow.compute as pc
 
     texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    # null text would make list_value_length yield null -> NaN -> garbage
+    # int offsets, misaligning EVERY doc's fold in the batch; treat null
+    # as empty (fails the word-count rule, like the CurateJudge guard)
+    texts = pc.fill_null(texts, "")
     split = pc.split_pattern(texts, pattern=" ")
     n_tok = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = split.flatten()
@@ -783,6 +794,9 @@ def c4_clean(batch) -> pa.Table:
     import pyarrow.compute as pc
 
     texts = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    # null-as-empty: see gopher_quality — a single null would misalign
+    # the flattened line folds for the whole batch
+    texts = pc.fill_null(texts, "")
     lines = pc.split_pattern(texts, pattern="\n")
     n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = lines.flatten()

@@ -208,6 +208,15 @@ def curate_corpus(
             ),
         )
 
+    if (target_ds is not None and dsir_n_select is not None) or budget_tokens is not None:
+        # the selection legs each run SEVERAL full passes over `cur`
+        # (ngram totals / log weights / min-max / histogram rounds /
+        # boundary window / final filter); on the lazy chain every pass
+        # would re-execute all earlier curation stages (LangId actor
+        # pools, dedup exchanges) — 5-6 re-runs. Pin the curated set
+        # once; the selection passes then scan materialized blocks.
+        cur = cur.materialize()
+
     if target_ds is not None and dsir_n_select is not None:
         from clever_canal_ray.functions.dsir import (
             dsir_log_ratio,

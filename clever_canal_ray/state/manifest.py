@@ -1193,9 +1193,13 @@ class Lake:
                 # column the expression may reference; the upcast path
                 # null-fills it, the scan would error). The footer scan
                 # is O(files) driver I/O — cached per (dir, manifest
-                # version): data files under a version are immutable, so
-                # the signature set can never change for that key.
-                cache_key = (self.dir, m.version, table)
+                # version, resolved file list): data files under a
+                # version are immutable, but version numbers RESTART when
+                # a lake dir is deleted and recreated in-process (tests,
+                # destructive re-bootstrap), so (dir, version) alone can
+                # alias two different file sets — the file tuple (already
+                # computed, free) disambiguates.
+                cache_key = (self.dir, m.version, table, tuple(files))
                 sigs = _PUSHDOWN_SIG_CACHE.get(cache_key)
                 if sigs is None:
                     sigs = {frozenset(pq.read_schema(f).names) for f in files}

@@ -208,6 +208,36 @@ def test_select_by_token_budget_ties_and_guard(ray_session):
         )
 
 
+def test_select_by_token_budget_constant_score_guard(ray_session):
+    """REGRESSION (round-5 advice): a CONSTANT score column makes the
+    very first window degenerate (w_hi == w_lo); the boundary_cap
+    guard must fire from a COUNT — before any driver materialization
+    of the window — not after an OOM-prone to_pandas()."""
+    import ray.data as rd
+
+    from clever_canal_ray.functions.corpus import select_by_token_budget
+
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "score": np.full(n, 1.5),
+            "n_tok": np.full(n, 10, np.int64),
+        }
+    )
+    with pytest.raises(ValueError, match="boundary_cap"):
+        select_by_token_budget(
+            rd.from_pandas(df), 10 * (n // 2), num_bins=16, boundary_cap=100
+        )
+    # under the cap the degenerate window still resolves exactly
+    sel, info = select_by_token_budget(
+        rd.from_pandas(df), 10 * (n // 2), num_bins=16, boundary_cap=n + 1
+    )
+    got = set(sel.to_pandas()["doc_id"].to_numpy("int64"))
+    assert got == _budget_serial(df, 10 * (n // 2))
+    assert info["tokens_selected"] == 10 * (n // 2)
+
+
 def test_select_by_token_budget_empty_and_all_nan(ray_session):
     import ray.data as rd
 

@@ -380,3 +380,47 @@ def test_filtered_read_pushdown_cache_across_versions(ray_session, lake, tmp_pat
     )
     after = lk.read_dataset(filter=pc.field("source") == "web").to_pandas()
     assert len(after) == len(before) + 1
+
+
+def test_pushdown_cache_survives_lake_recreate(ray_session, tmp_path):
+    """REGRESSION (round-5 advice): deleting and recreating a lake at
+    the SAME path restarts manifest versions, so a footer-signature
+    cache keyed only by (dir, version) serves round-1 signatures to the
+    recreated lake and wrongly pushes a filter on a column the new
+    files don't physically have (scan error). The cache key must
+    include the resolved file list."""
+    import shutil
+
+    import pyarrow as pa
+
+    pc = _pc()
+    p = str(tmp_path / "lake_rc")
+    t1 = pa.table(
+        {"doc_id": [f"d{i}" for i in range(20)], "lang": ["en"] * 10 + ["fr"] * 10}
+    )
+    lk = Lake.create(
+        p,
+        t1,
+        num_partitions=2,
+        ddl_journal=[
+            {"op": "base_schema", "fields": [["doc_id", "string"], ["lang", "string"]]}
+        ],
+    )
+    got = lk.read_dataset(filter=pc.field("lang") == "fr").to_pandas()
+    assert len(got) == 10  # fast path, pushdown enabled -> cache populated
+
+    shutil.rmtree(p)
+    # same path, same version number (0), but files LACK `lang`: the
+    # journaled DDL adds it to the target schema only
+    t2 = pa.table({"doc_id": [f"d{i}" for i in range(20)]})
+    lk2 = Lake.create(
+        p,
+        t2,
+        num_partitions=2,
+        ddl_journal=[
+            {"op": "base_schema", "fields": [["doc_id", "string"]]},
+            {"op": "add_column", "name": "lang", "type": "string", "nullable": True, "default": None},
+        ],
+    )
+    got2 = lk2.read_dataset(filter=pc.field("lang") == "fr").to_pandas()
+    assert len(got2) == 0  # null never matches; no stale-pushdown crash

@@ -125,10 +125,13 @@ def mirror_bootstrap(
         # check in mirror_sync sees the same suffix the source appends
         if m0.ddl_journal:
             cur = dst.current()
+            old_name = getattr(cur, "_obj_name", None)
             cur.ddl_journal.extend(m0.ddl_journal)
             cur.schema_version = len(cur.ddl_journal)
-            dst._write_manifest(cur)
-            dst._swap_current(cur.version)
+            # same-version amend: a NEW uniquely-named object keeping
+            # the original's parent, CAS'd in over the original
+            name = dst._write_manifest(cur, parent=cur.parent)
+            dst._swap_current(name, expected=old_name)
     else:
         dst = Lake.create_from_dataset(
             dst_dir,

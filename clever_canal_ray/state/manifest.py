@@ -15,15 +15,25 @@ This single small JSON structure replaces three reference subsystems:
 Commit protocol (two-phase):
   1. reduce tasks write uniquely-named Parquet data files under
      ``lake_dir/part=<pid>/`` (phase 1 — invisible until referenced);
-  2. the driver writes ``_manifest/manifest-<v+1>.json`` listing the
-     exact files per partition, then atomically swaps the ``_CURRENT``
-     pointer via ``os.replace`` (phase 2).
-Orphan files from failed/retried Ray tasks are never referenced, so
-task retries are safe; a re-committed batch is rejected by the ledger.
+  2. the driver PUTs a UNIQUELY-NAMED
+     ``_manifest/manifest-<v+1>-<uuid>.json`` listing the exact files
+     per partition (phase 2a — still invisible), then publishes it with
+     a compare-and-swap of the ``_CURRENT`` pointer against the
+     manifest object name it loaded as base (phase 2b — the single
+     linearization point; losing the CAS raises CommitConflictError).
+Orphan files from failed/retried Ray tasks — and orphan manifests from
+CAS losers or writers that died between 2a and 2b — are never
+referenced, so retries are safe; a re-committed batch is rejected by
+the ledger. History is the ``parent`` chain walked from ``_CURRENT``
+(manifest_at / gc), never filename arithmetic, so abandoned timelines
+after a rollback can never shadow the live one.
 
 On a real cluster ``lake_dir`` must be shared storage (NFS/S3/HDFS);
-the manifest protocol is storage-agnostic (pointer swap = conditional
-PUT on object stores).
+the protocol runs on a pluggable backend (state/storage.py): POSIX
+swaps the pointer atomically under a lock, object stores map the swap
+to a conditional PUT (S3 If-Match / GCS generation-match) and the
+history journal to per-record immutable objects — proven end to end by
+tests/test_object_store_backend.py, including the two-writer race.
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ from clever_canal_ray.schema import (
 )
 from clever_canal_ray.state import filestats
 from clever_canal_ray.state.partitioning import partition_ids
+from clever_canal_ray.state.storage import StorageCASError, storage_for
 
 
 # engine-internal columns carried in every lake data file:
@@ -371,6 +382,11 @@ class Manifest:
     # Each table owns the global pid range [base_pid, base_pid+num_partitions);
     # None = single-table lake (legacy layout, ddl_journal at top level).
     tables: dict[str, dict] | None = None
+    # object name of the previous committed manifest — manifests are
+    # uniquely named (CAS losers leave harmless orphans), so history is
+    # resolved by walking this chain from _CURRENT, not by filename
+    # arithmetic. "" = v0 or a legacy (deterministically-named) parent.
+    parent: str = ""
 
     @property
     def payload_schema(self) -> pa.Schema:
@@ -428,6 +444,7 @@ class Manifest:
                 "ledger": self.ledger,
                 "metrics": self.metrics,
                 "tables": self.tables,
+                "parent": self.parent,
             },
             separators=(",", ":"),
         )
@@ -448,15 +465,22 @@ class Manifest:
             ledger=d["ledger"],
             metrics=d.get("metrics", {}),
             tables=d.get("tables"),
+            parent=d.get("parent", ""),
         )
 
 
 class Lake:
     """A hash-partitioned Parquet lake with manifest-tracked state."""
 
-    def __init__(self, lake_dir: str):
+    def __init__(self, lake_dir: str, storage=None):
         self.dir = lake_dir
         self.manifest_dir = os.path.join(lake_dir, "_manifest")
+        # backend for manifest/pointer/ledger I/O (posix default; a lake
+        # created object-store-backed is stamped with a _STORAGE marker
+        # so every later Lake(dir) — CLI, tests, workers — resolves the
+        # same backend). Data files are uniquely-named write-once
+        # parquet on BOTH backends (PUT semantics), written directly.
+        self.storage = storage or storage_for(lake_dir)
 
     # -- creation ---------------------------------------------------------
 
@@ -475,17 +499,25 @@ class Lake:
         (a pointed _CURRENT means committed state lives here — resume
         with ``Lake(dir)`` instead)."""
         lake = Lake(lake_dir)
-        if os.path.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
+        if lake.storage.exists(os.path.join(lake.manifest_dir, "_CURRENT")):
             raise FileExistsError(
                 f"{lake_dir} already holds a committed lake; open it with Lake(dir) "
                 "or choose a fresh directory"
             )
-        os.makedirs(lake.manifest_dir, exist_ok=True)
+        lake.storage.makedirs(lake.manifest_dir)
         return lake
 
     def _finish_create(self, m: Manifest) -> "Lake":
-        self._write_manifest(m)
-        self._swap_current(m.version)
+        name = self._write_manifest(m, parent="")
+        try:
+            # create-only CAS (expected=None): two racing creators
+            # cannot both win even if they passed _begin_create's probe
+            self._swap_current(name, expected=None)
+        except CommitConflictError:
+            raise FileExistsError(
+                f"{self.dir} already holds a committed lake; open it with "
+                "Lake(dir) or choose a fresh directory"
+            ) from None
         return self
 
     @staticmethod
@@ -735,34 +767,83 @@ class Lake:
 
     # -- manifest IO ------------------------------------------------------
 
+    def _load_named(self, name: str) -> Manifest:
+        m = Manifest.from_json(
+            self.storage.get_text(os.path.join(self.manifest_dir, name))
+        )
+        m._obj_name = name
+        return m
+
     def current(self) -> Manifest:
-        with open(os.path.join(self.manifest_dir, "_CURRENT")) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.manifest_dir, name)) as f:
-            return Manifest.from_json(f.read())
+        name = self.storage.read_pointer(os.path.join(self.manifest_dir, "_CURRENT"))
+        if name is None:
+            raise FileNotFoundError(os.path.join(self.manifest_dir, "_CURRENT"))
+        return self._load_named(name)
+
+    def _load_parent(self, m: Manifest) -> Manifest | None:
+        """Previous manifest on the committed chain, or None at v0.
+        Falls back to the legacy deterministic filename for manifests
+        written before unique naming."""
+        if m.parent:
+            return self._load_named(m.parent)
+        if m.version <= 0:
+            return None
+        legacy = f"manifest-{m.version - 1:08d}.json"
+        if self.storage.exists(os.path.join(self.manifest_dir, legacy)):
+            return self._load_named(legacy)
+        return None
 
     def manifest_at(self, version: int) -> Manifest:
-        """Time-travel: load a historical manifest snapshot (files must
-        not have been gc'd past it — see gc(keep_manifests))."""
-        path = os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
-        with open(path) as f:
-            return Manifest.from_json(f.read())
+        """Time-travel: load a historical manifest snapshot by walking
+        the parent chain from _CURRENT (manifest objects are uniquely
+        named; CAS-losing writers leave orphans that are NOT on the
+        chain). Files must not have been gc'd past it — see
+        gc(keep_manifests)."""
+        legacy = os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
+        if self.storage.exists(legacy):  # pre-unique-naming lake
+            return self._load_named(f"manifest-{version:08d}.json")
+        m = self.current()
+        while m.version > version:
+            pm = self._load_parent(m)
+            if pm is None:
+                raise FileNotFoundError(
+                    f"manifest version {version} not reachable from "
+                    f"_CURRENT (v{self.current().version}); gc'd?"
+                )
+            m = pm
+        if m.version != version:
+            raise FileNotFoundError(f"manifest version {version} not on the chain")
+        return m
 
-    def _write_manifest(self, m: Manifest) -> str:
-        name = f"manifest-{m.version:08d}.json"
-        path = os.path.join(self.manifest_dir, name)
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(m.to_json())
-        os.replace(tmp, path)
+    def _write_manifest(self, m: Manifest, parent: str | None = None) -> str:
+        """Phase-2a: PUT the manifest under a UNIQUE name (two racing
+        writers can never overwrite each other's snapshot); visibility
+        comes only from the _CURRENT pointer swap."""
+        if parent is not None:
+            m.parent = parent
+        name = f"manifest-{m.version:08d}-{uuid.uuid4().hex[:8]}.json"
+        self.storage.put_text(os.path.join(self.manifest_dir, name), m.to_json())
+        m._obj_name = name
         return name
 
-    def _swap_current(self, version: int) -> None:
-        cur = os.path.join(self.manifest_dir, "_CURRENT")
-        tmp = cur + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(f"manifest-{version:08d}.json")
-        os.replace(tmp, cur)  # atomic pointer swap (phase 2)
+    def _swap_current(
+        self, name: str, expected: str | None, force: bool = False
+    ) -> None:
+        """Phase-2b: compare-and-swap the pointer — the ONE
+        linearization point of a commit. ``expected`` is the manifest
+        object name the writer loaded at start (names are unique, so
+        value-compare is a sound CAS token); on POSIX the swap is an
+        atomic replace under a lock, on object stores a conditional
+        PUT. Losing the race raises CommitConflictError."""
+        try:
+            self.storage.swap_pointer(
+                os.path.join(self.manifest_dir, "_CURRENT"),
+                name,
+                expected,
+                force=force,
+            )
+        except StorageCASError as e:
+            raise CommitConflictError(str(e)) from None
 
     def _write_part_file(self, table: pa.Table, pid: int, batch_id: int, seq: int | None = None) -> str:
         table = ensure_helper_columns(table, seq=batch_id if seq is None else seq)
@@ -909,32 +990,6 @@ class Lake:
             # see deletes folded into the rewrite; incremental consumers
             # (pipelines/mirror) check this stamp and refuse the window
             totals["last_seq_rewrite_version"] = cur.version + 1
-        # full-history ledger: append-only jsonl sidecar (flat commit
-        # cost; the manifest itself keeps only the last LEDGER_KEEP)
-        with open(os.path.join(self.manifest_dir, "ledger.jsonl"), "a") as lf:
-            lf.write(json.dumps(rec, separators=(",", ":")) + "\n")
-        # per-partition metrics sidecar (FIXTURES.md §4 shape) — kept out
-        # of the manifest JSON so it stays small at P=4096
-        if touched:
-            mt = pa.Table.from_pylist(
-                [
-                    {
-                        "partition_id": int(pid),
-                        "batch_id": batch_id,
-                        "hwm_segment_id": int(new_hwm[0]),
-                        "hwm_offset": int(new_hwm[1]),
-                        "schema_version": len(journal),
-                        "rows_upserted": int(info.get("rows_upserted", 0)),
-                        "rows_deleted": int(info.get("rows_deleted", 0)),
-                        "events_in": int(info.get("events_in", 0)),
-                    }
-                    for pid, info in touched.items()
-                ],
-                schema=METRICS_PARTITION_SCHEMA,
-            )
-            mdir = os.path.join(self.manifest_dir, "metrics")
-            os.makedirs(mdir, exist_ok=True)
-            pq.write_table(mt, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
         next_txn_hwm = max(cur.txn_hwm, new_txn_hwm if new_txn_hwm is not None else -1)
         gtid_executed = cur.gtid_executed
         if source_uuid and next_txn_hwm > cur.txn_hwm:
@@ -969,8 +1024,43 @@ class Lake:
             metrics=totals,
             tables=tables,
         )
-        self._write_manifest(m)
-        self._swap_current(m.version)
+        name = self._write_manifest(m, parent=getattr(cur, "_obj_name", ""))
+        # CAS on the pointer: expected = the object name we LOADED as
+        # base — closes the check-then-swap race window two concurrent
+        # writers could previously slip through (both read version v,
+        # both passed the version check, last swap silently won)
+        self._swap_current(name, expected=getattr(cur, "_obj_name", None))
+        # sidecars AFTER the commit point so a CAS loser never pollutes
+        # them (its batch never happened). Crash window: a death right
+        # here loses the sidecar record of a COMMITTED batch — covered
+        # by the manifest's inline ring for LEDGER_KEEP batches, and
+        # full_ledger prefers the ring when the sidecar lacks a batch.
+        self.storage.append_journal(
+            os.path.join(self.manifest_dir, "ledger.jsonl"),
+            json.dumps(rec, separators=(",", ":")),
+        )
+        # per-partition metrics sidecar (FIXTURES.md §4 shape) — kept out
+        # of the manifest JSON so it stays small at P=4096
+        if touched:
+            mt = pa.Table.from_pylist(
+                [
+                    {
+                        "partition_id": int(pid),
+                        "batch_id": batch_id,
+                        "hwm_segment_id": int(new_hwm[0]),
+                        "hwm_offset": int(new_hwm[1]),
+                        "schema_version": len(journal),
+                        "rows_upserted": int(info.get("rows_upserted", 0)),
+                        "rows_deleted": int(info.get("rows_deleted", 0)),
+                        "events_in": int(info.get("events_in", 0)),
+                    }
+                    for pid, info in touched.items()
+                ],
+                schema=METRICS_PARTITION_SCHEMA,
+            )
+            mdir = os.path.join(self.manifest_dir, "metrics")
+            self.storage.makedirs(mdir)
+            pq.write_table(mt, os.path.join(mdir, f"batch-{batch_id:08d}.parquet"))
         return m
 
     def full_ledger(self) -> list[dict]:
@@ -983,12 +1073,9 @@ class Lake:
         cur = self.current()
         by_id: dict[int, dict] = {rec["batch_id"]: rec for rec in cur.ledger}
         path = os.path.join(self.manifest_dir, "ledger.jsonl")
-        if os.path.exists(path):
-            with open(path) as f:
-                for line in f:
-                    if line.strip():
-                        rec = json.loads(line)
-                        by_id[rec["batch_id"]] = rec  # sidecar wins on overlap
+        for line in self.storage.journal_lines(path):
+            rec = json.loads(line)
+            by_id[rec["batch_id"]] = rec  # sidecar wins on overlap
         return [by_id[b] for b in sorted(by_id) if b <= cur.last_batch_id]
 
     def skip_to(self, position: tuple[int, int], batch_id: int | None = None) -> Manifest:
@@ -1011,11 +1098,16 @@ class Lake:
 
     def rollback_to_version(self, version: int) -> Manifest:
         """Time-travel the pointer back (EventStore.rollback analog:
-        un-acked work is simply re-delivered from the earlier HWM)."""
-        path = os.path.join(self.manifest_dir, f"manifest-{version:08d}.json")
-        if not os.path.exists(path):
-            raise FileNotFoundError(path)
-        self._swap_current(version)
+        un-acked work is simply re-delivered from the earlier HWM).
+        Admin op: the swap is forced (no CAS) — later commits branch a
+        NEW uniquely-named timeline from here, so abandoned descendants
+        can never collide with or shadow it."""
+        target = self.manifest_at(version)  # raises if unreachable
+        self._swap_current(
+            getattr(target, "_obj_name", f"manifest-{version:08d}.json"),
+            expected=None,
+            force=True,
+        )
         return self.current()
 
     # -- reads ------------------------------------------------------------
@@ -1585,22 +1677,21 @@ class Lake:
         import time as _time
         cur = self.current()
         live: set[str] = set()
-        for v in range(max(0, cur.version - keep_manifests + 1), cur.version + 1):
-            path = os.path.join(self.manifest_dir, f"manifest-{v:08d}.json")
-            if not os.path.exists(path):
-                continue
-            with open(path) as f:
-                m = Manifest.from_json(f.read())
+        m: Manifest | None = cur
+        for _ in range(keep_manifests):  # walk the committed chain back
+            if m is None:
+                break
             for info in m.partitions.values():
                 live.update(info["files"])
+            m = self._load_parent(m)
         removed = 0
         freed = 0
         spared = 0
         now = _time.time()
-        for d in os.listdir(self.dir):
+        for d in self.storage.list_names(self.dir):
             if not d.startswith("part="):
                 continue
-            for name in os.listdir(os.path.join(self.dir, d)):
+            for name in self.storage.list_names(os.path.join(self.dir, d)):
                 rel = f"{d}/{name}"
                 # a bloom sidecar lives and dies with its data file
                 data_rel = (
@@ -1610,11 +1701,11 @@ class Lake:
                 )
                 if data_rel not in live:
                     p = os.path.join(self.dir, rel)
-                    if now - os.path.getmtime(p) < min_age_sec:
+                    if now - self.storage.mtime(p) < min_age_sec:
                         spared += 1  # possibly an in-flight batch's phase-1 file
                         continue
-                    freed += os.path.getsize(p)
-                    os.remove(p)
+                    freed += self.storage.size(p)
+                    self.storage.delete(p)
                     removed += 1
         return {
             "files_removed": removed,
@@ -1690,9 +1781,11 @@ class Lake:
     def metrics_table(self) -> pa.Table:
         """All per-(batch, partition) metrics rows (A1 counters, lineage)."""
         mdir = os.path.join(self.manifest_dir, "metrics")
-        if not os.path.isdir(mdir):
-            return METRICS_PARTITION_SCHEMA.empty_table()
-        files = sorted(os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet"))
+        files = sorted(
+            os.path.join(mdir, f)
+            for f in self.storage.list_names(mdir)
+            if f.endswith(".parquet")
+        )
         if not files:
             return METRICS_PARTITION_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(f) for f in files])
@@ -1836,8 +1929,8 @@ class Lake:
             metrics=cur.metrics,
             tables=new_tables,
         )
-        self._write_manifest(m)
-        self._swap_current(m.version)
+        name = self._write_manifest(m, parent=getattr(cur, "_obj_name", ""))
+        self._swap_current(name, expected=getattr(cur, "_obj_name", None))
         return m
 
     def compact(self, pids: list[int] | None = None, mode: str = "major") -> Manifest:
@@ -1915,6 +2008,6 @@ class Lake:
             metrics=metrics,
             tables=cur.tables,
         )
-        self._write_manifest(m)
-        self._swap_current(m.version)
+        name = self._write_manifest(m, parent=getattr(cur, "_obj_name", ""))
+        self._swap_current(name, expected=getattr(cur, "_obj_name", None))
         return m

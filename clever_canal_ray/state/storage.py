@@ -1,0 +1,245 @@
+"""Pluggable storage backends for lake/manifest I/O.
+
+The manifest commit protocol (state/manifest.py) needs exactly five
+storage capabilities, all of which every major object store offers:
+
+- **atomic PUT** of a whole object (readers never observe a partial
+  write) — ``put_text`` / plain parquet writes of uniquely-named files;
+- **GET** — ``get_text``;
+- **LIST / DELETE / stat** — gc and journal reads;
+- **conditional PUT (compare-and-swap)** on ONE small pointer object —
+  ``swap_pointer``: publish a new ``_CURRENT`` value only if the stored
+  value still equals what the writer read when it started. This is the
+  single linearization point of a commit (S3 ``If-Match`` /
+  ``If-None-Match`` conditional writes, GCS ``x-goog-if-generation-
+  match``, ABS ETag conditions, or a catalog row CAS à la Iceberg);
+- **no appends, no renames** of committed objects — the protocol never
+  mutates an object after it is first written (manifests and data files
+  are uniquely named; the full-history ledger is per-record objects on
+  object stores, an appendable journal on POSIX).
+
+Two implementations:
+
+- :class:`PosixStorage` — local/NFS filesystems. Atomic PUT via
+  write-temp + ``os.replace``; pointer CAS serialized by an
+  ``O_CREAT|O_EXCL`` lock file; the history journal is a single
+  appendable ``.jsonl``.
+- :class:`ObjectStoreStorage` — the object-store CONTRACT, emulated
+  over a local directory so Ray tasks in this sandbox can read the same
+  paths parquet was written to. It never relies on POSIX append or
+  deterministic-name overwrite: journals are one immutable object per
+  record, and the pointer swap implements conditional-PUT semantics
+  (the local lock below stands in for the store's native condition; a
+  real adapter replaces ``swap_pointer``/``put_text`` bodies with SDK
+  calls and keeps everything above this interface unchanged).
+
+A lake's backend choice is stamped in ``<lake>/_manifest/_STORAGE`` by
+:meth:`ObjectStoreStorage.format` so every later ``Lake(dir)`` — in
+tests, CLI tools, or Ray workers — resolves the same backend via
+:func:`storage_for`.
+
+Reference parity note: the reference keeps its positions/meta either on
+local disk or ZooKeeper (PeriodMixedMetaManager / ZooKeeperMetaManager,
+meta/.../ZooKeeperMetaManager.java) — the CAS pointer here plays the
+zk-node role for shared deployments.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+
+class StorageCASError(Exception):
+    """Conditional PUT failed: the pointer moved under the writer."""
+
+
+_LOCK_STALE_SEC = 10.0  # break a lock this old (crashed writer)
+_LOCK_WAIT_SEC = 10.0  # give up waiting for a live writer after this
+
+
+class PosixStorage:
+    """Local / NFS filesystem backend (the default)."""
+
+    name = "posix"
+
+    # -- whole objects ----------------------------------------------------
+
+    def get_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_text(self, path: str, text: str) -> None:
+        """Atomic full-object write (PUT): readers see old or new,
+        never a torn file."""
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def delete(self, path: str) -> None:
+        os.remove(path)
+
+    def list_names(self, path: str) -> list[str]:
+        """Basenames under a directory/prefix ([] if absent)."""
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
+    def makedirs(self, path: str) -> None:
+        """Prefix creation (no-op on real object stores)."""
+        os.makedirs(path, exist_ok=True)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    # -- the pointer (CAS) ------------------------------------------------
+
+    def read_pointer(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def swap_pointer(
+        self, path: str, value: str, expected: str | None, force: bool = False
+    ) -> None:
+        """Compare-and-swap the pointer: succeed only if its current
+        value equals ``expected`` (None = must not exist yet). ``force``
+        skips the comparison (admin rollback). Concurrent swappers are
+        serialized by a lock file; readers never take the lock (the
+        pointer file itself is replaced atomically)."""
+        with self._pointer_lock(path):
+            cur = self.read_pointer(path)
+            if not force and cur != expected:
+                raise StorageCASError(
+                    f"pointer {path}: expected {expected!r}, found {cur!r}"
+                )
+            self.put_text(path, value)
+
+    def _pointer_lock(self, path: str):
+        return _FileLock(path + ".lock")
+
+    # -- append-only history journal --------------------------------------
+
+    def append_journal(self, path: str, line: str) -> None:
+        with open(path, "a") as f:
+            f.write(line.rstrip("\n") + "\n")
+
+    def journal_lines(self, path: str) -> list[str]:
+        out = []
+        if os.path.exists(path):
+            with open(path) as f:
+                out = [ln for ln in f.read().splitlines() if ln.strip()]
+        return out
+
+
+class ObjectStoreStorage(PosixStorage):
+    """S3-like backend: the commit protocol restricted to object-store
+    semantics (see module docstring). Emulated over a local directory;
+    a production adapter swaps the bodies of ``put_text`` /
+    ``swap_pointer`` / ``list_names`` / ``delete`` for SDK calls — the
+    manifest protocol above this interface is already append-free,
+    rename-free, and CAS-based."""
+
+    name = "objectstore"
+
+    MARKER = "_STORAGE"
+
+    @staticmethod
+    def format(lake_dir: str) -> "ObjectStoreStorage":
+        """Stamp ``lake_dir`` as object-store-backed (call BEFORE
+        ``Lake.create``); every later ``Lake(dir)`` resolves this
+        backend via :func:`storage_for`."""
+        mdir = os.path.join(lake_dir, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        st = ObjectStoreStorage()
+        st.put_text(os.path.join(mdir, ObjectStoreStorage.MARKER), st.name)
+        return st
+
+    # put_text: a real adapter issues a single PUT (natively atomic);
+    # the emulation inherits write-temp+replace purely to reproduce
+    # that atomicity for concurrent local readers.
+
+    # swap_pointer: inherited body = read-compare-write under a lock —
+    # the local stand-in for S3 If-Match / GCS generation-match. The
+    # CONTRACT (fail with StorageCASError when the value moved) is what
+    # the commit protocol depends on.
+
+    # -- journal: object stores cannot append ------------------------------
+
+    def append_journal(self, path: str, line: str) -> None:
+        """One immutable object per record under ``<path>.d/``."""
+        d = path + ".d"
+        os.makedirs(d, exist_ok=True)
+        self.put_text(os.path.join(d, f"r-{uuid.uuid4().hex}.json"), line)
+
+    def journal_lines(self, path: str) -> list[str]:
+        # include a legacy single-file journal if one exists (a lake
+        # migrated from posix), then the per-record objects
+        out = PosixStorage.journal_lines(self, path)
+        d = path + ".d"
+        for name in self.list_names(d):
+            with open(os.path.join(d, name)) as f:
+                s = f.read().strip()
+            if s:
+                out.append(s)
+        return out
+
+
+class _FileLock:
+    """O_CREAT|O_EXCL lock file with stale-breaking — serializes
+    pointer CAS among local writers (the object-store emulation's
+    stand-in for the store's native conditional PUT)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.fd = None
+
+    def __enter__(self):
+        deadline = time.monotonic() + _LOCK_WAIT_SEC
+        while True:
+            try:
+                self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.path) > _LOCK_STALE_SEC:
+                        os.remove(self.path)  # crashed writer's leftover
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"pointer lock busy: {self.path}")
+                time.sleep(0.005)
+
+    def __exit__(self, *exc):
+        if self.fd is not None:
+            os.close(self.fd)
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def storage_for(lake_dir: str):
+    """Resolve the backend a lake was created with (the ``_STORAGE``
+    marker), defaulting to POSIX. Cheap: one existence probe."""
+    marker = os.path.join(lake_dir, "_manifest", ObjectStoreStorage.MARKER)
+    try:
+        with open(marker) as f:
+            name = f.read().strip()
+    except (FileNotFoundError, NotADirectoryError):
+        return PosixStorage()
+    if name == ObjectStoreStorage.name:
+        return ObjectStoreStorage()
+    return PosixStorage()

@@ -96,7 +96,7 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
         total_events += applied
         total_sec += replay_sec
         rows_now = sum(i["rows"] for i in m.partitions.values())
-        mpath = os.path.join(lake.manifest_dir, f"manifest-{m.version:08d}.json")
+        mpath = os.path.join(lake.manifest_dir, getattr(m, "_obj_name", f"manifest-{m.version:08d}.json"))
         report.append(
             {
                 "chunk": chunk,

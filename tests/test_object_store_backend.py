@@ -1,0 +1,270 @@
+"""The manifest commit protocol on a NON-POSIX backend: the
+object-store contract (atomic PUT, CAS pointer swap, per-record
+journal objects, no append/rename of committed objects) — plus the
+two-writer pointer race on BOTH backends.
+
+Proves the claim in state/manifest.py's module docstring: the
+two-phase commit is storage-agnostic, with the pointer swap mapping
+to a conditional PUT on object stores (state/storage.py).
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.fixtures.generator import (
+    EventLogSpec,
+    generate_events,
+    generate_lake,
+    write_fixture,
+)
+from clever_canal_ray.oracle import apply_events_serial
+from clever_canal_ray.pipelines.replay import replay
+from clever_canal_ray.state.manifest import CommitConflictError, Lake
+from clever_canal_ray.state.storage import (
+    ObjectStoreStorage,
+    PosixStorage,
+    StorageCASError,
+    storage_for,
+)
+from tests.util import assert_tables_equal
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    spec = EventLogSpec(seed=31, n_initial_docs=150, n_events=1200, n_segments=4)
+    root = tmp_path_factory.mktemp("fx_os")
+    info = write_fixture(spec, str(root))
+    lake_tbl = generate_lake(spec)
+    segs, _ = generate_events(spec)
+    oracle = apply_events_serial(lake_tbl, segs)
+    return spec, info, lake_tbl, oracle
+
+
+def _mk_lake(tmp_path, lake_tbl, backend: str, n_parts: int = 4) -> Lake:
+    d = str(tmp_path / f"lake_{backend}")
+    if backend == "objectstore":
+        ObjectStoreStorage.format(d)
+    return Lake.create(d, lake_tbl, num_partitions=n_parts)
+
+
+# --- end-to-end on the object-store contract ------------------------------
+
+
+def test_replay_on_object_store_backend(ray_session, fx, tmp_path):
+    """Full replay converges to the serial oracle on the object-store
+    backend; a duplicate replay is a no-op; the ledger is per-record
+    immutable objects (never an appended file)."""
+    spec, info, lake_tbl, oracle = fx
+    lake = _mk_lake(tmp_path, lake_tbl, "objectstore")
+    assert lake.storage.name == "objectstore"
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2)
+    m = replay(lake, info["segment_paths"], cfg)
+    assert_tables_equal(lake.read_table(), oracle)
+
+    # duplicate replay: no-op at the same version
+    m2 = replay(lake, info["segment_paths"], cfg)
+    assert m2.version == m.version and m2.hwm == m.hwm
+
+    # the backend stamp resolves for ANY later handle (workers, CLI)
+    again = Lake(lake.dir)
+    assert again.storage.name == "objectstore"
+    assert again.current().version == m.version
+
+    # object-store discipline: no appendable ledger file; one immutable
+    # object per committed batch; manifests uniquely named
+    assert not os.path.exists(os.path.join(lake.manifest_dir, "ledger.jsonl"))
+    led_dir = os.path.join(lake.manifest_dir, "ledger.jsonl.d")
+    assert len(os.listdir(led_dir)) == len(lake.full_ledger()) >= 2
+    names = [f for f in os.listdir(lake.manifest_dir) if f.startswith("manifest-")]
+    assert all(len(n.split("-")) == 3 for n in names)  # manifest-<v>-<uuid>.json
+
+
+def test_exactly_once_on_object_store_backend(ray_session, fx, tmp_path):
+    """Kill & resume + rollback-redeliver on the object-store backend:
+    a fresh handle resumes from the CAS-committed manifest; rollback
+    branches a new uniquely-named timeline and replay converges."""
+    spec, info, lake_tbl, oracle = fx
+    lake = _mk_lake(tmp_path, lake_tbl, "objectstore")
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2)
+    paths = info["segment_paths"]
+    m1 = replay(lake, paths[:2], cfg)  # "crash" after this commit
+
+    lake2 = Lake(lake.dir)  # restarted driver
+    assert lake2.current().hwm == m1.hwm
+    m2 = replay(lake2, paths, cfg)
+    assert_tables_equal(lake2.read_table(), oracle)
+    for rec in m2.ledger[1:]:
+        assert tuple(rec["prev_hwm"]) < tuple(rec["hwm"])
+
+    # rollback re-delivery: the forced pointer swap starts a new
+    # timeline; the old tip becomes an unreachable orphan
+    old_tip = lake2.current()
+    lake2.rollback_to_version(m2.version - 1)
+    m3 = replay(lake2, paths, cfg)
+    assert_tables_equal(lake2.read_table(), oracle)
+    assert m3.version == m2.version  # same height, new object
+    assert getattr(m3, "_obj_name") != getattr(old_tip, "_obj_name")
+    # time-travel resolves along the NEW chain
+    assert lake2.manifest_at(m3.version).parent == m3.parent
+
+
+def test_lookup_and_changes_on_object_store_backend(ray_session, fx, tmp_path):
+    """The serving reads (point lookup, incremental changes feed) work
+    unchanged over an object-store-backed manifest."""
+    spec, info, lake_tbl, oracle = fx
+    lake = _mk_lake(tmp_path, lake_tbl, "objectstore")
+    cfg = ReplayConfig(num_partitions=4, segments_per_batch=2)
+    replay(lake, info["segment_paths"], cfg)
+
+    keys = oracle["doc_id"].to_pylist()[:8]
+    got = lake.lookup(keys).to_pandas().set_index("doc_id")
+    exp = oracle.to_pandas().set_index("doc_id").loc[got.index]
+    assert list(got.index) and got["n_tok"].to_dict() == exp["n_tok"].to_dict()
+
+    feed = lake.read_changes_table(0)
+    assert feed.num_rows > 0 and "__seq" in feed.column_names
+
+
+# --- the two-writer race, both backends -----------------------------------
+
+
+@pytest.mark.parametrize("backend", ["posix", "objectstore"])
+def test_two_writer_commit_race(ray_session, fx, tmp_path, backend):
+    """Two writers commit concurrently from the SAME base manifest:
+    exactly one wins the pointer CAS; the loser gets a loud conflict
+    (never silent corruption), retries on the refreshed base, and both
+    batches land."""
+    spec, info, lake_tbl, _ = fx
+    lake = _mk_lake(tmp_path, lake_tbl, backend, n_parts=2)
+    base = lake.current()
+    handles = [Lake(lake.dir), Lake(lake.dir)]
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def writer(i: int):
+        try:
+            barrier.wait()
+            results[i] = handles[i].commit_batch(
+                base, batch_id=0, new_hwm=(0, i + 1), touched={}
+            )
+        except Exception as e:  # noqa: BLE001 - recorded for assertion
+            results[i] = e
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    oks = [r for r in results if not isinstance(r, Exception)]
+    errs = [r for r in results if isinstance(r, Exception)]
+    assert len(oks) == 1 and len(errs) == 1, results
+    assert isinstance(errs[0], CommitConflictError)
+    cur = lake.current()
+    assert cur.version == base.version + 1
+    assert cur.hwm == oks[0].hwm  # winner's snapshot, byte-intact
+
+    # loser retries on the refreshed base (the documented recovery)
+    m2 = Lake(lake.dir).commit_batch(cur, batch_id=1, new_hwm=(0, 9), touched={})
+    assert m2.version == base.version + 2
+    assert [r["batch_id"] for r in lake.full_ledger()] == [0, 1]
+
+
+@pytest.mark.parametrize("backend", ["posix", "objectstore"])
+def test_cas_loser_never_overwrites_winner(ray_session, fx, tmp_path, backend):
+    """Storage-level interleave of the worst case: B PUTs its manifest
+    AFTER A already swapped. Unique naming means B cannot clobber A's
+    snapshot; B's swap fails CAS; B's object is an unreachable orphan."""
+    spec, info, lake_tbl, _ = fx
+    lake = _mk_lake(tmp_path, lake_tbl, backend, n_parts=2)
+    m0 = lake.current()
+
+    a = Lake(lake.dir)
+    ma = a.commit_batch(m0, batch_id=0, new_hwm=(0, 5), touched={})
+
+    # B (stale) writes its competing manifest object, then tries to swap
+    b = Lake(lake.dir)
+    import copy
+
+    mb = copy.deepcopy(m0)
+    mb.version = m0.version + 1
+    mb.hwm = (0, 7)
+    name_b = b._write_manifest(mb, parent=getattr(m0, "_obj_name", ""))
+    with pytest.raises(CommitConflictError):
+        b._swap_current(name_b, expected=getattr(m0, "_obj_name", None))
+
+    cur = lake.current()
+    assert cur.hwm == ma.hwm  # A's commit intact, not B's
+    assert getattr(cur, "_obj_name") != name_b
+    assert os.path.exists(os.path.join(lake.manifest_dir, name_b))  # orphan
+
+
+def test_crash_between_manifest_put_and_swap(ray_session, fx, tmp_path):
+    """A writer dying between phase-2a (manifest PUT) and phase-2b
+    (pointer swap) leaves only an invisible orphan: readers still see
+    the old state and the next commit succeeds normally."""
+    spec, info, lake_tbl, _ = fx
+    lake = _mk_lake(tmp_path, lake_tbl, "objectstore", n_parts=2)
+    m0 = lake.current()
+
+    crashing = Lake(lake.dir)
+    orig = crashing._swap_current
+
+    def die(*a, **k):
+        raise RuntimeError("simulated crash before pointer swap")
+
+    crashing._swap_current = die
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crashing.commit_batch(m0, batch_id=0, new_hwm=(0, 3), touched={})
+    crashing._swap_current = orig
+
+    assert lake.current().version == m0.version  # nothing published
+    m1 = lake.commit_batch(lake.current(), batch_id=0, new_hwm=(0, 4), touched={})
+    assert m1.version == m0.version + 1 and lake.current().hwm == (0, 4)
+    # the crashed attempt's ledger record was never written (sidecars
+    # land after the commit point)
+    assert [r["hwm"] for r in lake.full_ledger()] == [[0, 4]]
+
+
+# --- storage primitives ----------------------------------------------------
+
+
+def test_pointer_cas_primitive(tmp_path):
+    for st in (PosixStorage(), ObjectStoreStorage()):
+        p = str(tmp_path / f"ptr_{st.name}")
+        assert st.read_pointer(p) is None
+        st.swap_pointer(p, "a", expected=None)
+        assert st.read_pointer(p) == "a"
+        st.swap_pointer(p, "b", expected="a")
+        with pytest.raises(StorageCASError):
+            st.swap_pointer(p, "c", expected="a")  # stale expectation
+        with pytest.raises(StorageCASError):
+            st.swap_pointer(p, "c", expected=None)  # create-only on existing
+        assert st.read_pointer(p) == "b"
+        st.swap_pointer(p, "z", expected="ignored", force=True)  # admin
+        assert st.read_pointer(p) == "z"
+
+
+def test_journal_contract(tmp_path):
+    posix, obj = PosixStorage(), ObjectStoreStorage()
+    p1 = str(tmp_path / "j1.jsonl")
+    posix.append_journal(p1, json.dumps({"i": 1}))
+    posix.append_journal(p1, json.dumps({"i": 2}))
+    assert [json.loads(x)["i"] for x in posix.journal_lines(p1)] == [1, 2]
+
+    p2 = str(tmp_path / "j2.jsonl")
+    obj.append_journal(p2, json.dumps({"i": 1}))
+    obj.append_journal(p2, json.dumps({"i": 2}))
+    assert not os.path.exists(p2)  # never an appended file
+    assert sorted(json.loads(x)["i"] for x in obj.journal_lines(p2)) == [1, 2]
+    # a migrated lake: legacy appended file + new per-record objects
+    posix.append_journal(p2, json.dumps({"i": 0}))
+    assert sorted(json.loads(x)["i"] for x in obj.journal_lines(p2)) == [0, 1, 2]
+
+
+def test_storage_marker_resolution(tmp_path):
+    d = str(tmp_path / "lk")
+    assert storage_for(d).name == "posix"  # default / absent marker
+    ObjectStoreStorage.format(d)
+    assert storage_for(d).name == "objectstore"

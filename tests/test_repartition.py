@@ -190,7 +190,7 @@ def test_repartition_abort_leaves_lake_intact(ray_session, fx, tmp_path, monkeyp
     replay(lake, info["segment_paths"], ReplayConfig(num_partitions=4, segments_per_batch=4, sink_mode="delta"))
     v = lake.current().version
 
-    def boom(m):
+    def boom(m, parent=None):
         raise RuntimeError("simulated crash before manifest publish")
 
     monkeypatch.setattr(lake, "_write_manifest", boom)

@@ -18,12 +18,78 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _emb_np(batch, emb_col: str, dtype=np.float64) -> np.ndarray:
+    """(n, d) embedding matrix from a batch — ZERO-COPY on Arrow
+    list/fixed_size_list columns: one flat-buffer view + reshape + a
+    single vectorized cast, instead of ``np.stack`` over n per-row
+    Python objects (the MinHasher Arrow-kernel pattern; float32→float64
+    is exact, so results are bit-identical to the object path). Pandas
+    batches (tests, small driver frames) fall back to np.stack; so do
+    ragged or null-bearing columns, where np.stack surfaces the shape
+    error the caller should see."""
+    if not isinstance(batch, pa.Table):
+        return np.stack(batch[emb_col].to_numpy()).astype(dtype)
+    col = batch[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ExtensionArray):
+        # Ray tensor-extension column (from_pandas ndarray cells):
+        # its storage IS a fixed_size_list — same zero-copy path
+        col = col.storage
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    t = col.type
+    if col.null_count == 0:
+        d = None
+        if pa.types.is_fixed_size_list(t):
+            d = t.list_size
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            w = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if (w == w[0]).all():
+                d = int(w[0])
+        if d is not None:
+            flat = col.flatten()  # slice-aware, zero-copy child view
+            return (
+                flat.to_numpy(zero_copy_only=False)
+                .reshape(n, d)
+                .astype(dtype, copy=False)
+            )
+    return np.stack([np.asarray(v) for v in col.to_pylist()]).astype(dtype)
+
+
+def _emb_list_array(m: np.ndarray, like_type: pa.DataType | None = None) -> pa.Array:
+    """(n, d) matrix -> an Arrow list column in one shot (no per-row
+    objects). ``like_type`` list<T> keeps the variable-length layout a
+    caller's schema may expect; default is fixed_size_list."""
+    n, d = m.shape
+    if like_type is not None and isinstance(like_type, pa.ExtensionType):
+        # keep Ray tensor-extension columns in their native layout
+        from ray.air.util.tensor_extensions.arrow import ArrowTensorArray
+
+        return ArrowTensorArray.from_numpy(np.ascontiguousarray(m))
+    flat = pa.array(np.ascontiguousarray(m).reshape(-1))
+    if like_type is not None and (
+        pa.types.is_list(like_type) or pa.types.is_large_list(like_type)
+    ):
+        off = np.arange(0, (n + 1) * d, d, dtype=np.int64)
+        if pa.types.is_large_list(like_type):
+            return pa.LargeListArray.from_arrays(pa.array(off), flat)
+        return pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat)
+    return pa.FixedSizeListArray.from_arrays(flat, d)
+
+
+def _ids_np(t: pa.Table, id_col: str) -> np.ndarray:
+    return t[id_col].to_numpy(zero_copy_only=False)
 
 
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
@@ -38,21 +104,22 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, id_col: str = "vec
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     ref = ray.put(q)
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(t: pa.Table) -> pa.Table:
         qm = ray.get(ref)
-        ids = batch[id_col].to_numpy()
-        m = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float64))
+        ids = _ids_np(t, id_col)
+        m = _normalize(_emb_np(t, emb_col))  # zero-copy Arrow view
         sims = qm @ m.T  # (n_query, n_batch)
         kk = min(k, sims.shape[1])
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {
-            "query_i": np.repeat(np.arange(qm.shape[0]), kk),
-            id_col: ids[idx.reshape(-1)],
-            "cos_sim": np.take_along_axis(sims, idx, axis=1).reshape(-1),
-        }
-        return pd.DataFrame(rows)
+        return pa.table(
+            {
+                "query_i": np.repeat(np.arange(qm.shape[0]), kk),
+                id_col: ids[idx.reshape(-1)],
+                "cos_sim": np.take_along_axis(sims, idx, axis=1).reshape(-1),
+            }
+        )
 
-    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     out = (
         partials.sort_values(["query_i", "cos_sim", id_col], ascending=[True, False, True])
         .groupby("query_i", sort=True)
@@ -75,8 +142,10 @@ class HyperplaneHasher:
     def bucket_of(self, m: np.ndarray) -> np.ndarray:
         return (((m @ self.planes.T) > 0).astype(np.int64) * self.weights).sum(axis=1)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+    def __call__(self, batch):
+        m = _emb_np(batch, "embedding")
+        if isinstance(batch, pa.Table):
+            return batch.append_column("bucket", pa.array(self.bucket_of(m)))
         out = batch.copy()
         out["bucket"] = self.bucket_of(m)
         return out
@@ -93,34 +162,49 @@ def lsh_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 10, seed: int = 7, i
 
     hasher: dict = {}
 
-    def sign_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def sign_stage(t: pa.Table) -> pa.Table:
+        m = _emb_np(t, emb_col)  # zero-copy Arrow view
         if "h" not in hasher:
-            dim = len(batch[emb_col].iloc[0])
-            hasher["h"] = HyperplaneHasher(dim, n_bits=n_bits, seed=seed)
-        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
-        out = batch[[id_col, emb_col]].copy()
-        out["bucket"] = hasher["h"].bucket_of(m)
-        return out
+            hasher["h"] = HyperplaneHasher(m.shape[1], n_bits=n_bits, seed=seed)
+        # id/embedding columns pass through untouched (no re-encode)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                emb_col: t[emb_col],
+                "bucket": pa.array(hasher["h"].bucket_of(m)),
+            }
+        )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
-        ids = g[id_col].to_numpy()
-        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+            return empty
+        ids = _ids_np(g, id_col)
+        m = _normalize(_emb_np(g, emb_col))
         sims = m @ m.T
         ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
+        if not len(ai):
+            return empty
+        return pa.table(
             {
-                "a": np.minimum(ids[ai], ids[bi]),
-                "b": np.maximum(ids[ai], ids[bi]),
+                "a": np.minimum(ids[ai], ids[bi]).astype(np.int64),
+                "b": np.maximum(ids[ai], ids[bi]).astype(np.int64),
                 "cos_sim": np.round(sims[ai, bi], 4),
             }
         )
 
     return (
-        ds.map_batches(sign_stage, batch_format="pandas")
+        ds.map_batches(sign_stage, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda g: bucket_pairs(g.drop(columns="bucket")), batch_format="pandas")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["bucket"])), batch_format="pyarrow"
+        )
     )
 
 
@@ -148,11 +232,13 @@ def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, n_bits: int = 8, seed: int
         ]
         q_buckets |= {sig ^ f for sig in base for f in flips}
 
-    def in_query_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
-        return batch[pd.Series(hasher.bucket_of(m), index=batch.index).isin(q_buckets)]
+    probe = np.fromiter(q_buckets, dtype=np.int64)
 
-    candidates = ds.map_batches(in_query_buckets, batch_format="pandas")
+    def in_query_buckets(t: pa.Table) -> pa.Table:
+        m = _emb_np(t, emb_col)  # zero-copy Arrow view
+        return t.filter(pa.array(np.isin(hasher.bucket_of(m), probe)))
+
+    candidates = ds.map_batches(in_query_buckets, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
@@ -166,10 +252,14 @@ def ivf_build_centroids(ds, n_centroids: int = 16, iters: int = 2, emb_col: str 
     state)."""
     import ray
 
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = _ids_np(t, id_col)
+        kk = min(n_centroids, len(ids))
+        idx = np.sort(np.argpartition(ids, kk - 1)[:kk]) if len(ids) > kk else np.arange(len(ids))
+        return t.select([id_col, emb_col]).take(pa.array(idx))
+
     seed_df = (
-        ds.map_batches(
-            lambda df: df.nsmallest(n_centroids, id_col), batch_format="pandas"
-        )
+        ds.map_batches(seed_partial, batch_format="pyarrow")
         .to_pandas()
         .nsmallest(n_centroids, id_col)
         .sort_values(id_col)
@@ -181,9 +271,9 @@ def ivf_build_centroids(ds, n_centroids: int = 16, iters: int = 2, emb_col: str 
     for _ in range(iters):
         ref = ray.put(cents)
 
-        def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
+        def assign_partial(t: pa.Table) -> pd.DataFrame:
             c = ray.get(ref)
-            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            m = _normalize(_emb_np(t, emb_col))  # zero-copy Arrow view
             cid = np.argmax(m @ c.T, axis=1)
             sums = np.zeros((c.shape[0], m.shape[1]))
             np.add.at(sums, cid, m)
@@ -206,7 +296,8 @@ def ivf_build_centroids(ds, n_centroids: int = 16, iters: int = 2, emb_col: str 
             return agg
 
         stats = bucketed_groupby(
-            ds, ["cid"], assign_partial, merge, num_buckets=num_buckets
+            ds, ["cid"], assign_partial, merge, num_buckets=num_buckets,
+            partial_format="pyarrow",
         ).to_pandas()
         new = cents.copy()
         for _, r in stats.iterrows():
@@ -230,22 +321,24 @@ def ivf_topk(ds, query_vecs: np.ndarray, centroids: np.ndarray, k: int = 10, n_p
     )
     ref = ray.put(cents)
 
-    def in_probe_cells(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
-        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-        cid = np.argmax(m @ c.T, axis=1)
-        return df[pd.Series(cid, index=df.index).isin(probe_cells)]
+    probe = np.fromiter(probe_cells, dtype=np.int64)
 
-    candidates = ds.map_batches(in_probe_cells, batch_format="pandas")
+    def in_probe_cells(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_emb_np(t, emb_col))  # zero-copy Arrow view
+        cid = np.argmax(m @ c.T, axis=1)
+        return t.filter(pa.array(np.isin(cid, probe)))
+
+    candidates = ds.map_batches(in_probe_cells, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
-def _assign_cosine(df, cents: np.ndarray, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
-    """Nearest-centroid by cosine for one batch against pre-normalized
-    centroids: (cid, winning similarity), float64 — the shared kernel
-    under cluster_assign and dedup.semdedup (one implementation, one
-    set of normalization semantics)."""
-    m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+def _assign_cosine(batch, cents: np.ndarray, emb_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-centroid by cosine for one batch (Arrow table or pandas
+    frame) against pre-normalized centroids: (cid, winning similarity),
+    float64 — the shared kernel under cluster_assign and dedup.semdedup
+    (one implementation, one set of normalization semantics)."""
+    m = _normalize(_emb_np(batch, emb_col))
     sims = m @ cents.T
     cid = np.argmax(sims, axis=1)
     return cid, sims[np.arange(len(cid)), cid]
@@ -271,14 +364,15 @@ def cluster_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
     cents = _normalize(np.asarray(centroids, dtype=np.float64))
     ref = ray.put(cents)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        cid, win = _assign_cosine(df, ray.get(ref), emb_col)
-        out = df.copy()
-        out[f"{id_prefix}_id"] = cid.astype(np.int32)
-        out[f"{id_prefix}_sim"] = win.astype(np.float32)
-        return out
+    def fn(t: pa.Table) -> pa.Table:
+        cid, win = _assign_cosine(t, ray.get(ref), emb_col)
+        # payload columns pass through zero-copy; only the two small
+        # result columns are new allocations
+        return t.append_column(
+            f"{id_prefix}_id", pa.array(cid.astype(np.int32))
+        ).append_column(f"{id_prefix}_sim", pa.array(win.astype(np.float32)))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def random_projection(
@@ -305,14 +399,15 @@ def random_projection(
     proj = (rng.standard_normal((d_in, dim_out)) / np.sqrt(dim_out)).astype(np.float32)
     proj_ref = ray.put(proj)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
         p = ray.get(proj_ref)
-        m = np.stack(df[emb_col].to_numpy()).astype(np.float32)
-        out = df.copy()
-        out[emb_col] = list(m @ p)
-        return out
+        m = _emb_np(t, emb_col, np.float32)  # zero-copy Arrow view
+        col = t[emb_col]
+        like = (col.type if not isinstance(col, pa.ChunkedArray) else col.type)
+        i = t.schema.get_field_index(emb_col)
+        return t.set_column(i, emb_col, _emb_list_array(m @ p, like_type=like))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --- product quantization (compressed-domain ANN) -------------------------
@@ -401,18 +496,18 @@ def pq_encode(ds, codebooks: np.ndarray, emb_col: str = "embedding", id_col: str
         raise ValueError(f"codebooks carry {cb.shape[1]} codes/subspace > 256 (uint8 codes)")
     ref = ray.put(cb)
 
-    def encode(df: pd.DataFrame) -> pd.DataFrame:
+    def encode(t: pa.Table) -> pa.Table:
         books = ray.get(ref)
-        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        m = _normalize(_emb_np(t, emb_col))  # zero-copy Arrow view
         sub = _pq_split(m, books.shape[0])
         codes = np.empty((len(m), books.shape[0]), dtype=np.uint8)
         for s in range(books.shape[0]):
             cents = books[s]
             aff = sub[:, s, :] @ cents.T - 0.5 * (cents * cents).sum(1)[None, :]
             codes[:, s] = np.argmax(aff, axis=1).astype(np.uint8)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(), "pq_code": list(codes)})
+        return pa.table({id_col: t[id_col], "pq_code": _emb_list_array(codes)})
 
-    return ds.map_batches(encode, batch_format="pandas")
+    return ds.map_batches(encode, batch_format="pyarrow")
 
 
 def pq_topk(
@@ -442,10 +537,10 @@ def pq_topk(
     lut = np.einsum("qsd,scd->qsc", qsub, cb)
     ref = ray.put(lut)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(t: pa.Table) -> pd.DataFrame:
         tables = ray.get(ref)
-        codes = np.stack(df["pq_code"].to_numpy()).astype(np.int64)  # (n, n_sub)
-        ids = df[id_col].to_numpy()
+        codes = _emb_np(t, "pq_code", np.int64)  # (n, n_sub), zero-copy view
+        ids = _ids_np(t, id_col)
         # local ties must break by id like the driver final does, or a
         # tie straddling the local-k boundary varies with block layout
         # (ADC sims are quantized — identical codes tie exactly)
@@ -461,7 +556,7 @@ def pq_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    cand = codes_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = codes_ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_i", "adc_sim", id_col], ascending=[True, False, True])
     out = cand.groupby("query_i", sort=True).head(k).reset_index(drop=True)
     out["adc_sim"] = out["adc_sim"].round(4)

@@ -191,17 +191,58 @@ def encode_word(word: str, ranks: dict, end_marker: str = END_MARKER) -> tuple:
     return tuple(syms)
 
 
+def _pack_tokenizer(merges, vocab=None) -> bytes:
+    """Compress (merges, vocab) into ONE small inline-able bytes blob.
+
+    Why: Ray stores large actor-constructor arguments in the OBJECT
+    STORE; with max_restarts > 0 an actor restart can then fail if the
+    argument object is lost (ray issue 53727 — surfaced as a warning on
+    every bpe bench run). A zlib blob of the ~8k-merge tokenizer is a
+    few tens of KB — under Ray's inline threshold, so it rides in the
+    task spec itself and restarts never need the object store.
+
+    NOTE: Ray 2.49 still PRINTS the 53727 warning for every Data actor
+    pool regardless — the MapWorker's own ctor argument (the serialized
+    map transformer) is object-store-resident even for a trivial UDF
+    class with no args (reproduced). What this packing fixes is the
+    USER-payload half of the hazard; tests
+    (test_bpe_encode_survives_actor_death) kill an encode actor
+    mid-stream with os._exit and the job completes with correct
+    output."""
+    import json
+    import zlib
+
+    return zlib.compress(
+        json.dumps({"m": [list(p) for p in merges], "v": vocab}).encode(), 6
+    )
+
+
+def _unpack_tokenizer(blob: bytes):
+    import json
+    import zlib
+
+    d = json.loads(zlib.decompress(blob).decode())
+    return [tuple(p) for p in d["m"]], d["v"]
+
+
 class BpeEncoder:
     """Actor-pool encode stage: merge ranks built once per actor in
     ``__init__`` (never shipped per batch) plus a persistent
     word -> pieces cache that accumulates across batches — each batch
     pays only for its new distinct words (factorize -> encode uniques
     -> scatter). Output: ``(id_col, pieces: list<string>,
-    n_pieces: int32)`` per document."""
+    n_pieces: int32)`` per document.
 
-    def __init__(self, merges: list[tuple[str, str]], id_col: str = "doc_id",
+    ``merges`` may be the packed bytes blob from :func:`_pack_tokenizer`
+    (what the pipeline wrappers pass, restart-safe) or a plain merge
+    list (direct/test use)."""
+
+    def __init__(self, merges, id_col: str = "doc_id",
                  text_col: str = "text", end_marker: str = END_MARKER,
                  vocab: dict | None = None, source_col: str | None = None):
+        if isinstance(merges, (bytes, bytearray)):
+            merges, packed_vocab = _unpack_tokenizer(merges)
+            vocab = vocab if vocab is not None else packed_vocab
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
         self.id_col, self.text_col, self.end_marker = id_col, text_col, end_marker
         self.cache: dict = {}
@@ -293,7 +334,11 @@ def bpe_encode(ds, merges, id_col: str = "doc_id", text_col: str = "text",
         concurrency = actor_pool_free(lo=2)
     return ds.map_batches(
         BpeEncoder,
-        fn_constructor_kwargs={"merges": merges, "id_col": id_col, "text_col": text_col},
+        fn_constructor_kwargs={
+            "merges": _pack_tokenizer(merges),
+            "id_col": id_col,
+            "text_col": text_col,
+        },
         batch_format="pandas",
         concurrency=concurrency,
     )
@@ -345,10 +390,9 @@ def bpe_encode_ids(
     return ds.map_batches(
         BpeEncoder,
         fn_constructor_kwargs={
-            "merges": merges,
+            "merges": _pack_tokenizer(merges, vocab),
             "id_col": id_col,
             "text_col": text_col,
-            "vocab": vocab,
             "source_col": source_col,
         },
         batch_format="pandas",

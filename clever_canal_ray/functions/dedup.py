@@ -1697,6 +1697,8 @@ def semdedup(
     Returns one decision row per vector:
     ``(id_col:int64, cluster:int32, centroid_sim:float64, kept:int32)``.
     """
+    import pyarrow.compute as pc
+
     from clever_canal_ray.functions.ann import _normalize, ivf_build_centroids
 
     if centroids is None:
@@ -1706,34 +1708,50 @@ def semdedup(
     cents = _normalize(np.asarray(centroids, dtype=np.float64))
     ref = ray.put(cents)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         from clever_canal_ray.functions.ann import _assign_cosine
 
-        cid, win = _assign_cosine(df, ray.get(ref), emb_col)
-        return pd.DataFrame(
+        cid, win = _assign_cosine(t, ray.get(ref), emb_col)  # zero-copy view
+        return pa.table(
             {
-                id_col: df[id_col].to_numpy(np.int64),
-                emb_col: df[emb_col].to_numpy(),
-                "cluster": cid.astype(np.int32),
-                "centroid_sim": win,
-                "__bucket": (cid % num_buckets).astype(np.int64),
+                id_col: pc.cast(t[id_col], pa.int64()),
+                emb_col: t[emb_col],  # passes through, never re-encoded
+                "cluster": pa.array(cid.astype(np.int32)),
+                "centroid_sim": pa.array(win),
+                "__bucket": pa.array((cid % num_buckets).astype(np.int64)),
             }
         )
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, cg in g.groupby("cluster", sort=False):
-            if len(cg) > max_cluster_rows:
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        from clever_canal_ray.functions.ann import _emb_np
+
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int32()),
+                    "centroid_sim": pa.array([], pa.float64()),
+                    "kept": pa.array([], pa.int32()),
+                }
+            )
+        # one global (cluster, centroid_sim, id) sort, then each cluster
+        # is a contiguous zero-copy slice (the paper's scan order)
+        g = g.sort_by(
+            [("cluster", "ascending"), ("centroid_sim", "ascending"), (id_col, "ascending")]
+        )
+        cl = g["cluster"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        ends = np.r_[starts[1:], len(cl)]
+        kept_all = np.empty(len(cl), dtype=np.int32)
+        for lo, hi in zip(starts, ends):
+            n = int(hi - lo)
+            if n > max_cluster_rows:
                 raise ValueError(
-                    f"semdedup cluster has {len(cg)} rows > max_cluster_rows="
+                    f"semdedup cluster has {n} rows > max_cluster_rows="
                     f"{max_cluster_rows}; raise n_clusters (pair flops are "
                     "per-cluster quadratic by design)"
                 )
-            cg = cg.sort_values(
-                ["centroid_sim", id_col], kind="mergesort", ascending=[True, True]
-            )
-            m = _normalize(np.stack(cg[emb_col].to_numpy()).astype(np.float64))
-            n = len(cg)
+            m = _normalize(_emb_np(g.slice(lo, n), emb_col))
             dropped = np.zeros(n, dtype=bool)
             # row slabs: rows [s:e) vs all EARLIER rows [0:e) — strict
             # lower triangle within the slab masks self/later columns
@@ -1744,30 +1762,22 @@ def semdedup(
                 row = np.arange(s, e)
                 sims[col[None, :] >= row[:, None]] = -np.inf
                 dropped[s:e] = sims.max(axis=1) >= threshold
-            out.append(
-                pd.DataFrame(
-                    {
-                        id_col: cg[id_col].to_numpy(np.int64),
-                        "cluster": cg["cluster"].to_numpy(np.int32),
-                        "centroid_sim": cg["centroid_sim"].to_numpy(np.float64),
-                        "kept": (~dropped).astype(np.int32),
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            kept_all[lo:hi] = (~dropped).astype(np.int32)
+        return pa.table(
             {
-                id_col: pd.Series(dtype=np.int64),
-                "cluster": pd.Series(dtype=np.int32),
-                "centroid_sim": pd.Series(dtype=np.float64),
-                "kept": pd.Series(dtype=np.int32),
+                id_col: g[id_col],
+                "cluster": g["cluster"],
+                "centroid_sim": g["centroid_sim"],
+                "kept": pa.array(kept_all),
             }
         )
 
     return (
-        ds.map_batches(assign, batch_format="pandas")
+        ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(
-            lambda g: dedup_bucket(g.drop(columns="__bucket")), batch_format="pandas"
+            lambda g: dedup_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
         )
     )
 

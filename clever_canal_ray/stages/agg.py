@@ -34,15 +34,19 @@ def bucketed_groupby(
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
     final_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 64,
+    partial_format: str = "pandas",
 ):
     """partial per batch -> bucket shuffle -> vectorized final per bucket.
 
     ``partial_fn``: batch -> per-key partial rows (must include key_cols).
     ``final_fn``: all partial rows of one bucket -> final rows.
+    ``partial_format``: batch format handed to ``partial_fn`` — pass
+    "pyarrow" when the partial reads wide columns (embeddings) so the
+    scan stays zero-copy; the partial still RETURNS pandas rows.
     """
 
-    def partial_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        p = partial_fn(df)
+    def partial_and_bucket(batch) -> pd.DataFrame:
+        p = partial_fn(batch)
         if len(p) == 0:
             p = p.copy()
             p["__bucket"] = pd.Series([], dtype="int64")
@@ -59,7 +63,7 @@ def bucketed_groupby(
         return final_fn(group.drop(columns="__bucket"))
 
     return (
-        ds.map_batches(partial_and_bucket, batch_format="pandas")
+        ds.map_batches(partial_and_bucket, batch_format=partial_format)
         .groupby("__bucket")
         .map_groups(final, batch_format="pandas")
     )

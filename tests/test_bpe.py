@@ -264,3 +264,58 @@ def test_tokenizer_cli_train_and_encode(tmp_path):
     row = got.iloc[3]
     ref = [p for w in docs["text"].iloc[3].split(" ") for p in encode_word(w, ranks)]
     assert [inv[int(x)] for x in row["tokens"]] == ref
+
+
+def test_bpe_encode_survives_actor_death(ray_session, tmp_path):
+    """REGRESSION (ray issue 53727 warning in bench tails): the encoder
+    actor's constructor args must be inline-able (packed bytes), never
+    object-store refs — otherwise an actor RESTART after a worker death
+    can fail to reconstruct. Kill one encode actor mid-stream with
+    os._exit and require the job to complete with correct output."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from clever_canal_ray.functions.bpe import (
+        BpeEncoder,
+        _pack_tokenizer,
+        bpe_train,
+        word_histogram,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "tok"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, 6)) for _ in range(400)],
+        }
+    )
+    merges = bpe_train(word_histogram(rd.from_pandas(docs)), num_merges=20, min_count=1)
+    flag = str(tmp_path / "crashed_once.flag")
+
+    class CrashingEncoder(BpeEncoder):
+        def __call__(self, df):
+            if not os.path.exists(flag):
+                with open(flag, "w") as fh:
+                    fh.write("x")
+                os._exit(1)  # hard worker death, not an exception
+            return super().__call__(df)
+
+    out = (
+        rd.from_pandas(docs)
+        .repartition(8)
+        .map_batches(
+            CrashingEncoder,
+            fn_constructor_kwargs={"merges": _pack_tokenizer(merges)},
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert os.path.exists(flag)  # an actor really died mid-stream
+    assert sorted(out["doc_id"]) == list(range(400))
+    ref = BpeEncoder(merges)(docs).to_pandas().set_index("doc_id")
+    got = out.set_index("doc_id").loc[ref.index]
+    assert (got["n_pieces"].to_numpy() == ref["n_pieces"].to_numpy()).all()

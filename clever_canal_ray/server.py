@@ -30,22 +30,74 @@ wire).
 Durability: all cursor state lives in the server-side ChangeConsumer
 meta files (FileMixedMetaManager analog), so both a restarted client
 AND a restarted server resume exactly where the client acked.
+
+Authentication (optional): the reference's MySQL-style challenge-
+response handshake (protocol SecurityUtil.java:28-51 scramble,
+server-netty ClientAuthenticationHandler.java:40-78): the server
+stores only ``SHA1(SHA1(password))``, sends a random seed on connect,
+and the client proves knowledge of the password with
+``token = SHA1(pw) XOR SHA1(seed || SHA1(SHA1(pw)))`` — the plaintext
+never crosses the wire. Pass ``users={username: scramble_gen_pass(pw)}``
+to :class:`ConsumerServer` and ``username=/password=`` to
+:class:`WireConsumer`. Connections fail closed: an unauthenticated
+session may issue NOTHING but ``auth``, and a bad credential closes
+the socket (HandlerUtils.writeError + channel close semantics).
+
+Failover: :class:`ClusterWireConsumer` — the ClusterCanalConnector
+(client/impl/ClusterCanalConnector.java:97-205) analog: every call
+retries across a list of server endpoints; on connection failure it
+reconnects to the next node, re-subscribes, and ROLLS BACK un-acked
+delivery (SimpleCanalConnector.java:161-170 rollback-on-connect), so a
+drain completes exactly-once against a standby server sharing the
+journal + state_dir (the HA pair's shared meta, PeriodMixedMetaManager
+analog).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import Optional
 
 import pyarrow as pa
 
 from clever_canal_ray.client import ChangeConsumer, FifoAckError
 from clever_canal_ray.config import ReplayConfig
+
+
+class AuthError(Exception):
+    """Wire authentication failed (bad credentials / auth required)."""
+
+
+def scramble_gen_pass(password: str) -> str:
+    """What the SERVER stores: hex ``SHA1(SHA1(password))`` — the
+    reference's SecurityUtil.scrambleGenPass. Never the plaintext."""
+    return hashlib.sha1(hashlib.sha1(password.encode()).digest()).hexdigest()
+
+
+def _scramble_token(password: str, seed: bytes) -> bytes:
+    """CLIENT side: ``SHA1(pw) XOR SHA1(seed || SHA1(SHA1(pw)))``."""
+    stage1 = hashlib.sha1(password.encode()).digest()
+    stage2 = hashlib.sha1(stage1).digest()
+    mask = hashlib.sha1(seed + stage2).digest()
+    return bytes(a ^ b for a, b in zip(stage1, mask))
+
+
+def _scramble_server_auth(token: bytes, stored_pass: bytes, seed: bytes) -> bool:
+    """SERVER check (SecurityUtil.scrambleServerAuth): un-mask the
+    token with ``SHA1(seed || stored)`` and require its SHA1 to equal
+    the stored double-hash."""
+    mask = hashlib.sha1(seed + stored_pass).digest()
+    stage1 = bytes(a ^ b for a, b in zip(token, mask))
+    import hmac as _hmac
+
+    return _hmac.compare_digest(hashlib.sha1(stage1).digest(), stored_pass)
 
 # ReplayConfig fields a remote client may set at subscribe time (the
 # F1-F6 delivery filters). Predicates/callables cannot cross the wire.
@@ -108,24 +160,78 @@ class ConsumerServer:
         port: int = 0,
         base_cfg: Optional[ReplayConfig] = None,
         lake_dir: Optional[str] = None,
+        users: Optional[dict] = None,
     ):
         self.journal_dirs = journal_dirs
         self.state_dir = state_dir
         self.base_cfg = base_cfg
         self.lake_dir = lake_dir
+        # username -> scramble_gen_pass(password) hex. None/{} = open
+        # server (back-compat); non-empty = the reference's mandatory
+        # handshake: seed on connect, auth before ANY other command.
+        self._users = dict(users) if users else None
         self._lake = None  # lazy; manifest re-read per lookup call
         self._consumers: dict[str, tuple[ChangeConsumer, threading.Lock]] = {}
         self._consumers_lock = threading.Lock()
         outer = self
 
+        self._open_socks: set = set()
+
         class Handler(socketserver.BaseRequestHandler):
+            def setup(self) -> None:
+                outer._open_socks.add(self.request)
+
+            def finish(self) -> None:
+                outer._open_socks.discard(self.request)
+
             def handle(self) -> None:  # one connection: frame loop until EOF
+                authed = outer._users is None
+                seed = None
+                if not authed:
+                    # server-initiated handshake with a per-connection
+                    # random seed (HandshakeInitializationHandler analog)
+                    seed = os.urandom(8)
+                    _send_frame(
+                        self.request,
+                        json.dumps(
+                            {"handshake": True, "auth_required": True, "seed": seed.hex()}
+                        ).encode(),
+                    )
                 while True:
                     raw = _recv_frame(self.request)
                     if raw is None:
                         return
                     try:
                         req = json.loads(raw)
+                        if not authed:
+                            if req.get("cmd") != "auth":
+                                # fail closed AND hang up, like the
+                                # reference's writeError + channel close
+                                _send_frame(
+                                    self.request,
+                                    json.dumps(
+                                        {"ok": False, "error": "AuthError",
+                                         "message": "authentication required"}
+                                    ).encode(),
+                                )
+                                return
+                            user = str(req.get("username", ""))
+                            stored = (outer._users or {}).get(user)
+                            token = bytes.fromhex(str(req.get("token", "")))
+                            if stored is None or not _scramble_server_auth(
+                                token, bytes.fromhex(stored), seed
+                            ):
+                                _send_frame(
+                                    self.request,
+                                    json.dumps(
+                                        {"ok": False, "error": "AuthError",
+                                         "message": f"auth failed for user: {user}"}
+                                    ).encode(),
+                                )
+                                return  # close the connection on bad creds
+                            authed = True
+                            _send_frame(self.request, json.dumps({"ok": True}).encode())
+                            continue
                         resp, data = outer._dispatch(req)
                     except FifoAckError as e:
                         resp, data = {"ok": False, "error": "fifo", "message": str(e)}, None
@@ -155,8 +261,20 @@ class ConsumerServer:
         return self.host, self.port
 
     def stop(self) -> None:
+        """Stop like a dying node: close the listener AND sever every
+        live session (a merely-unlistening server would keep serving
+        old connections forever, masking failover bugs)."""
         self._server.shutdown()
         self._server.server_close()
+        for s in list(self._open_socks):
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:  # pragma: no cover
+                pass
         if self._thread is not None:
             self._thread.join(timeout=5)
 
@@ -402,13 +520,36 @@ class WireConsumer:
     """Thin wire client — the SimpleCanalConnector analog. Mirrors the
     ChangeConsumer method surface over one TCP connection."""
 
-    def __init__(self, host: str, port: int, client_id: str = "1001", timeout: float = 30.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "1001",
+        timeout: float = 30.0,
+        username: str | None = None,
+        password: str | None = None,
+    ):
         self.client_id = client_id
         # mirrors ChangeConsumer.delivered_position (updated on each
         # get) so wire and in-process consumers are interchangeable for
         # downstream appliers (pipelines/derived.AggregateMaintainer)
         self.delivered_position: tuple[int, int] | None = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if username is not None:
+            # auth-enabled server: read the seed handshake, answer with
+            # the scramble token (plaintext never crosses the wire)
+            raw = _recv_frame(self._sock)
+            if raw is None:
+                raise ConnectionError("server closed during handshake")
+            hs = json.loads(raw)
+            if not hs.get("handshake"):
+                raise AuthError("server did not offer an auth handshake")
+            token = _scramble_token(password or "", bytes.fromhex(hs["seed"]))
+            resp, _ = self._call(
+                {"cmd": "auth", "username": username, "token": token.hex()}
+            )
+            if not resp.get("ok"):  # pragma: no cover - _call raises first
+                raise AuthError(resp.get("message", "auth failed"))
 
     def _call(self, req: dict) -> tuple[dict, bytes | None]:
         req["client_id"] = self.client_id
@@ -417,6 +558,12 @@ class WireConsumer:
         if raw is None:
             raise ConnectionError("server closed the connection")
         resp = json.loads(raw)
+        if resp.get("handshake"):
+            # credential-less client against an auth-required server:
+            # the first frame back is the server's seed challenge
+            raise AuthError(
+                "server requires authentication — pass username=/password="
+            )
         data = None
         if resp.get("has_data"):
             data = _recv_frame(self._sock)
@@ -425,6 +572,8 @@ class WireConsumer:
         if not resp.get("ok"):
             if resp.get("error") == "fifo":
                 raise FifoAckError(resp.get("message", ""))
+            if resp.get("error") == "AuthError":
+                raise AuthError(resp.get("message", "auth failed"))
             raise RuntimeError(f"{resp.get('error')}: {resp.get('message')}")
         return resp, data
 
@@ -541,6 +690,157 @@ class WireConsumer:
             pass
 
     def __enter__(self) -> "WireConsumer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class ClusterWireConsumer:
+    """Multi-endpoint consumer with reconnect — the
+    ClusterCanalConnector analog (client/impl/ClusterCanalConnector
+    .java:97-205 per-call retry loop + restart; node choice is the
+    ClusterNodeAccessStrategy round-robin).
+
+    Every ChangeConsumer-surface call retries up to ``retries`` times;
+    a connection failure reconnects to the NEXT endpoint, replays the
+    remembered ``subscribe`` cfg, and — for delivery calls — issues a
+    server-side ``rollback`` first (SimpleCanalConnector.java:161-170
+    rollback-on-connect), so an un-acked batch that died with the
+    primary is re-delivered by the standby instead of lost. Cursor
+    continuity comes from the servers SHARING journal + state_dir
+    (the HA pair's common meta store); acks land exactly once because
+    the FIFO ledger lives there, not in either server process.
+    """
+
+    def __init__(
+        self,
+        endpoints: list[tuple],
+        client_id: str = "1001",
+        timeout: float = 30.0,
+        username: str | None = None,
+        password: str | None = None,
+        retries: int = 3,
+        retry_backoff: float = 0.2,
+    ):
+        if not endpoints:
+            raise ValueError("ClusterWireConsumer needs at least one endpoint")
+        self.endpoints = [tuple(e) for e in endpoints]
+        self.client_id = client_id
+        self._timeout = timeout
+        self._auth = (username, password)
+        self._retries = max(1, int(retries))
+        self._backoff = float(retry_backoff)
+        self._i = -1  # round-robin cursor over endpoints
+        self._sub_cfg: dict | None = None
+        self._subscribed = False
+        self._conn: WireConsumer | None = None
+        self.delivered_position: tuple[int, int] | None = None
+        self.failovers = 0  # observability: how often we switched nodes
+        self._connect()
+
+    # -- connection management --------------------------------------------
+
+    def _connect(self) -> None:
+        last_err: Exception | None = None
+        for _ in range(len(self.endpoints)):
+            self._i = (self._i + 1) % len(self.endpoints)
+            host, port = self.endpoints[self._i]
+            try:
+                self._conn = WireConsumer(
+                    host,
+                    int(port),
+                    client_id=self.client_id,
+                    timeout=self._timeout,
+                    username=self._auth[0],
+                    password=self._auth[1],
+                )
+                return
+            except (OSError, ConnectionError) as e:
+                last_err = e
+        raise ConnectionError(f"no server endpoint reachable: {last_err}")
+
+    def _restart(self, resubscribe_rollback: bool) -> None:
+        """Reconnect to the next node and restore session state — the
+        ClusterCanalConnector.restart analog."""
+        self.failovers += 1
+        if self._conn is not None:
+            self._conn.close()
+        self._connect()
+        if self._subscribed:
+            self._conn.subscribe(self._sub_cfg)
+        if resubscribe_rollback:
+            # re-deliver whatever was in flight when the old node died
+            self._conn.rollback()
+
+    def _retrying(self, fn, rollback_on_restart: bool = True):
+        last: Exception | None = None
+        for attempt in range(self._retries):
+            try:
+                return fn(self._conn)
+            except (OSError, ConnectionError) as e:
+                last = e
+                if attempt == self._retries - 1:
+                    break
+                time.sleep(self._backoff * (attempt + 1))
+                try:
+                    self._restart(rollback_on_restart)
+                except ConnectionError as e2:
+                    last = e2
+        raise ConnectionError(f"all retries failed: {last}")
+
+    # -- ChangeConsumer surface -------------------------------------------
+
+    def subscribe(self, cfg: dict | None = None) -> None:
+        self._sub_cfg = cfg
+        self._retrying(lambda c: c.subscribe(cfg), rollback_on_restart=False)
+        self._subscribed = True
+
+    def get_without_ack(self, batch_size: int, timeout_ms: int | None = None):
+        got = self._retrying(lambda c: c.get_without_ack(batch_size, timeout_ms))
+        self.delivered_position = self._conn.delivered_position
+        return got
+
+    def ack(self, batch_id: int) -> None:
+        # NO rollback on a reconnect inside ack: the get that delivered
+        # this batch may have committed server-side; rolling back would
+        # discard it and FIFO-reject this very ack. The shared ledger
+        # makes a duplicate/lost ack loud instead of silent.
+        self._retrying(lambda c: c.ack(batch_id), rollback_on_restart=False)
+
+    def rollback(self) -> None:
+        self._retrying(lambda c: c.rollback(), rollback_on_restart=False)
+
+    def seek_to_timestamp(self, ts_ms: int):
+        return self._retrying(lambda c: c.seek_to_timestamp(ts_ms))
+
+    def lookup(self, keys: list, table: str | None = None, columns=None):
+        return self._retrying(
+            lambda c: c.lookup(keys, table=table, columns=columns),
+            rollback_on_restart=False,
+        )
+
+    def changes(self, since: int, **kw):
+        return self._retrying(
+            lambda c: c.changes(since, **kw), rollback_on_restart=False
+        )
+
+    def snapshot(self, table: str | None = None) -> dict:
+        return self._retrying(
+            lambda c: c.snapshot(table), rollback_on_restart=False
+        )
+
+    def stats(self, of: str | None = None) -> dict:
+        return self._retrying(lambda c: c.stats(of), rollback_on_restart=False)
+
+    def ping(self) -> bool:
+        return self._retrying(lambda c: c.ping(), rollback_on_restart=False)
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+
+    def __enter__(self) -> "ClusterWireConsumer":
         return self
 
     def __exit__(self, *exc) -> None:

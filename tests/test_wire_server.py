@@ -670,3 +670,220 @@ def test_stats_not_blocked_by_long_poll(fx, server):
     assert row["cursor"] == row["delivered"]  # drained durable snapshot
     admin.close()
     c.close()
+
+
+def test_wire_auth_handshake(fx, tmp_path):
+    """MySQL-style scramble auth (SecurityUtil.java:28-51 /
+    ClientAuthenticationHandler.java:40-78 analog) over a real socket:
+    good credentials drain normally; bad credentials are rejected AND
+    the connection is closed; a credential-less client gets a clean
+    AuthError; an unauthenticated session may issue nothing but auth.
+    The plaintext never crosses the wire (only the XOR token)."""
+    import socket
+    import struct
+
+    from clever_canal_ray.server import AuthError, scramble_gen_pass
+
+    root, total = fx
+    srv = ConsumerServer(
+        os.path.join(root, "segments"),
+        str(tmp_path / "state_auth"),
+        users={"reader": scramble_gen_pass("s3cret")},
+    )
+    srv.start()
+    try:
+        # good credentials: full drain works
+        c = WireConsumer(
+            srv.host, srv.port, client_id="a1", username="reader", password="s3cret"
+        )
+        c.subscribe()
+        got = _drain(c)
+        assert sum(t.num_rows for _, t in got) == total
+        c.close()
+
+        # wrong password: rejected, socket closed by the server
+        with pytest.raises((AuthError, ConnectionError)):
+            WireConsumer(
+                srv.host, srv.port, client_id="a2", username="reader", password="nope"
+            )
+        # unknown user
+        with pytest.raises((AuthError, ConnectionError)):
+            WireConsumer(
+                srv.host, srv.port, client_id="a3", username="ghost", password="s3cret"
+            )
+        # credential-less client: clean, informative failure
+        c2 = WireConsumer(srv.host, srv.port, client_id="a4")
+        with pytest.raises(AuthError, match="requires authentication"):
+            c2.ping()
+        c2.close()
+
+        # raw socket probing: any pre-auth command is refused and the
+        # server hangs up (fail closed)
+        s = socket.create_connection((srv.host, srv.port), timeout=10)
+        hs = json.loads(_raw_frame(s))
+        assert hs["auth_required"] and len(bytes.fromhex(hs["seed"])) == 8
+        payload = json.dumps({"cmd": "get", "batch_size": 10}).encode()
+        s.sendall(struct.pack(">I", len(payload)) + payload)
+        resp = json.loads(_raw_frame(s))
+        assert resp["ok"] is False and resp["error"] == "AuthError"
+        assert s.recv(1) == b""  # server closed the connection
+        s.close()
+    finally:
+        srv.stop()
+
+
+def _raw_frame(s):
+    import struct
+
+    head = b""
+    while len(head) < 4:
+        head += s.recv(4 - len(head))
+    (n,) = struct.unpack(">I", head)
+    buf = b""
+    while len(buf) < n:
+        buf += s.recv(n - len(buf))
+    return buf
+
+
+def test_wire_auth_seed_is_per_connection(fx, tmp_path):
+    """A replayed token from one connection must not authenticate a new
+    connection (fresh random seed each time — replay resistance)."""
+    import socket
+    import struct
+
+    from clever_canal_ray.server import scramble_gen_pass, _scramble_token
+
+    root, _ = fx
+    srv = ConsumerServer(
+        os.path.join(root, "segments"),
+        str(tmp_path / "state_auth2"),
+        users={"reader": scramble_gen_pass("pw")},
+    )
+    srv.start()
+    try:
+        s1 = socket.create_connection((srv.host, srv.port), timeout=10)
+        seed1 = bytes.fromhex(json.loads(_raw_frame(s1))["seed"])
+        token1 = _scramble_token("pw", seed1)
+        s2 = socket.create_connection((srv.host, srv.port), timeout=10)
+        seed2 = bytes.fromhex(json.loads(_raw_frame(s2))["seed"])
+        assert seed1 != seed2
+        # replay s1's token on s2: must be rejected
+        payload = json.dumps(
+            {"cmd": "auth", "username": "reader", "token": token1.hex()}
+        ).encode()
+        s2.sendall(struct.pack(">I", len(payload)) + payload)
+        resp = json.loads(_raw_frame(s2))
+        assert resp["ok"] is False
+        s1.close()
+        s2.close()
+    finally:
+        srv.stop()
+
+
+def test_cluster_consumer_failover_mid_drain(fx, tmp_path):
+    """ClusterCanalConnector analog: two servers share the journal and
+    state_dir (the HA pair's common meta store); the primary is KILLED
+    mid-drain and the drain completes exactly-once against the standby
+    — every event delivered exactly once by position, the un-acked
+    in-flight batch re-delivered after failover."""
+    from clever_canal_ray.server import ClusterWireConsumer
+
+    root, total = fx
+    state = str(tmp_path / "state_ha")
+    seg = os.path.join(root, "segments")
+    primary = ConsumerServer(seg, state)
+    standby = ConsumerServer(seg, state)
+    primary.start()
+    standby.start()
+    try:
+        c = ClusterWireConsumer(
+            [(primary.host, primary.port), (standby.host, standby.port)],
+            client_id="ha1",
+            retries=4,
+            retry_backoff=0.05,
+        )
+        c.subscribe()
+        seen: list[tuple] = []  # (segment_id, offset) of every ACKED row
+        killed = False
+        while True:
+            got = c.get_without_ack(150)
+            if got is None:
+                break
+            bid, t = got
+            if not killed and seen:
+                # kill the primary AFTER this batch was delivered but
+                # BEFORE it is acked: the in-flight batch must be
+                # rolled back and re-delivered by the standby (batch
+                # BOUNDARIES may differ — the standby's decode cache is
+                # cold — but the STREAM must restart at the same
+                # position, and no row may be lost or doubled)
+                first_pos = (t["segment_id"][0].as_py(), t["offset"][0].as_py())
+                primary.stop()
+                killed = True
+                got2 = c.get_without_ack(150)
+                assert got2 is not None
+                bid2, t2 = got2
+                assert (
+                    t2["segment_id"][0].as_py(),
+                    t2["offset"][0].as_py(),
+                ) == first_pos  # re-delivery resumes at the un-acked cursor
+                assert c.failovers >= 1
+                bid, t = bid2, t2
+            seen.extend(zip(t["segment_id"].to_pylist(), t["offset"].to_pylist()))
+            c.ack(bid)
+        assert killed, "primary was never killed mid-drain"
+        # exactly-once at ROW level: every event once, none twice
+        assert len(seen) == total
+        assert len(set(seen)) == total
+        c.close()
+    finally:
+        try:
+            primary.stop()
+        except Exception:
+            pass
+        standby.stop()
+
+
+def test_cluster_consumer_auth_and_all_down(fx, tmp_path):
+    """Failover composes with auth; when every endpoint is down the
+    cluster client fails loudly after its retries."""
+    from clever_canal_ray.server import (
+        ClusterWireConsumer,
+        scramble_gen_pass,
+    )
+
+    root, total = fx
+    state = str(tmp_path / "state_ha2")
+    seg = os.path.join(root, "segments")
+    users = {"reader": scramble_gen_pass("pw")}
+    a = ConsumerServer(seg, state, users=users)
+    b = ConsumerServer(seg, state, users=users)
+    a.start()
+    b.start()
+    try:
+        c = ClusterWireConsumer(
+            [(a.host, a.port), (b.host, b.port)],
+            client_id="ha2",
+            username="reader",
+            password="pw",
+            retries=3,
+            retry_backoff=0.05,
+        )
+        c.subscribe()
+        got = c.get_without_ack(100)
+        assert got is not None
+        bid, t = got
+        a.stop()  # current node dies with a batch in flight
+        got2 = c.get_without_ack(100)
+        assert got2 is not None and got2[1].equals(t)
+        c.ack(got2[0])
+        b.stop()  # now EVERYTHING is down
+        with pytest.raises(ConnectionError, match="retries failed|no server endpoint"):
+            c.get_without_ack(100)
+        c.close()
+    finally:
+        for s in (a, b):
+            try:
+                s.stop()
+            except Exception:
+                pass

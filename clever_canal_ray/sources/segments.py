@@ -33,6 +33,11 @@ def discover_segments(dirs: list[str] | str) -> list[str]:
         dirs = [dirs]
     found: list[tuple[int, str]] = []
     for d in dirs:
+        if not os.path.isdir(d):
+            # a tailer may legitimately start before its publisher has
+            # created the journal dir (live-source adapter): nothing to
+            # consume yet, not an error
+            continue
         for name in os.listdir(d):
             m = _SEG_RE.search(name)
             if m:

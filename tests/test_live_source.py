@@ -1,0 +1,277 @@
+"""Live-source adapter (sources/live.py — the MysqlConnection.dump S1
+seam without MySQL): an external cursor (sqlite outbox table / JSONL
+TCP firehose) is polled into settled journal segments while
+``pipelines.replay.follow`` tails the same directory — end to end from
+live-written changes to lake convergence, including adapter
+crash/resume exactly-once."""
+
+import json
+import os
+import sqlite3
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clever_canal_ray.config import ReplayConfig
+from clever_canal_ray.pipelines.replay import follow, replay
+from clever_canal_ray.schema import lake_schema
+from clever_canal_ray.sources.live import (
+    JsonlSocketSource,
+    SegmentPublisher,
+    SqliteChangeSource,
+    pump,
+)
+from clever_canal_ray.sources.segments import discover_segments
+from clever_canal_ray.state.manifest import Lake
+
+BASE = {"op": "base_schema", "fields": [["doc_id", "string"], ["val", "string"]]}
+PAYLOAD = lake_schema([BASE])
+
+
+def _mk_lake(tmp_path, name="lake"):
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": f"seed{i}", "val": f"v{i}"} for i in range(5)],
+        schema=pa.schema(list(PAYLOAD)),
+    )
+    return Lake.create(str(tmp_path / name), tbl, num_partitions=2, ddl_journal=[BASE])
+
+
+def _serial_apply(state: dict, recs: list[dict]) -> dict:
+    for r in recs:
+        if r["op"] in ("I", "U"):
+            state[r["doc_id"]] = r["after"]["val"]
+        elif r["op"] == "D":
+            state.pop(r["doc_id"], None)
+    return state
+
+
+def _lake_state(lake) -> dict:
+    t = lake.read_table()
+    return dict(zip(t["doc_id"].to_pylist(), t["val"].to_pylist()))
+
+
+def _mk_outbox(path):
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE changes (seq INTEGER PRIMARY KEY AUTOINCREMENT, op TEXT, "
+        "doc_id TEXT, before TEXT, after TEXT, txn_id INTEGER, ts_ms INTEGER)"
+    )
+    con.commit()
+    con.close()
+
+
+def _insert(path, recs, txn_id=None):
+    con = sqlite3.connect(path)
+    for r in recs:
+        con.execute(
+            "INSERT INTO changes (op, doc_id, before, after, txn_id, ts_ms) "
+            "VALUES (?,?,?,?,?,?)",
+            (
+                r["op"],
+                r["doc_id"],
+                json.dumps(r["before"]) if r.get("before") else None,
+                json.dumps(r["after"]) if r.get("after") else None,
+                r.get("txn_id", txn_id),
+                r.get("ts_ms", 1_700_000_000_000),
+            ),
+        )
+    con.commit()
+    con.close()
+
+
+def _changes(n, start=0, prefix="live"):
+    out = []
+    for i in range(start, start + n):
+        d = f"{prefix}{i % max(n // 2, 1)}"
+        out.append({"op": "U" if i % 3 else "I", "doc_id": d,
+                    "after": {"doc_id": d, "val": f"x{i}"}})
+        if i % 7 == 3:
+            out.append({"op": "D", "doc_id": d})
+    return out
+
+
+def test_sqlite_outbox_live_to_lake(ray_session, tmp_path):
+    """LIVE e2e: a writer thread keeps inserting into the sqlite outbox
+    while the adapter pumps segments and follow() tails the directory —
+    the lake converges to the serial application of every change."""
+    db = str(tmp_path / "outbox.db")
+    seg = str(tmp_path / "segments")
+    _mk_outbox(db)
+    lake = _mk_lake(tmp_path)
+    all_recs: list[dict] = []
+
+    def writer():
+        for burst in range(6):
+            recs = _changes(12, start=burst * 12)
+            all_recs.extend(recs)
+            _insert(db, recs, txn_id=burst)
+            time.sleep(0.05)
+
+    src = SqliteChangeSource(db)
+    pub = SegmentPublisher(seg, PAYLOAD)
+
+    def adapter():
+        pump(src, pub, poll_interval=0.03, idle_rounds_to_stop=25)
+
+    wt = threading.Thread(target=writer)
+    at = threading.Thread(target=adapter)
+    wt.start()
+    at.start()
+    m = follow(
+        lake,
+        seg,
+        ReplayConfig(num_partitions=2, segments_per_batch=4, sink_mode="delta"),
+        poll_interval=0.05,
+        idle_rounds_to_stop=30,
+    )
+    wt.join()
+    at.join()
+    # one more catch-up pass in case follow idled out before the tail
+    m = follow(
+        lake, seg, ReplayConfig(num_partitions=2, segments_per_batch=4, sink_mode="delta"),
+        poll_interval=0.02, idle_rounds_to_stop=3,
+    )
+    expected = _serial_apply({f"seed{i}": f"v{i}" for i in range(5)}, all_recs)
+    assert _lake_state(lake) == expected
+    assert m.hwm > (-1, -1)
+    # every outbox row made it into exactly one journal position
+    n_events = sum(pq.read_metadata(p).num_rows for p in discover_segments(seg))
+    assert n_events == len(all_recs)
+
+
+def test_adapter_crash_resume_exactly_once(ray_session, tmp_path):
+    """Kill the adapter between publishes; a NEW publisher+source pair
+    recovered from the directory (cursor rides in the plan sidecar)
+    neither re-publishes nor drops records."""
+    db = str(tmp_path / "outbox.db")
+    seg = str(tmp_path / "segments")
+    _mk_outbox(db)
+    recs1 = _changes(10, prefix="a")
+    _insert(db, recs1)
+    src = SqliteChangeSource(db)
+    pub = SegmentPublisher(seg, PAYLOAD)
+    pump(src, pub, max_rounds=1)
+    assert pub.source_cursor == len(recs1)
+
+    # "crash": throw both objects away; resume purely from disk
+    pub2 = SegmentPublisher(seg, PAYLOAD)
+    assert pub2.source_cursor == len(recs1)
+    assert pub2.next_segment_id == 1
+    src2 = SqliteChangeSource(db, cursor=pub2.source_cursor)
+    recs2 = _changes(8, start=10, prefix="b")
+    _insert(db, recs2)
+    pump(src2, pub2, max_rounds=1)
+
+    paths = discover_segments(seg)
+    assert len(paths) == 2
+    n_events = sum(pq.read_metadata(p).num_rows for p in paths)
+    assert n_events == len(recs1) + len(recs2)  # no dup, no loss
+
+    lake = _mk_lake(tmp_path)
+    replay(lake, paths, ReplayConfig(num_partitions=2, segments_per_batch=2))
+    expected = _serial_apply(
+        {f"seed{i}": f"v{i}" for i in range(5)}, recs1 + recs2
+    )
+    assert _lake_state(lake) == expected
+
+
+def test_orphan_sidecar_is_harmless(ray_session, tmp_path):
+    """A crash AFTER the plan sidecar but BEFORE the data-file rename
+    leaves an orphan sidecar: resume must ignore it (cursor comes from
+    the last VISIBLE segment) and the republished segment overwrites
+    the orphan."""
+    seg = str(tmp_path / "segments")
+    pub = SegmentPublisher(seg, PAYLOAD)
+    pub.publish(_changes(5, prefix="a"), source_cursor=5)
+    # simulate the crash window for the NEXT segment: sidecar only
+    orphan = os.path.join(seg, "segment-00001.parquet.plan.json")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"source_cursor": 99, "max_txn": 99}))
+    pub2 = SegmentPublisher(seg, PAYLOAD)
+    assert pub2.source_cursor == 5  # orphan ignored
+    assert pub2.next_segment_id == 1
+    pub2.publish(_changes(3, start=5, prefix="b"), source_cursor=8)
+    # the republished segment replaced the orphan's sidecar
+    with open(orphan) as f:
+        assert json.load(f)["source_cursor"] == 8
+
+
+def test_jsonl_socket_live_to_lake(ray_session, tmp_path):
+    """LIVE e2e over TCP: a firehose server emits JSONL change records;
+    the adapter drains them into segments; follow() converges the lake."""
+    import socket as _socket
+
+    seg = str(tmp_path / "segments")
+    lake = _mk_lake(tmp_path)
+    recs = _changes(40, prefix="s")
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def firehose():
+        conn, _ = srv.accept()
+        for i, r in enumerate(recs):
+            conn.sendall((json.dumps(r) + "\n").encode())
+            if i % 10 == 9:
+                time.sleep(0.05)  # bursts, like a real feed
+        conn.close()
+
+    ft = threading.Thread(target=firehose)
+    ft.start()
+    src = JsonlSocketSource(host, port)
+    pub = SegmentPublisher(seg, PAYLOAD)
+
+    def adapter():
+        pump(src, pub, poll_interval=0.02, idle_rounds_to_stop=50)
+
+    at = threading.Thread(target=adapter)
+    at.start()
+    follow(
+        lake,
+        seg,
+        ReplayConfig(num_partitions=2, segments_per_batch=4, sink_mode="delta"),
+        poll_interval=0.05,
+        idle_rounds_to_stop=30,
+    )
+    ft.join()
+    at.join()
+    follow(
+        lake, seg, ReplayConfig(num_partitions=2, segments_per_batch=4, sink_mode="delta"),
+        poll_interval=0.02, idle_rounds_to_stop=3,
+    )
+    src.close()
+    srv.close()
+    expected = _serial_apply({f"seed{i}": f"v{i}" for i in range(5)}, recs)
+    assert _lake_state(lake) == expected
+    n_events = sum(pq.read_metadata(p).num_rows for p in discover_segments(seg))
+    assert n_events == len(recs)
+
+
+def test_publisher_txn_framing(tmp_path):
+    """External txn ids become journal transactions: consecutive runs
+    share a txn_id; commit flags land on each run's last event; all-None
+    ids collapse to one txn per publish."""
+    seg = str(tmp_path / "segments")
+    pub = SegmentPublisher(seg, PAYLOAD)
+    recs = [
+        {"op": "I", "doc_id": "a", "after": {"doc_id": "a", "val": "1"}, "txn_id": 7},
+        {"op": "U", "doc_id": "a", "after": {"doc_id": "a", "val": "2"}, "txn_id": 7},
+        {"op": "I", "doc_id": "b", "after": {"doc_id": "b", "val": "3"}, "txn_id": 8},
+    ]
+    p = pub.publish(recs, source_cursor=3)
+    t = pq.read_table(p)
+    assert t["txn_id"].to_pylist() == [1, 1, 2]
+    assert t["txn_commit"].to_pylist() == [False, True, True]
+    assert t["seq_in_txn"].to_pylist() == [0, 1, 0]
+    p2 = pub.publish(
+        [{"op": "I", "doc_id": "c", "after": {"doc_id": "c", "val": "4"}},
+         {"op": "I", "doc_id": "d", "after": {"doc_id": "d", "val": "5"}}],
+        source_cursor=5,
+    )
+    t2 = pq.read_table(p2)
+    assert t2["txn_id"].to_pylist() == [3, 3]
+    assert t2["txn_commit"].to_pylist() == [False, True]

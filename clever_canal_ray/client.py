@@ -82,6 +82,12 @@ class ChangeConsumer:
         # segment set it was read from (_pending_paths).
         self._pending: pa.Table | None = None
         self._pending_paths: tuple = ()
+        # delivery counters (prometheus get/ack/empty families)
+        self._delivered_rows = 0
+        self._acked_rows = 0
+        self._empty_gets = 0
+        self._last_delivered_ts_ms = 0
+        self._last_acked_ts_ms = 0
         self._load()
 
     # -- persistence (meta.dat.json analog) -------------------------------
@@ -95,6 +101,11 @@ class ChangeConsumer:
             self._inflight = d["inflight"]
             self._next_batch_id = d["next_batch_id"]
             self._subscribed = d["subscribed"]
+            self._delivered_rows = int(d.get("delivered_rows", 0))
+            self._acked_rows = int(d.get("acked_rows", 0))
+            self._empty_gets = int(d.get("empty_gets", 0))
+            self._last_delivered_ts_ms = int(d.get("last_delivered_ts_ms", 0))
+            self._last_acked_ts_ms = int(d.get("last_acked_ts_ms", 0))
 
     def _persist(self) -> None:
         tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
@@ -106,6 +117,13 @@ class ChangeConsumer:
                     "inflight": self._inflight,
                     "next_batch_id": self._next_batch_id,
                     "subscribed": self._subscribed,
+                    # delivery counters for the prometheus get/ack
+                    # families (EntryCollector.java:39-43 analog)
+                    "delivered_rows": self._delivered_rows,
+                    "acked_rows": self._acked_rows,
+                    "empty_gets": self._empty_gets,
+                    "last_delivered_ts_ms": self._last_delivered_ts_ms,
+                    "last_acked_ts_ms": self._last_acked_ts_ms,
                 },
                 f,
             )
@@ -137,6 +155,8 @@ class ChangeConsumer:
         sig = self._journal_stat_sig() if timeout_ms else None
         got = self._get_once(batch_size)
         if got is not None or not timeout_ms:
+            if got is None:
+                self._empty_gets += 1  # client_empty_batches family
             return got
         deadline = time.monotonic() + int(timeout_ms) / 1000.0
         while got is None and time.monotonic() < deadline:
@@ -151,6 +171,8 @@ class ChangeConsumer:
                 continue
             sig = new_sig
             got = self._get_once(batch_size)
+        if got is None:
+            self._empty_gets += 1  # client_empty_batches family
         return got
 
     def _journal_stat_sig(self) -> tuple:
@@ -206,8 +228,28 @@ class ChangeConsumer:
             events = events.filter(pa.array(m_np))
         batch_id = self._next_batch_id
         self._next_batch_id += 1
-        self._inflight.append({"batch_id": batch_id, "start": list(start), "ack": list(ack)})
+        # batch row count + newest event ts ride the in-flight record so
+        # ack can maintain the ack_rows/ack_delay families (PositionRange
+        # carries the same for the reference's EntryCollector)
+        max_ts = 0
+        if events.num_rows:
+            import pyarrow.compute as pc
+
+            mx = pc.max(events["execute_ts"]).as_py()
+            if mx is not None:
+                max_ts = int(mx.timestamp() * 1000) if hasattr(mx, "timestamp") else int(mx)
+        self._inflight.append(
+            {
+                "batch_id": batch_id,
+                "start": list(start),
+                "ack": list(ack),
+                "rows": events.num_rows,
+                "max_ts": max_ts,
+            }
+        )
         self._delivered = ack
+        self._delivered_rows += events.num_rows
+        self._last_delivered_ts_ms = max(self._last_delivered_ts_ms, max_ts)
         self._persist()
         return batch_id, events
 
@@ -228,6 +270,11 @@ class ChangeConsumer:
             "inflight": len(self._inflight),
             "subscribed": self._subscribed,
             "next_batch_id": self._next_batch_id,
+            "delivered_rows": self._delivered_rows,
+            "acked_rows": self._acked_rows,
+            "empty_gets": self._empty_gets,
+            "last_delivered_ts_ms": self._last_delivered_ts_ms,
+            "last_acked_ts_ms": self._last_acked_ts_ms,
         }
 
     def ack(self, batch_id: int) -> None:
@@ -238,6 +285,8 @@ class ChangeConsumer:
             )
         rec = self._inflight.pop(0)
         self._cursor = tuple(rec["ack"])
+        self._acked_rows += int(rec.get("rows", 0))
+        self._last_acked_ts_ms = max(self._last_acked_ts_ms, int(rec.get("max_ts", 0)))
         self._persist()
 
     def seek_to_timestamp(self, ts_ms: int) -> tuple[int, int]:

@@ -176,6 +176,18 @@ class ConsumerServer:
         outer = self
 
         self._open_socks: set = set()
+        # client-profiler counters (PrometheusClientInstanceProfiler
+        # analog): packets by type, outbound bytes, empty gets, errors,
+        # latency sum/count — scraped via the `metrics` command
+        self._wire_stats = {
+            "packets": {},
+            "bytes_out": 0,
+            "empty_batches": 0,
+            "errors": 0,
+            "latency_ms_sum": 0.0,
+            "latency_count": 0,
+        }
+        self._wire_stats_lock = threading.Lock()
 
         class Handler(socketserver.BaseRequestHandler):
             def setup(self) -> None:
@@ -201,6 +213,8 @@ class ConsumerServer:
                     raw = _recv_frame(self.request)
                     if raw is None:
                         return
+                    t0 = time.monotonic()
+                    req: dict = {}
                     try:
                         req = json.loads(raw)
                         if not authed:
@@ -241,7 +255,9 @@ class ConsumerServer:
                             "error": type(e).__name__,
                             "message": str(e),
                         }, None
-                    _send_frame(self.request, json.dumps(resp).encode())
+                    payload = json.dumps(resp).encode()
+                    outer._profile(req if isinstance(req, dict) else {}, resp, payload, data, t0)
+                    _send_frame(self.request, payload)
                     if data is not None:
                         _send_frame(self.request, data)
 
@@ -282,6 +298,50 @@ class ConsumerServer:
         self._server.serve_forever()
 
     # -- dispatch ----------------------------------------------------------
+
+    def _profile(self, req: dict, resp: dict, payload: bytes, data, t0: float) -> None:
+        """Accumulate the client-profiler families for one request."""
+        ptype = str(req.get("cmd", "malformed"))
+        with self._wire_stats_lock:
+            s = self._wire_stats
+            s["packets"][ptype] = s["packets"].get(ptype, 0) + 1
+            s["bytes_out"] += len(payload) + (len(data) if data is not None else 0)
+            if ptype == "get" and resp.get("ok") and not resp.get("has_data"):
+                s["empty_batches"] += 1
+            if not resp.get("ok"):
+                s["errors"] += 1
+            s["latency_ms_sum"] += (time.monotonic() - t0) * 1000.0
+            s["latency_count"] += 1
+
+    def prometheus_metrics(self, instance: str = "canal") -> str:
+        """Full reference-family exposition for THIS instance: lake
+        counters (when lake_dir given), journal/store gauges, per-client
+        get/ack families from live consumers + durable meta, and the
+        wire client-profiler counters."""
+        from clever_canal_ray.prometheus import instance_families
+        from clever_canal_ray.state.manifest import Lake
+
+        with self._consumers_lock:
+            live = {cid: c for cid, (c, _) in self._consumers.items()}
+        client_stats = {cid: c.stats() for cid, c in live.items()}
+        with self._wire_stats_lock:
+            ws = {
+                **self._wire_stats,
+                "packets": dict(self._wire_stats["packets"]),
+            }
+        lake = None
+        if self.lake_dir is not None and os.path.exists(
+            os.path.join(self.lake_dir, "_manifest", "_CURRENT")
+        ):
+            lake = Lake(self.lake_dir)
+        return instance_families(
+            instance=instance,
+            lake=lake,
+            journal_dirs=self.journal_dirs,
+            state_dir=self.state_dir,
+            client_stats=client_stats or None,
+            wire_stats=ws,
+        )
 
     def _get_lake(self, cmd: str):
         """Lazy lake handle for the stateless lake-backed RPCs; the
@@ -393,6 +453,12 @@ class ConsumerServer:
         if cmd == "stats":
             # stateless admin read; never creates a consumer for the caller
             return self._stats(req.get("of")), None
+        if cmd == "metrics":
+            # prometheus scrape: full reference-family text exposition
+            return {
+                "ok": True,
+                "text": self.prometheus_metrics(str(req.get("instance", "canal"))),
+            }, None
         if cmd == "lookup":
             # stateless (no consumer/cursor); served from the lake's
             # current manifest, driver-serial in the server process
@@ -656,6 +722,11 @@ class WireConsumer:
 
     def ping(self) -> bool:
         return bool(self._call({"cmd": "ping"})[0].get("ok"))
+
+    def metrics(self, instance: str = "canal") -> str:
+        """Prometheus text exposition of the server's full reference
+        metric-family set (scrape this, or serve it over HTTP)."""
+        return str(self._call({"cmd": "metrics", "instance": instance})[0]["text"])
 
     def snapshot(self, table: str | None = None) -> dict:
         """Remote-bootstrap handshake: pin one consistent lake version

@@ -133,6 +133,32 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=0)
     sv.add_argument("--lake", default=None, help="enable the lookup RPC against this lake")
+    sv.add_argument(
+        "--auth", nargs="+", default=None, metavar="USER:PASSWORD",
+        help="require the scramble auth handshake; repeatable user:password pairs",
+    )
+
+    mx = sub.add_parser("scrape-metrics")  # prometheus scrape of a running server
+    mx.add_argument("--host", default="127.0.0.1")
+    mx.add_argument("--port", type=int, required=True)
+    mx.add_argument("--instance", default="canal")
+    mx.add_argument("--username", default=None)
+    mx.add_argument("--password", default=None)
+
+    la = sub.add_parser("live-adapter")  # external cursor -> settled segments
+    la.add_argument("--segments", required=True, help="journal dir to publish into")
+    la.add_argument("--sqlite", default=None, help="poll this sqlite outbox db")
+    la.add_argument("--sqlite-table", default="changes")
+    la.add_argument("--jsonl-host", default=None, help="poll a JSONL TCP firehose")
+    la.add_argument("--jsonl-port", type=int, default=None)
+    la.add_argument("--lake", default=None,
+                    help="derive the payload schema from this lake's manifest")
+    la.add_argument("--fields", default=None,
+                    help="payload schema as name:type,... (alternative to --lake)")
+    la.add_argument("--table", default="lake.live")
+    la.add_argument("--poll-interval", type=float, default=0.5)
+    la.add_argument("--idle-rounds", type=int, default=None,
+                    help="stop after this many empty polls (default: run forever)")
 
     cu = sub.add_parser("curate")  # one-call training-data curation
     cu.add_argument("--in", dest="src", nargs="+", required=True, help="input parquet file(s)/dir(s)")
@@ -350,10 +376,19 @@ def main(argv: list[str] | None = None) -> int:
         with WireConsumer(args.host, args.port, client_id="admin") as wc:
             print(json.dumps(wc.stats(args.of), indent=1))
     elif args.cmd == "serve":
-        from clever_canal_ray.server import ConsumerServer
+        from clever_canal_ray.server import ConsumerServer, scramble_gen_pass
 
+        users = None
+        if args.auth:
+            users = {}
+            for pair in args.auth:
+                user, _, pw = pair.partition(":")
+                if not user or not pw:
+                    raise SystemExit(f"--auth expects USER:PASSWORD, got {pair!r}")
+                users[user] = scramble_gen_pass(pw)
         srv = ConsumerServer(
-            args.journal, args.state, host=args.host, port=args.port, lake_dir=args.lake
+            args.journal, args.state, host=args.host, port=args.port,
+            lake_dir=args.lake, users=users,
         )
         # announce the bound endpoint FIRST (port=0 binds an ephemeral
         # port) so a supervising process can connect, then block
@@ -362,6 +397,53 @@ def main(argv: list[str] | None = None) -> int:
             srv.serve_forever()
         except KeyboardInterrupt:  # pragma: no cover
             srv.stop()
+    elif args.cmd == "scrape-metrics":
+        from clever_canal_ray.server import WireConsumer
+
+        with WireConsumer(
+            args.host, args.port, client_id="scraper",
+            username=args.username, password=args.password,
+        ) as wc:
+            print(wc.metrics(args.instance), end="")
+    elif args.cmd == "live-adapter":
+        import pyarrow as _pa
+
+        from clever_canal_ray.sources.live import (
+            JsonlSocketSource,
+            SegmentPublisher,
+            SqliteChangeSource,
+            pump,
+        )
+
+        if (args.sqlite is None) == (args.jsonl_host is None):
+            raise SystemExit("pass exactly one of --sqlite / --jsonl-host")
+        if args.lake:
+            from clever_canal_ray.state.manifest import Lake
+
+            payload = Lake(args.lake).current().payload_schema
+        elif args.fields:
+            from clever_canal_ray.schema import type_from_name
+
+            payload = _pa.schema(
+                [
+                    _pa.field(n, type_from_name(t), nullable=(n != "doc_id"))
+                    for n, t in (f.split(":") for f in args.fields.split(","))
+                ]
+            )
+        else:
+            raise SystemExit("pass --lake or --fields for the payload schema")
+        pub = SegmentPublisher(args.segments, payload, table=args.table)
+        if args.sqlite:
+            src = SqliteChangeSource(
+                args.sqlite, table=args.sqlite_table, cursor=pub.source_cursor
+            )
+        else:
+            src = JsonlSocketSource(args.jsonl_host, int(args.jsonl_port))
+        n = pump(
+            src, pub, poll_interval=args.poll_interval,
+            idle_rounds_to_stop=args.idle_rounds,
+        )
+        print(json.dumps({"published": n, "next_segment": pub.next_segment_id}))
     elif args.cmd == "curate":
         _ray_session()
         import ray.data as rd

@@ -916,12 +916,26 @@ def connected_components(
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
         lbl = g[g["own"]]
-        lab_map = dict(zip(lbl["key"], lbl["val"]))
         e = g[~g["own"]]
+        if len(e) == 0:
+            return lbl
+        # vectorized label lookup (sorted-key searchsorted join) — the
+        # old per-edge dict build + Series.map paid a Python hash op
+        # per edge per iteration; this is two argsorts over the bucket
+        lk = lbl["key"].to_numpy(np.int64)
+        order = np.argsort(lk, kind="stable")
+        lk_s = lk[order]
+        lv_s = lbl["val"].to_numpy(np.int64)[order]
+        ek = e["key"].to_numpy(np.int64)
+        pos = np.searchsorted(lk_s, ek)
+        pos = np.clip(pos, 0, max(len(lk_s) - 1, 0))
+        if len(lk_s) == 0 or not (lk_s[pos] == ek).all():
+            # co-partitioning invariant broken: fail loud, never NaN
+            raise AssertionError("label-propagation: edge key without a label in its bucket")
         msgs = pd.DataFrame(
             {
                 "key": e["val"].to_numpy(),
-                "val": e["key"].map(lab_map).to_numpy(),
+                "val": lv_s[pos],
                 "own": np.zeros(len(e), dtype=bool),
             }
         )

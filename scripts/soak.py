@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
+def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000, mean_tokens: int = 120) -> None:
     import ray
 
     if not ray.is_initialized():
@@ -55,9 +55,13 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     n_initial = 1_000_000
+    # mean_tokens scales the per-row payload: the DEEP ledger soak
+    # (100M+ events) uses a smaller payload so the ever-growing lake
+    # fits sandbox disk — ledger/manifest/compaction depth is what the
+    # soak exercises, not payload bytes
     base_spec = EventLogSpec(
         seed=1000, n_initial_docs=n_initial, n_events=events_per_chunk,
-        n_segments=32, include_before=False,
+        n_segments=32, include_before=False, mean_tokens=mean_tokens,
     )
     lake = Lake.create(os.path.join(root, "lake"), generate_lake(base_spec), num_partitions=64)
     cfg = ReplayConfig(
@@ -74,6 +78,7 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
         spec = EventLogSpec(
             seed=1000 + chunk, n_initial_docs=n_initial, n_events=events_per_chunk,
             n_segments=32, include_before=False, segment_base=chunk * 32,
+            mean_tokens=mean_tokens,
         )
         chunk_dir = os.path.join(root, f"chunk{chunk}")
         t0 = time.time()
@@ -139,4 +144,5 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000) -> None:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     e = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
-    main(n, e)
+    mt = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    main(n, e, mt)

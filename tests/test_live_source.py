@@ -275,3 +275,55 @@ def test_publisher_txn_framing(tmp_path):
     t2 = pq.read_table(p2)
     assert t2["txn_id"].to_pylist() == [3, 3]
     assert t2["txn_commit"].to_pylist() == [False, True]
+
+
+def test_cli_live_adapter_and_metrics(ray_session, tmp_path, capsys):
+    """CLI wiring: `live-adapter --sqlite` publishes settled segments
+    from the outbox (payload via --fields), and `metrics --port` scrapes
+    a serving endpoint's prometheus families."""
+    from clever_canal_ray.__main__ import main as cli_main
+    from clever_canal_ray.server import ConsumerServer
+
+    db = str(tmp_path / "outbox.db")
+    seg = str(tmp_path / "segments")
+    _mk_outbox(db)
+    recs = _changes(12, prefix="cli")
+    _insert(db, recs)
+    rc = cli_main(
+        [
+            "live-adapter",
+            "--segments", seg,
+            "--sqlite", db,
+            "--fields", "doc_id:string,val:string",
+            "--poll-interval", "0.01",
+            "--idle-rounds", "2",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published"] == len(recs) and out["next_segment"] == 1
+    lake = _mk_lake(tmp_path)
+    replay(lake, discover_segments(seg), ReplayConfig(num_partitions=2))
+    assert _lake_state(lake) == _serial_apply(
+        {f"seed{i}": f"v{i}" for i in range(5)}, recs
+    )
+    # resume is a no-op (cursor rode in the plan sidecar)
+    rc = cli_main(
+        [
+            "live-adapter", "--segments", seg, "--sqlite", db,
+            "--fields", "doc_id:string,val:string",
+            "--poll-interval", "0.01", "--idle-rounds", "2",
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["published"] == 0
+
+    srv = ConsumerServer(seg, str(tmp_path / "state"), lake_dir=lake.dir)
+    srv.start()
+    try:
+        assert cli_main(["scrape-metrics", "--port", str(srv.port)]) == 0
+        text = capsys.readouterr().out
+        assert "# TYPE canal_instance_put_rows counter" in text
+        assert "canal_instance_received_binlog_bytes" in text
+    finally:
+        srv.stop()

@@ -417,6 +417,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if (args.sqlite is None) == (args.jsonl_host is None):
             raise SystemExit("pass exactly one of --sqlite / --jsonl-host")
+        if args.jsonl_host is not None and args.jsonl_port is None:
+            raise SystemExit("--jsonl-host needs --jsonl-port")
         if args.lake:
             from clever_canal_ray.state.manifest import Lake
 

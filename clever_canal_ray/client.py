@@ -177,7 +177,7 @@ class ChangeConsumer:
 
     def _journal_stat_sig(self) -> tuple:
         out = []
-        for p in discover_segments(self.dirs):
+        for p in discover_segments(self.dirs, missing_ok=True):
             try:
                 st = os.stat(p)
                 out.append((p, st.st_size, st.st_mtime_ns))
@@ -235,9 +235,12 @@ class ChangeConsumer:
         if events.num_rows:
             import pyarrow.compute as pc
 
-            mx = pc.max(events["execute_ts"]).as_py()
+            # cast to int64 ms BEFORE leaving Arrow: a naive-datetime
+            # .timestamp() would reinterpret the UTC-epoch value in the
+            # host's local timezone and skew the get/ack delay gauges
+            mx = pc.max(events["execute_ts"].cast(pa.int64())).as_py()
             if mx is not None:
-                max_ts = int(mx.timestamp() * 1000) if hasattr(mx, "timestamp") else int(mx)
+                max_ts = int(mx)
         self._inflight.append(
             {
                 "batch_id": batch_id,
@@ -331,7 +334,7 @@ class ChangeConsumer:
         interleave BELOW the cached tail, and a disk read from the tail
         would skip it forever. Any new path drops the cache and falls
         back to a full re-read from the delivered cursor."""
-        paths = tuple(discover_segments(self.dirs))
+        paths = tuple(discover_segments(self.dirs, missing_ok=True))
         if self._pending is not None and paths != self._pending_paths:
             self._pending = None
         chunks: list[pa.Table] = []
@@ -358,7 +361,7 @@ class ChangeConsumer:
         return t
 
     def _read_disk_after(self, start: tuple[int, int], limit: int) -> pa.Table | None:
-        paths = discover_segments(self.dirs)
+        paths = discover_segments(self.dirs, missing_ok=True)
         if not paths:
             return None
         flt = (pds.field("segment_id") > start[0]) | (

@@ -402,10 +402,10 @@ def random_projection(
     def fn(t: pa.Table) -> pa.Table:
         p = ray.get(proj_ref)
         m = _emb_np(t, emb_col, np.float32)  # zero-copy Arrow view
-        col = t[emb_col]
-        like = (col.type if not isinstance(col, pa.ChunkedArray) else col.type)
         i = t.schema.get_field_index(emb_col)
-        return t.set_column(i, emb_col, _emb_list_array(m @ p, like_type=like))
+        return t.set_column(
+            i, emb_col, _emb_list_array(m @ p, like_type=t[emb_col].type)
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

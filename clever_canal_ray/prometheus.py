@@ -45,9 +45,16 @@ import time
 from clever_canal_ray.schema import pack_position
 
 
+def _esc(v) -> str:
+    """Prometheus label-value escaping — clientId is an arbitrary
+    remote-chosen string; one unescaped quote/newline would invalidate
+    the WHOLE scrape."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _line(out, name, value, labels=None):
     if labels:
-        lab = ",".join(f'{k}="{v}"' for k, v in labels.items())
+        lab = ",".join(f'{k}="{_esc(v)}"' for k, v in labels.items())
         out.append(f"{name}{{{lab}}} {value}")
     else:
         out.append(f"{name} {value}")
@@ -125,7 +132,7 @@ def instance_families(
     if journal_dirs is not None:
         from clever_canal_ray.sources.segments import discover_segments, settled_prefix
 
-        seg_paths = settled_prefix(discover_segments(journal_dirs))
+        seg_paths = settled_prefix(discover_segments(journal_dirs, missing_ok=True))
 
     _family(out, "canal_instance", "gauge", "Instance up (CanalInstanceExports).")
     _line(out, "canal_instance", 1, dest)

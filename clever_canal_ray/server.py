@@ -371,7 +371,7 @@ class ConsumerServer:
             load_segment_plan,
         )
 
-        paths = discover_segments(self.journal_dirs)
+        paths = discover_segments(self.journal_dirs, missing_ok=True)
         head = None
         for pth in reversed(paths):
             try:
@@ -603,8 +603,21 @@ class WireConsumer:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         if username is not None:
             # auth-enabled server: read the seed handshake, answer with
-            # the scramble token (plaintext never crosses the wire)
-            raw = _recv_frame(self._sock)
+            # the scramble token (plaintext never crosses the wire).
+            # Bounded wait: an auth-DISABLED server sends no handshake
+            # and sits waiting for our first request — fail fast with a
+            # pointed message instead of the full socket timeout.
+            old_to = self._sock.gettimeout()
+            self._sock.settimeout(min(timeout, 5.0))
+            try:
+                raw = _recv_frame(self._sock)
+            except (TimeoutError, socket.timeout):
+                raise AuthError(
+                    "no auth handshake from server within 5s — the server "
+                    "is not auth-enabled; omit username/password"
+                ) from None
+            finally:
+                self._sock.settimeout(old_to)
             if raw is None:
                 raise ConnectionError("server closed during handshake")
             hs = json.loads(raw)
@@ -856,7 +869,10 @@ class ClusterWireConsumer:
                 time.sleep(self._backoff * (attempt + 1))
                 try:
                     self._restart(rollback_on_restart)
-                except ConnectionError as e2:
+                except OSError as e2:
+                    # OSError covers ConnectionError AND socket.timeout:
+                    # a hung standby's failed re-subscribe must consume
+                    # a retry, not escape the loop this class exists for
                     last = e2
         raise ConnectionError(f"all retries failed: {last}")
 

@@ -85,7 +85,7 @@ class SegmentPublisher:
         )
 
         self.source_cursor = None
-        paths = discover_segments(self.seg_dir)
+        paths = discover_segments(self.seg_dir, missing_ok=True)
         if not paths:
             return self
         last = paths[-1]
@@ -217,7 +217,10 @@ class SqliteChangeSource:
             con.close()
         out = []
         for seq, op, doc_id, before, after, txn_id, ts_ms in rows:
-            rec = {"op": op, "doc_id": doc_id}
+            # _seq rides along so pump() can commit the cursor of the
+            # last record actually published (txn carry may hold back a
+            # suffix); publish() ignores unknown keys
+            rec = {"op": op, "doc_id": doc_id, "_seq": int(seq)}
             if before is not None:
                 rec["before"] = json.loads(before)
             if after is not None:
@@ -279,6 +282,19 @@ class JsonlSocketSource:
             pass
 
 
+def _split_trailing_txn(records: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Split off the trailing maximal run of records sharing the LAST
+    record's external txn_id (None ids never split — they frame as one
+    txn per publish by construction)."""
+    last = records[-1].get("txn_id")
+    if last is None:
+        return records, []
+    i = len(records)
+    while i > 0 and records[i - 1].get("txn_id") == last:
+        i -= 1
+    return records[:i], records[i:]
+
+
 def pump(
     source,
     publisher: SegmentPublisher,
@@ -290,23 +306,55 @@ def pump(
     """The adapter daemon: poll the external cursor, publish settled
     segments, repeat — the EventParser dump-loop analog. Returns the
     number of records published. Run it next to (or in a thread beside)
-    ``pipelines.replay.follow`` on the same directory."""
+    ``pipelines.replay.follow`` on the same directory.
+
+    Transaction-boundary rule: a poll (or its ``limit``) can cut an
+    EXTERNAL transaction mid-run; committing the prefix would publish a
+    half-transaction the replay planner then applies atomically —
+    wrongly. The trailing run of records sharing the newest external
+    txn_id is therefore HELD BACK until a later poll shows a different
+    txn_id after it (the run is provably complete), or until the source
+    goes idle/exhausted (an outbox writes each txn's rows in ONE SQL
+    transaction, so quiescence means the run is complete; a socket
+    source relies on upstream at-least-once replay, like every Canal MQ
+    sink)."""
     published = 0
     rounds = 0
     idle = 0
-    while True:
-        records = source.poll(limit=max_records_per_segment)
+    carry: list[dict] = []
+
+    def flush(records: list[dict]) -> None:
+        nonlocal published
         if records:
-            idle = 0
-            publisher.publish(records, source_cursor=getattr(source, "cursor", None))
+            # commit the cursor of the last record actually PUBLISHED —
+            # the source's own cursor may already cover held-back carry
+            # records, and skipping those on resume would lose data
+            cur = records[-1].get("_seq")
+            if cur is None and not carry:
+                cur = getattr(source, "cursor", None)
+            publisher.publish(records, source_cursor=cur)
             published += len(records)
+
+    while True:
+        fresh = source.poll(limit=max_records_per_segment)
+        if fresh:
+            idle = 0
+            records = carry + fresh
+            ready, carry = _split_trailing_txn(records)
+            flush(ready)
         else:
             idle += 1
+            if carry:
+                # source quiesced: the held-back run is complete
+                flush(carry)
+                carry = []
         rounds += 1
-        if max_rounds is not None and rounds >= max_rounds:
-            return published
-        if idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop:
-            return published
-        if getattr(source, "exhausted", False):
+        stop = (
+            (max_rounds is not None and rounds >= max_rounds)
+            or (idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop)
+            or getattr(source, "exhausted", False)
+        )
+        if stop:
+            flush(carry)  # never strand the tail on shutdown
             return published
         time.sleep(poll_interval)

@@ -26,18 +26,22 @@ from dataclasses import dataclass
 _SEG_RE = re.compile(r"segment-(\d+)\.parquet$")
 
 
-def discover_segments(dirs: list[str] | str) -> list[str]:
+def discover_segments(dirs: list[str] | str, missing_ok: bool = False) -> list[str]:
     """All segment files across journal dirs, in (dir-assigned
-    segment-number) order."""
+    segment-number) order.
+
+    ``missing_ok=True`` tolerates a not-yet-created dir — for TAILERS
+    that may legitimately start before their publisher (follow loops,
+    consumer long-polls, the live-source adapter). One-shot callers
+    (replay CLI) keep the default so a typo'd path raises instead of
+    silently replaying zero events.
+    """
     if isinstance(dirs, str):
         dirs = [dirs]
     found: list[tuple[int, str]] = []
     for d in dirs:
-        if not os.path.isdir(d):
-            # a tailer may legitimately start before its publisher has
-            # created the journal dir (live-source adapter): nothing to
-            # consume yet, not an error
-            continue
+        if missing_ok and not os.path.isdir(d):
+            continue  # publisher hasn't created it yet: nothing to consume
         for name in os.listdir(d):
             m = _SEG_RE.search(name)
             if m:
@@ -154,7 +158,8 @@ class SegmentQueue:
     dirs: list[str]
 
     def all_segments(self) -> list[str]:
-        return discover_segments(self.dirs)
+        # tail-follow queue: may poll before the publisher created the dir
+        return discover_segments(self.dirs, missing_ok=True)
 
     def pending(self, hwm_segment_id: int) -> list[str]:
         out = []

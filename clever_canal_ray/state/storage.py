@@ -55,8 +55,8 @@ class StorageCASError(Exception):
     """Conditional PUT failed: the pointer moved under the writer."""
 
 
-_LOCK_STALE_SEC = 10.0  # break a lock this old (crashed writer)
-_LOCK_WAIT_SEC = 10.0  # give up waiting for a live writer after this
+_LOCK_STALE_SEC = 30.0  # break a lock this old (crashed writer)
+_LOCK_WAIT_SEC = 30.0  # give up waiting for a live writer after this
 
 
 class PosixStorage:
@@ -197,27 +197,52 @@ class ObjectStoreStorage(PosixStorage):
 
 
 class _FileLock:
-    """O_CREAT|O_EXCL lock file with stale-breaking — serializes
-    pointer CAS among local writers (the object-store emulation's
-    stand-in for the store's native conditional PUT)."""
+    """O_CREAT|O_EXCL lock file with owner-verified release and
+    rename-based stale-breaking — serializes pointer CAS among LOCAL
+    writers (the emulation's stand-in for the store's native
+    conditional PUT; a real adapter replaces swap_pointer wholesale).
+
+    Hardening against the classic lock-file races:
+
+    - the lock carries a unique owner token; release removes the file
+      only after re-reading and matching the token, so a writer whose
+      stale lock was broken can never delete a SUCCESSOR's live lock;
+    - stale-breaking goes through an atomic ``os.rename`` to a unique
+      name — exactly one breaker wins the rename, so two waiters can
+      never both "remove" and both acquire;
+    - a crashed/stalled holder past ``_LOCK_STALE_SEC`` loses mutual
+      exclusion by design (lock-breaking is a liveness/safety trade
+      every file-lock scheme makes); the window is 30 s and the CAS
+      value-compare still rejects stale swaps afterward."""
 
     def __init__(self, path: str):
         self.path = path
         self.fd = None
+        self.token = uuid.uuid4().hex
 
     def __enter__(self):
         deadline = time.monotonic() + _LOCK_WAIT_SEC
         while True:
             try:
                 self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self.fd, self.token.encode())
+                os.fsync(self.fd)
                 return self
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(self.path) > _LOCK_STALE_SEC:
-                        os.remove(self.path)  # crashed writer's leftover
-                        continue
+                    stale = time.time() - os.path.getmtime(self.path) > _LOCK_STALE_SEC
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately
+                if stale:
+                    # atomic rename: only ONE breaker wins; the loser's
+                    # rename fails and it just retries acquisition
+                    broken = f"{self.path}.broken.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(self.path, broken)
+                        os.remove(broken)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"pointer lock busy: {self.path}")
                 time.sleep(0.005)
@@ -226,6 +251,9 @@ class _FileLock:
         if self.fd is not None:
             os.close(self.fd)
         try:
+            with open(self.path) as f:
+                if f.read() != self.token:
+                    return  # our lock was broken; the file is a successor's
             os.remove(self.path)
         except FileNotFoundError:
             pass

@@ -327,3 +327,88 @@ def test_cli_live_adapter_and_metrics(ray_session, tmp_path, capsys):
         assert "canal_instance_received_binlog_bytes" in text
     finally:
         srv.stop()
+
+
+def test_pump_never_commits_partial_external_txn(ray_session, tmp_path):
+    """REGRESSION (round-5 review): a poll limit that cuts an external
+    transaction mid-run must NOT publish the prefix as a committed txn
+    — the trailing run is held back until a later poll proves it
+    complete (different txn_id after it) or the source quiesces."""
+    db = str(tmp_path / "outbox.db")
+    seg = str(tmp_path / "segments")
+    _mk_outbox(db)
+    # txn 1: rows 1-4, txn 2: rows 5-6; poll limit 3 cuts txn 1 at row 3
+    recs = [
+        {"op": "I", "doc_id": f"t1_{i}", "after": {"doc_id": f"t1_{i}", "val": "a"},
+         "txn_id": 1}
+        for i in range(4)
+    ] + [
+        {"op": "I", "doc_id": f"t2_{i}", "after": {"doc_id": f"t2_{i}", "val": "b"},
+         "txn_id": 2}
+        for i in range(2)
+    ]
+    _insert(db, recs)
+    src = SqliteChangeSource(db)
+    pub = SegmentPublisher(seg, PAYLOAD)
+    pump(src, pub, poll_interval=0.0, idle_rounds_to_stop=2,
+         max_records_per_segment=3)
+    paths = discover_segments(seg)
+    tables = [pq.read_table(p) for p in paths]
+    # every internal txn is fully contained in one segment with its
+    # commit on its true last row — no partial prefix was committed
+    seen_rows = 0
+    for t in tables:
+        txn = t["txn_id"].to_pylist()
+        commit = t["txn_commit"].to_pylist()
+        for i in range(len(txn)):
+            is_last_of_txn = i + 1 == len(txn) or txn[i + 1] != txn[i]
+            assert commit[i] == is_last_of_txn
+        seen_rows += t.num_rows
+    assert seen_rows == len(recs)
+    # external txn 1 (4 rows) maps to ONE internal txn id
+    allt = pq.read_table(paths[0])
+    first_txn_rows = [d for d, x in zip(allt["doc_id"].to_pylist(), allt["txn_id"].to_pylist()) if x == allt["txn_id"][0].as_py()]
+    assert len(first_txn_rows) in (4, 6)  # txn-1 run never split
+    # and the committed cursor never covered held-back rows: a resumed
+    # adapter republishes nothing, loses nothing
+    pub2 = SegmentPublisher(seg, PAYLOAD)
+    src2 = SqliteChangeSource(db, cursor=pub2.source_cursor)
+    assert pump(src2, pub2, max_rounds=2, poll_interval=0.0) == 0
+
+
+def test_pump_cursor_excludes_held_back_records(ray_session, tmp_path):
+    """If the adapter crashes after publishing the ready prefix while a
+    txn run is held back, resume must re-poll the held-back rows (the
+    committed cursor is the last PUBLISHED record's seq)."""
+    db = str(tmp_path / "outbox.db")
+    seg = str(tmp_path / "segments")
+    _mk_outbox(db)
+    recs = [
+        {"op": "I", "doc_id": "a1", "after": {"doc_id": "a1", "val": "1"}, "txn_id": 1},
+        {"op": "I", "doc_id": "a2", "after": {"doc_id": "a2", "val": "2"}, "txn_id": 1},
+        {"op": "I", "doc_id": "b1", "after": {"doc_id": "b1", "val": "3"}, "txn_id": 2},
+    ]
+    _insert(db, recs)
+    src = SqliteChangeSource(db)
+    pub = SegmentPublisher(seg, PAYLOAD)
+    # a max_rounds stop is GRACEFUL: ready prefix + held-back carry
+    # land as two segments, each sidecar carrying the cursor of ITS
+    # last published record (2, then 3)
+    pump(src, pub, max_rounds=1, poll_interval=0.0)
+    paths = discover_segments(seg)
+    assert len(paths) == 2
+    from clever_canal_ray.sources.segments import load_segment_plan
+
+    assert load_segment_plan(paths[0])["source_cursor"] == 2
+    assert load_segment_plan(paths[1])["source_cursor"] == 3
+    # CRASH window: the carry segment never made it to disk — resume
+    # from the FIRST segment's cursor must re-poll exactly the carry
+    os.remove(paths[1])
+    os.remove(paths[1] + ".plan.json")
+    pub2 = SegmentPublisher(seg, PAYLOAD)
+    assert pub2.source_cursor == 2  # last PUBLISHED seq, not the poll cursor
+    src2 = SqliteChangeSource(db, cursor=pub2.source_cursor)
+    n = pump(src2, pub2, poll_interval=0.0, idle_rounds_to_stop=2)
+    assert n == 1  # exactly the held-back record, once
+    total = sum(pq.read_metadata(p).num_rows for p in discover_segments(seg))
+    assert total == 3

@@ -148,3 +148,20 @@ def test_standalone_exposition_no_inputs():
         assert f"# TYPE {fam} " in text, fam
     assert _value(text, "canal_instance_put_rows") == 0
     assert _value(text, "canal_instance_subscriptions") == 0
+
+
+def test_label_values_are_escaped():
+    """A hostile/accidental client id with quotes or newlines must not
+    invalidate the whole scrape (label-value escaping)."""
+    from clever_canal_ray.prometheus import instance_families
+
+    text = instance_families(
+        instance="canal",
+        client_stats={'evil"} 1\nbogus 2': {"subscribed": True, "delivered_rows": 3}},
+    )
+    # the raw quote/newline never appear unescaped inside a label
+    assert 'clientId="evil\\"} 1\\nbogus 2"' in text
+    for ln in text.splitlines():
+        if ln.startswith("#"):
+            continue
+        assert ln.count(" ") >= 1 and not ln.startswith("bogus"), ln

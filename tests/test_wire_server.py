@@ -887,3 +887,20 @@ def test_cluster_consumer_auth_and_all_down(fx, tmp_path):
                 s.stop()
             except Exception:
                 pass
+
+
+def test_credentialed_client_against_open_server_fails_fast(fx, server):
+    """A client configured WITH credentials against an auth-DISABLED
+    server must fail in ~5s with a pointed AuthError, not hang for the
+    full socket timeout waiting for a handshake that never comes."""
+    import time as _time
+
+    from clever_canal_ray.server import AuthError
+
+    t0 = _time.monotonic()
+    with pytest.raises(AuthError, match="not auth-enabled"):
+        WireConsumer(
+            server.host, server.port, client_id="x", timeout=30.0,
+            username="u", password="p",
+        )
+    assert _time.monotonic() - t0 < 10.0

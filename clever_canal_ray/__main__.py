@@ -137,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         "--auth", nargs="+", default=None, metavar="USER:PASSWORD",
         help="require the scramble auth handshake; repeatable user:password pairs",
     )
+    sv.add_argument(
+        "--metrics-port", type=int, default=None,
+        help="also serve GET /metrics (prometheus text) on this HTTP port",
+    )
 
     mx = sub.add_parser("scrape-metrics")  # prometheus scrape of a running server
     mx.add_argument("--host", default="127.0.0.1")
@@ -390,9 +394,13 @@ def main(argv: list[str] | None = None) -> int:
             args.journal, args.state, host=args.host, port=args.port,
             lake_dir=args.lake, users=users,
         )
+        endpoint = {"host": srv.host, "port": srv.port}
+        if args.metrics_port is not None:
+            mh, mp = srv.start_metrics_http(args.metrics_port)
+            endpoint["metrics_port"] = mp
         # announce the bound endpoint FIRST (port=0 binds an ephemeral
         # port) so a supervising process can connect, then block
-        print(json.dumps({"host": srv.host, "port": srv.port}), flush=True)
+        print(json.dumps(endpoint), flush=True)
         try:
             srv.serve_forever()
         except KeyboardInterrupt:  # pragma: no cover

@@ -276,12 +276,53 @@ class ConsumerServer:
         self._thread.start()
         return self.host, self.port
 
+    def start_metrics_http(self, port: int = 0, host: str = "127.0.0.1") -> tuple[str, int]:
+        """Serve ``GET /metrics`` over plain HTTP — the reference's
+        PrometheusService exporter (PrometheusService.java HTTPServer):
+        point a real Prometheus scrape job here. Unauthenticated by
+        convention (scrapes run inside the monitoring perimeter), like
+        the reference's exporter port."""
+        import http.server
+
+        outer = self
+
+        class MetricsHandler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - stdlib API name
+                if self.path.split("?")[0].rstrip("/") not in ("", "/metrics"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = outer.prometheus_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        class MetricsServer(http.server.ThreadingHTTPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._metrics_http = MetricsServer((host, port), MetricsHandler)
+        t = threading.Thread(target=self._metrics_http.serve_forever, daemon=True)
+        t.start()
+        self._metrics_http_thread = t
+        return self._metrics_http.server_address
+
     def stop(self) -> None:
         """Stop like a dying node: close the listener AND sever every
         live session (a merely-unlistening server would keep serving
         old connections forever, masking failover bugs)."""
         self._server.shutdown()
         self._server.server_close()
+        if getattr(self, "_metrics_http", None) is not None:
+            self._metrics_http.shutdown()
+            self._metrics_http.server_close()
+            self._metrics_http_thread.join(timeout=5)
+            self._metrics_http = None
         for s in list(self._open_socks):
             try:
                 s.shutdown(socket.SHUT_RDWR)

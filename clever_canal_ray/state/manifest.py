@@ -1684,6 +1684,17 @@ class Lake:
             for info in m.partitions.values():
                 live.update(info["files"])
             m = self._load_parent(m)
+        # manifest objects REACHABLE from the pointer (full chain walk,
+        # O(versions) small JSON reads): these stay retained — a mirror
+        # lagging past keep_manifests can still plan read_changes from
+        # them. Everything else is a CAS loser / crashed writer /
+        # rollback-abandoned timeline: a true orphan.
+        keep_objs: set[str] = set()
+        m = cur
+        while m is not None:
+            keep_objs.add(getattr(m, "_obj_name", f"manifest-{m.version:08d}.json"))
+            keep_objs.add(f"manifest-{m.version:08d}.json")  # legacy twin
+            m = self._load_parent(m)
         removed = 0
         freed = 0
         spared = 0
@@ -1707,11 +1718,33 @@ class Lake:
                     freed += self.storage.size(p)
                     self.storage.delete(p)
                     removed += 1
+        # orphan-manifest GC: CAS losers and writers that died between
+        # PUT and swap leave uniquely-named unreachable objects (and
+        # rollback abandons whole timelines); harmless individually but
+        # they accumulate forever without this sweep. min_age spares an
+        # IN-FLIGHT commit's freshly-PUT (not yet swapped-in) manifest.
+        manifests_removed = 0
+        for name in self.storage.list_names(self.manifest_dir):
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            if name in keep_objs:
+                continue
+            p = os.path.join(self.manifest_dir, name)
+            try:
+                if now - self.storage.mtime(p) < min_age_sec:
+                    spared += 1
+                    continue
+                freed += self.storage.size(p)
+                self.storage.delete(p)
+                manifests_removed += 1
+            except OSError:  # racing another gc
+                continue
         return {
             "files_removed": removed,
             "bytes_freed": freed,
             "files_live": len(live),
             "files_spared_young": spared,
+            "manifests_removed": manifests_removed,
         }
 
     def prometheus_metrics(self) -> str:

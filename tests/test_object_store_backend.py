@@ -268,3 +268,46 @@ def test_storage_marker_resolution(tmp_path):
     assert storage_for(d).name == "posix"  # default / absent marker
     ObjectStoreStorage.format(d)
     assert storage_for(d).name == "objectstore"
+
+
+def test_gc_sweeps_orphan_manifests_keeps_chain(ray_session, fx, tmp_path):
+    """gc() removes manifest objects UNREACHABLE from the pointer (CAS
+    losers, crashed writers, rollback-abandoned timelines) but retains
+    every chain manifest — even beyond keep_manifests, so a lagging
+    mirror can still plan from them."""
+    import copy
+
+    spec, info, lake_tbl, oracle = fx
+    lake = _mk_lake(tmp_path, lake_tbl, "objectstore", n_parts=2)
+    m = lake.current()
+    for b in range(4):
+        m = lake.commit_batch(m, batch_id=b, new_hwm=(0, b + 1), touched={})
+    # orphan 1: a CAS loser's manifest object
+    loser = copy.deepcopy(m)
+    loser.version = m.version + 1
+    name_loser = lake._write_manifest(loser, parent=getattr(m, "_obj_name", ""))
+    with pytest.raises(Exception):
+        lake._swap_current(name_loser, expected="something-stale")
+    # orphan 2: a rollback-abandoned tip
+    old_tip = lake.current()
+    lake.rollback_to_version(m.version - 1)
+    m2 = lake.commit_batch(lake.current(), batch_id=9, new_hwm=(0, 99), touched={})
+
+    before = [
+        f for f in os.listdir(lake.manifest_dir) if f.startswith("manifest-")
+    ]
+    assert name_loser in before and getattr(old_tip, "_obj_name") in before
+    res = lake.gc(keep_manifests=2, min_age_sec=0.0)
+    after = [f for f in os.listdir(lake.manifest_dir) if f.startswith("manifest-")]
+    assert res["manifests_removed"] >= 2
+    assert name_loser not in after
+    assert getattr(old_tip, "_obj_name") not in after
+    # the FULL committed chain survives (beyond keep_manifests)
+    mm = lake.current()
+    chain = []
+    while mm is not None:
+        chain.append(getattr(mm, "_obj_name"))
+        mm = lake._load_parent(mm)
+    assert all(c in after for c in chain) and len(chain) >= 4
+    assert lake.current().version == m2.version  # state intact
+    assert lake.manifest_at(0).version == 0  # deep time-travel intact

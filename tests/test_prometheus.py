@@ -165,3 +165,27 @@ def test_label_values_are_escaped():
         if ln.startswith("#"):
             continue
         assert ln.count(" ") >= 1 and not ln.startswith("bogus"), ln
+
+
+def test_http_metrics_endpoint(served):
+    """Real HTTP scrape path (PrometheusService exporter analog): GET
+    /metrics serves the full family set with the prometheus content
+    type; other paths 404."""
+    import urllib.request
+
+    srv, c, total, acked_rows, _ = served
+    host, port = srv.start_metrics_http(0)
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/metrics", timeout=10) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        for fam in REFERENCE_FAMILIES:
+            assert f"# TYPE {fam} " in text, fam
+        assert _value(text, "canal_instance_put_rows") == total
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://{host}:{port}/nope", timeout=10)
+    finally:
+        pass  # srv.stop() in the fixture also closes the HTTP exporter

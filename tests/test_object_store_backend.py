@@ -23,7 +23,7 @@ from clever_canal_ray.fixtures.generator import (
 )
 from clever_canal_ray.oracle import apply_events_serial
 from clever_canal_ray.pipelines.replay import replay
-from clever_canal_ray.state.manifest import CommitConflictError, Lake
+from clever_canal_ray.state.manifest import CommitConflictError, DuplicateCommitError, Lake
 from clever_canal_ray.state.storage import (
     ObjectStoreStorage,
     PosixStorage,
@@ -311,3 +311,55 @@ def test_gc_sweeps_orphan_manifests_keeps_chain(ray_session, fx, tmp_path):
     assert all(c in after for c in chain) and len(chain) >= 4
     assert lake.current().version == m2.version  # state intact
     assert lake.manifest_at(0).version == 0  # deep time-travel intact
+
+
+@pytest.mark.parametrize("backend", ["posix", "objectstore"])
+def test_many_writer_commit_stress(ray_session, fx, tmp_path, backend):
+    """4 writers x 20 commits each, all racing the pointer CAS with the
+    documented retry-on-conflict loop: every batch lands exactly once,
+    versions are gapless, and the final chain is walkable end to end."""
+    spec, info, lake_tbl, _ = fx
+    lake = _mk_lake(tmp_path, lake_tbl, backend, n_parts=2)
+    n_writers, per_writer = 4, 20
+    errors: list = []
+
+    def writer(w: int):
+        h = Lake(lake.dir)
+        for _ in range(per_writer):
+            # batch id comes from the REFRESHED base each attempt (the
+            # engine's batch-id stream is totally ordered; a racing
+            # writer that loses the CAS re-reads and re-numbers)
+            for attempt in range(400):
+                base = h.current()
+                bid = base.last_batch_id + 1
+                try:
+                    h.commit_batch(
+                        base, batch_id=bid, new_hwm=(0, bid + 1), touched={},
+                        metrics={"writer": w},
+                    )
+                    break
+                except (CommitConflictError, DuplicateCommitError):
+                    continue  # lost the race; refreshed base next loop
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+            else:
+                errors.append(RuntimeError(f"writer {w} starved"))
+                return
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors[:3]
+    total = n_writers * per_writer
+    cur = lake.current()
+    assert cur.version == total  # gapless: one version per commit
+    led = lake.full_ledger()
+    assert [r["batch_id"] for r in led] == list(range(total))  # exactly once
+    # chain walk reaches v0 (every parent link intact under the race)
+    m, steps = cur, 0
+    while m.version > 0:
+        m = lake._load_parent(m)
+        assert m is not None, f"chain broken at step {steps}"
+        steps += 1
+    assert steps == total

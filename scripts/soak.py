@@ -63,6 +63,13 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000, mean_tokens: int
         seed=1000, n_initial_docs=n_initial, n_events=events_per_chunk,
         n_segments=32, include_before=False, mean_tokens=mean_tokens,
     )
+    # CCR_SOAK_BACKEND=objectstore runs the whole soak on the
+    # object-store storage contract (CAS pointer, per-record ledger
+    # objects) — the shared-storage depth proof
+    if os.environ.get("CCR_SOAK_BACKEND") == "objectstore":
+        from clever_canal_ray.state.storage import ObjectStoreStorage
+
+        ObjectStoreStorage.format(os.path.join(root, "lake"))
     lake = Lake.create(os.path.join(root, "lake"), generate_lake(base_spec), num_partitions=64)
     cfg = ReplayConfig(
         num_partitions=64, segments_per_batch=8, batch_size=131_072,
@@ -114,8 +121,13 @@ def main(n_chunks: int = 3, events_per_chunk: int = 16_000_000, mean_tokens: int
                 # with stream length (ring ledger); full history lives in
                 # the append-only jsonl sidecar
                 "manifest_bytes": os.path.getsize(mpath),
-                "ledger_jsonl_bytes": os.path.getsize(
-                    os.path.join(lake.manifest_dir, "ledger.jsonl")
+                "ledger_jsonl_bytes": (
+                    os.path.getsize(os.path.join(lake.manifest_dir, "ledger.jsonl"))
+                    if os.path.exists(os.path.join(lake.manifest_dir, "ledger.jsonl"))
+                    else sum(  # objectstore backend: per-record objects
+                        os.path.getsize(os.path.join(lake.manifest_dir, "ledger.jsonl.d", f))
+                        for f in os.listdir(os.path.join(lake.manifest_dir, "ledger.jsonl.d"))
+                    )
                 ),
             }
         )

@@ -396,7 +396,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         endpoint = {"host": srv.host, "port": srv.port}
         if args.metrics_port is not None:
-            mh, mp = srv.start_metrics_http(args.metrics_port)
+            mh, mp = srv.start_metrics_http(args.metrics_port, host=args.host)
             endpoint["metrics_port"] = mp
         # announce the bound endpoint FIRST (port=0 binds an ephemeral
         # port) so a supervising process can connect, then block

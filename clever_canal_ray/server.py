@@ -635,6 +635,7 @@ class WireConsumer:
         timeout: float = 30.0,
         username: str | None = None,
         password: str | None = None,
+        handshake_timeout: float = 5.0,
     ):
         self.client_id = client_id
         # mirrors ChangeConsumer.delivered_position (updated on each
@@ -648,14 +649,16 @@ class WireConsumer:
             # Bounded wait: an auth-DISABLED server sends no handshake
             # and sits waiting for our first request — fail fast with a
             # pointed message instead of the full socket timeout.
+            hs_to = handshake_timeout if timeout is None else min(timeout, handshake_timeout)
             old_to = self._sock.gettimeout()
-            self._sock.settimeout(min(timeout, 5.0))
+            self._sock.settimeout(hs_to)
             try:
                 raw = _recv_frame(self._sock)
             except (TimeoutError, socket.timeout):
                 raise AuthError(
-                    "no auth handshake from server within 5s — the server "
-                    "is not auth-enabled; omit username/password"
+                    f"no auth handshake from server within {hs_to:g}s — the "
+                    "server is likely not auth-enabled (omit username/"
+                    "password); if it is just slow, raise handshake_timeout"
                 ) from None
             finally:
                 self._sock.settimeout(old_to)
@@ -881,8 +884,15 @@ class ClusterWireConsumer:
                     password=self._auth[1],
                 )
                 return
-            except (OSError, ConnectionError) as e:
+            except (OSError, ConnectionError, AuthError) as e:
+                # AuthError here = ONE node rejected/misconfigured (e.g.
+                # a rolling --auth change): try the next endpoint like
+                # any dead node rather than aborting the failover class
                 last_err = e
+        if isinstance(last_err, AuthError):
+            # every endpoint refused the credentials: retrying cannot
+            # help — surface the credential problem, loudly
+            raise last_err
         raise ConnectionError(f"no server endpoint reachable: {last_err}")
 
     def _restart(self, resubscribe_rollback: bool) -> None:

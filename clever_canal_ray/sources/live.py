@@ -302,6 +302,7 @@ def pump(
     max_rounds: int | None = None,
     idle_rounds_to_stop: int | None = None,
     max_records_per_segment: int = 50_000,
+    carry_flush_idle_rounds: int = 3,
 ) -> int:
     """The adapter daemon: poll the external cursor, publish settled
     segments, repeat — the EventParser dump-loop analog. Returns the
@@ -312,12 +313,26 @@ def pump(
     EXTERNAL transaction mid-run; committing the prefix would publish a
     half-transaction the replay planner then applies atomically —
     wrongly. The trailing run of records sharing the newest external
-    txn_id is therefore HELD BACK until a later poll shows a different
-    txn_id after it (the run is provably complete), or until the source
-    goes idle/exhausted (an outbox writes each txn's rows in ONE SQL
-    transaction, so quiescence means the run is complete; a socket
-    source relies on upstream at-least-once replay, like every Canal MQ
-    sink)."""
+    txn_id is therefore HELD BACK until one of:
+
+    - a later poll shows a different txn_id after it (provably
+      complete);
+    - ``carry_flush_idle_rounds`` CONSECUTIVE empty polls (quiescence —
+      several rounds, not one, so a merely SLOW upstream mid-txn
+      doesn't get a half-commit; an outbox writes each txn's rows in
+      one SQL transaction, so sustained silence means the run landed);
+    - the source is exhausted (EOF) or an idle-stop fires (same
+      quiescence argument).
+
+    A ``max_rounds`` stop does NOT flush the carry: a replayable source
+    (``_seq``-stamped outbox) simply re-polls it on resume — stranding
+    is safe, a premature commit is not.
+
+    Cursor rule: each published segment's sidecar carries the cursor of
+    its own LAST record (``_seq``), so held-back records are never
+    skipped on resume; sources without ``_seq`` keep the previous
+    bookmark while a carry is pending (at-least-once) instead of
+    clobbering it."""
     published = 0
     rounds = 0
     idle = 0
@@ -330,8 +345,15 @@ def pump(
             # the source's own cursor may already cover held-back carry
             # records, and skipping those on resume would lose data
             cur = records[-1].get("_seq")
-            if cur is None and not carry:
-                cur = getattr(source, "cursor", None)
+            if cur is None:
+                cur = (
+                    getattr(source, "cursor", None)
+                    if not carry
+                    # carry pending and no per-record seqs: keep the old
+                    # bookmark (resume re-polls, at-least-once) rather
+                    # than clobbering it with None
+                    else publisher.source_cursor
+                )
             publisher.publish(records, source_cursor=cur)
             published += len(records)
 
@@ -344,17 +366,18 @@ def pump(
             flush(ready)
         else:
             idle += 1
-            if carry:
-                # source quiesced: the held-back run is complete
+            if carry and idle >= carry_flush_idle_rounds:
+                # sustained quiescence: the held-back run is complete
                 flush(carry)
                 carry = []
         rounds += 1
-        stop = (
-            (max_rounds is not None and rounds >= max_rounds)
-            or (idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop)
-            or getattr(source, "exhausted", False)
-        )
-        if stop:
-            flush(carry)  # never strand the tail on shutdown
+        hit_max = max_rounds is not None and rounds >= max_rounds
+        quiesced = (
+            idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop
+        ) or getattr(source, "exhausted", False)
+        if hit_max or quiesced:
+            if quiesced:
+                flush(carry)  # EOF / idle-stop: the tail is complete
+            # max_rounds: strand the carry — a resume re-polls it
             return published
         time.sleep(poll_interval)

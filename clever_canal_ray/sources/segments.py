@@ -110,7 +110,9 @@ def find_start_position(paths_or_dirs, ts_ms: int) -> tuple[int, int]:
     if isinstance(paths_or_dirs, str) or (
         isinstance(paths_or_dirs, list) and paths_or_dirs and os.path.isdir(paths_or_dirs[0])
     ):
-        paths = discover_segments(paths_or_dirs)
+        # consumer-side seek: tolerate a shard dir whose publisher
+        # hasn't started yet (same rule as the get/long-poll path)
+        paths = discover_segments(paths_or_dirs, missing_ok=True)
     else:
         paths = list(paths_or_dirs)
     if not paths:

@@ -1725,7 +1725,12 @@ class Lake:
         # IN-FLIGHT commit's freshly-PUT (not yet swapped-in) manifest.
         manifests_removed = 0
         for name in self.storage.list_names(self.manifest_dir):
-            if not (name.startswith("manifest-") and name.endswith(".json")):
+            # sweep scope: manifest objects AND put_text temp debris
+            # (".tmp.<hex>" left by a writer that died mid-PUT — the
+            # same crashed-writer class, one rename earlier)
+            is_manifest = name.startswith("manifest-") and name.endswith(".json")
+            is_tmp_debris = ".tmp." in name
+            if not (is_manifest or is_tmp_debris):
                 continue
             if name in keep_objs:
                 continue

@@ -239,8 +239,23 @@ class _FileLock:
                     broken = f"{self.path}.broken.{uuid.uuid4().hex}"
                     try:
                         os.rename(self.path, broken)
-                        os.remove(broken)
                     except FileNotFoundError:
+                        continue
+                    try:
+                        # TOCTOU re-check: if the renamed file is FRESH,
+                        # the stalled holder released and a successor
+                        # acquired between our mtime check and the
+                        # rename — restore the live lock instead of
+                        # breaking it (restore failing means yet another
+                        # writer claimed the name; drop our copy)
+                        if time.time() - os.path.getmtime(broken) <= _LOCK_STALE_SEC:
+                            try:
+                                os.rename(broken, self.path)
+                            except OSError:
+                                os.remove(broken)
+                            continue
+                        os.remove(broken)
+                    except FileNotFoundError:  # pragma: no cover
                         pass
                     continue
                 if time.monotonic() > deadline:

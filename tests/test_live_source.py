@@ -391,24 +391,60 @@ def test_pump_cursor_excludes_held_back_records(ray_session, tmp_path):
     _insert(db, recs)
     src = SqliteChangeSource(db)
     pub = SegmentPublisher(seg, PAYLOAD)
-    # a max_rounds stop is GRACEFUL: ready prefix + held-back carry
-    # land as two segments, each sidecar carrying the cursor of ITS
-    # last published record (2, then 3)
+    # a max_rounds stop STRANDS the held-back carry (publishing it
+    # could commit a half-transaction); only the ready prefix lands,
+    # its sidecar carrying the cursor of its own last record
     pump(src, pub, max_rounds=1, poll_interval=0.0)
     paths = discover_segments(seg)
-    assert len(paths) == 2
+    assert len(paths) == 1
     from clever_canal_ray.sources.segments import load_segment_plan
 
     assert load_segment_plan(paths[0])["source_cursor"] == 2
-    assert load_segment_plan(paths[1])["source_cursor"] == 3
-    # CRASH window: the carry segment never made it to disk — resume
-    # from the FIRST segment's cursor must re-poll exactly the carry
-    os.remove(paths[1])
-    os.remove(paths[1] + ".plan.json")
+    assert pub.source_cursor == 2  # last PUBLISHED seq, not the poll cursor (3)
+    # resume (fresh adapter, as after a crash): re-polls exactly the
+    # stranded carry, once
     pub2 = SegmentPublisher(seg, PAYLOAD)
-    assert pub2.source_cursor == 2  # last PUBLISHED seq, not the poll cursor
+    assert pub2.source_cursor == 2
     src2 = SqliteChangeSource(db, cursor=pub2.source_cursor)
-    n = pump(src2, pub2, poll_interval=0.0, idle_rounds_to_stop=2)
-    assert n == 1  # exactly the held-back record, once
+    n = pump(src2, pub2, poll_interval=0.0, idle_rounds_to_stop=4)
+    assert n == 1
     total = sum(pq.read_metadata(p).num_rows for p in discover_segments(seg))
     assert total == 3
+
+
+def test_pump_slow_source_does_not_half_commit(ray_session, tmp_path):
+    """REGRESSION (round-5 follow-up review): ONE empty poll (a merely
+    slow upstream mid-transaction) must NOT flush the held-back run —
+    only sustained quiescence (carry_flush_idle_rounds) may."""
+    seg = str(tmp_path / "segments")
+
+    class Scripted:
+        def __init__(self, polls):
+            self.polls = list(polls)
+            self.cursor = 0
+
+        def poll(self, limit=10_000):
+            out = self.polls.pop(0) if self.polls else []
+            self.cursor += len(out)
+            return out
+
+    t9a = [{"op": "I", "doc_id": f"x{i}", "after": {"doc_id": f"x{i}", "val": "a"},
+            "txn_id": 9} for i in range(2)]
+    t9b = [{"op": "I", "doc_id": "x2", "after": {"doc_id": "x2", "val": "a"},
+            "txn_id": 9}]
+    t10 = [{"op": "I", "doc_id": "y0", "after": {"doc_id": "y0", "val": "b"},
+            "txn_id": 10}]
+    # poll sequence: first half of txn 9; ONE stall; rest of txn 9 + txn 10
+    src = Scripted([t9a, [], t9b + t10])
+    pub = SegmentPublisher(seg, PAYLOAD)
+    pump(src, pub, poll_interval=0.0, idle_rounds_to_stop=4)
+    tables = [pq.read_table(p) for p in discover_segments(seg)]
+    rows = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    txn = rows["txn_id"].to_pylist()
+    # ALL of external txn 9 shares ONE internal txn id (never split by
+    # the stall), and its commit sits on its true last row
+    t9_ids = {x for x, d in zip(txn, rows["doc_id"].to_pylist()) if d.startswith("x")}
+    assert len(t9_ids) == 1, txn
+    commit = rows["txn_commit"].to_pylist()
+    for i in range(len(txn)):
+        assert commit[i] == (i + 1 == len(txn) or txn[i + 1] != txn[i])

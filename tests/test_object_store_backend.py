@@ -297,9 +297,13 @@ def test_gc_sweeps_orphan_manifests_keeps_chain(ray_session, fx, tmp_path):
         f for f in os.listdir(lake.manifest_dir) if f.startswith("manifest-")
     ]
     assert name_loser in before and getattr(old_tip, "_obj_name") in before
+    # plus put_text temp debris from a writer that died mid-PUT
+    with open(os.path.join(lake.manifest_dir, "manifest-00000099-dead.json.tmp.ff00"), "w") as f:
+        f.write("{}")
     res = lake.gc(keep_manifests=2, min_age_sec=0.0)
     after = [f for f in os.listdir(lake.manifest_dir) if f.startswith("manifest-")]
-    assert res["manifests_removed"] >= 2
+    assert res["manifests_removed"] >= 3  # both orphans AND the tmp debris
+    assert not any(".tmp." in f for f in after)
     assert name_loser not in after
     assert getattr(old_tip, "_obj_name") not in after
     # the FULL committed chain survives (beyond keep_manifests)

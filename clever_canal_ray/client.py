@@ -37,7 +37,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from typing import Optional
 
 import numpy as np
@@ -68,6 +67,14 @@ class ChangeConsumer:
         self.client_id = client_id
         self.cfg = cfg or ReplayConfig()
         os.makedirs(state_dir, exist_ok=True)
+        # pluggable persistence (FileMixedMetaManager / zk-meta analog):
+        # a state_dir stamped by ObjectStoreStorage.format_state keeps
+        # the cursor on object-store semantics — each mutation is one
+        # atomic full-object PUT (same cost shape as the reference's
+        # per-ack zk write); POSIX (default) is tmp+rename as before
+        from clever_canal_ray.state.storage import storage_for_state
+
+        self.storage = storage_for_state(state_dir)
         self._meta_path = os.path.join(state_dir, f"meta-{client_id}.json")
         self._cursor: tuple[int, int] = (-1, -1)  # durable acked position
         self._delivered: tuple[int, int] = (-1, -1)  # position after last get
@@ -93,9 +100,8 @@ class ChangeConsumer:
     # -- persistence (meta.dat.json analog) -------------------------------
 
     def _load(self) -> None:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                d = json.load(f)
+        if self.storage.exists(self._meta_path):
+            d = json.loads(self.storage.get_text(self._meta_path))
             self._cursor = tuple(d["cursor"])
             self._delivered = tuple(d.get("delivered", d["cursor"]))
             self._inflight = d["inflight"]
@@ -108,9 +114,9 @@ class ChangeConsumer:
             self._last_acked_ts_ms = int(d.get("last_acked_ts_ms", 0))
 
     def _persist(self) -> None:
-        tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
+        self.storage.put_text(
+            self._meta_path,
+            json.dumps(
                 {
                     "cursor": list(self._cursor),
                     "delivered": list(self._delivered),
@@ -124,10 +130,9 @@ class ChangeConsumer:
                     "empty_gets": self._empty_gets,
                     "last_delivered_ts_ms": self._last_delivered_ts_ms,
                     "last_acked_ts_ms": self._last_acked_ts_ms,
-                },
-                f,
-            )
-        os.replace(tmp, self._meta_path)
+                }
+            ),
+        )
 
     # -- protocol ---------------------------------------------------------
 

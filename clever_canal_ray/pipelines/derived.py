@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Optional
 
 import numpy as np
@@ -94,6 +93,9 @@ class AggregateMaintainer:
         self.key_col = key_col
         self.sum_cols = tuple(sum_cols)
         os.makedirs(state_dir, exist_ok=True)
+        from clever_canal_ray.state.storage import storage_for_state
+
+        self.storage = storage_for_state(state_dir)  # posix or objectstore
         self._state_path = os.path.join(state_dir, f"agg-{client_id}.json")
         self.consumer = consumer if consumer is not None else ChangeConsumer(
             journal_dirs, state_dir, client_id=f"c-{client_id}", cfg=cfg
@@ -109,9 +111,8 @@ class AggregateMaintainer:
     # -- persistence -------------------------------------------------------
 
     def _load(self) -> None:
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                d = json.load(f)
+        if self.storage.exists(self._state_path):
+            d = json.loads(self.storage.get_text(self._state_path))
             if d["key_col"] != self.key_col or tuple(d["sum_cols"]) != self.sum_cols:
                 raise ValueError(
                     f"state at {self._state_path} maintains "
@@ -124,9 +125,11 @@ class AggregateMaintainer:
             self._ud_with_before = int(d.get("ud_with_before", 0))
 
     def _persist(self) -> None:
-        tmp = self._state_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
+        # atomic full-object PUT through the pluggable backend (posix:
+        # tmp+rename; object store: native PUT atomicity)
+        self.storage.put_text(
+            self._state_path,
+            json.dumps(
                 {
                     "key_col": self.key_col,
                     "sum_cols": list(self.sum_cols),
@@ -134,10 +137,9 @@ class AggregateMaintainer:
                     "applied_pos": self._applied_pos,
                     "ud_seen": self._ud_seen,
                     "ud_with_before": self._ud_with_before,
-                },
-                f,
-            )
-        os.replace(tmp, self._state_path)  # atomic, like the manifest swap
+                }
+            ),
+        )
 
     def seed(self, table: pa.Table) -> None:
         """Fold the table's rows in as inserts — bootstrap the aggregate

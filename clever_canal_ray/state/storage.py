@@ -160,10 +160,16 @@ class ObjectStoreStorage(PosixStorage):
         """Stamp ``lake_dir`` as object-store-backed (call BEFORE
         ``Lake.create``); every later ``Lake(dir)`` resolves this
         backend via :func:`storage_for`."""
-        mdir = os.path.join(lake_dir, "_manifest")
-        os.makedirs(mdir, exist_ok=True)
+        return ObjectStoreStorage.format_state(os.path.join(lake_dir, "_manifest"))
+
+    @staticmethod
+    def format_state(state_dir: str) -> "ObjectStoreStorage":
+        """Stamp a plain state directory (consumer meta / derived
+        state) as object-store-backed; resolved by
+        :func:`storage_for_state`."""
+        os.makedirs(state_dir, exist_ok=True)
         st = ObjectStoreStorage()
-        st.put_text(os.path.join(mdir, ObjectStoreStorage.MARKER), st.name)
+        st.put_text(os.path.join(state_dir, ObjectStoreStorage.MARKER), st.name)
         return st
 
     # put_text: a real adapter issues a single PUT (natively atomic);
@@ -277,7 +283,14 @@ class _FileLock:
 def storage_for(lake_dir: str):
     """Resolve the backend a lake was created with (the ``_STORAGE``
     marker), defaulting to POSIX. Cheap: one existence probe."""
-    marker = os.path.join(lake_dir, "_manifest", ObjectStoreStorage.MARKER)
+    return storage_for_state(os.path.join(lake_dir, "_manifest"))
+
+
+def storage_for_state(state_dir: str):
+    """Backend resolution for a plain state directory (consumer meta,
+    derived-aggregate state): the marker sits directly in the dir.
+    ``ObjectStoreStorage.format_state(dir)`` stamps it."""
+    marker = os.path.join(state_dir, ObjectStoreStorage.MARKER)
     try:
         with open(marker) as f:
             name = f.read().strip()

@@ -430,3 +430,80 @@ def test_cross_corpus_dedup_property(ray_session, seed, n_new, n_ref, vocab):
     expect = sorted(new[~new["text"].isin(ref_texts)]["doc_id"])
     have = sorted(got["doc_id"]) if len(got) else []
     assert have == expect
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_txns=st.integers(1, 12),
+    data=st.data(),
+)
+def test_live_pump_txn_framing_property(tmp_path_factory, seed, n_txns, data):
+    """ANY sequence of external transactions chopped at ANY poll
+    boundaries: pump publishes every record exactly once, in order,
+    each external txn maps to exactly ONE internal txn (never split),
+    and commit flags sit on true txn-last rows only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clever_canal_ray.schema import lake_schema
+    from clever_canal_ray.sources.live import SegmentPublisher, pump
+    from clever_canal_ray.sources.segments import discover_segments
+
+    BASE = {"op": "base_schema", "fields": [["doc_id", "string"], ["val", "string"]]}
+    PAYLOAD = lake_schema([BASE])
+    rng = np.random.default_rng(seed)
+    recs = []
+    for t in range(n_txns):
+        for i in range(int(rng.integers(1, 6))):
+            d = f"t{t}_r{i}"
+            recs.append(
+                {"op": "I", "doc_id": d, "after": {"doc_id": d, "val": "x"},
+                 "txn_id": 100 + t, "_seq": len(recs) + 1}
+            )
+    # chop into arbitrary non-empty polls
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, max(len(recs) - 1, 1)), max_size=min(6, len(recs) - 1))
+        )
+    ) if len(recs) > 1 else []
+    polls = [recs[a:b] for a, b in zip([0] + cuts, cuts + [len(recs)])]
+
+    class Scripted:
+        def __init__(self, polls):
+            self.polls = list(polls)
+            self.cursor = 0
+
+        def poll(self, limit=10_000):
+            out = self.polls.pop(0) if self.polls else []
+            self.cursor += len(out)
+            return out
+
+    seg = str(tmp_path_factory.mktemp("live_prop"))
+    pub = SegmentPublisher(seg, PAYLOAD)
+    n = pump(Scripted(polls), pub, poll_interval=0.0, idle_rounds_to_stop=4)
+    assert n == len(recs)
+    tabs = [pq.read_table(p) for p in discover_segments(seg)]
+    t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    assert t.num_rows == len(recs)
+    # exactly once, in order
+    assert t["doc_id"].to_pylist() == [r["doc_id"] for r in recs]
+    txn = t["txn_id"].to_pylist()
+    commit = t["txn_commit"].to_pylist()
+    # each EXTERNAL txn -> exactly one internal id, contiguous
+    ext = [r["txn_id"] for r in recs]
+    mapping: dict = {}
+    for e, i in zip(ext, txn):
+        mapping.setdefault(e, set()).add(i)
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    # distinct external txns never share an internal id
+    ids = [next(iter(v)) for v in mapping.values()]
+    assert len(ids) == len(set(ids))
+    # commit on true last rows only
+    for i in range(len(txn)):
+        assert commit[i] == (i + 1 == len(txn) or txn[i + 1] != txn[i])

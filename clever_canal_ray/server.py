@@ -649,30 +649,37 @@ class WireConsumer:
             # Bounded wait: an auth-DISABLED server sends no handshake
             # and sits waiting for our first request — fail fast with a
             # pointed message instead of the full socket timeout.
-            hs_to = handshake_timeout if timeout is None else min(timeout, handshake_timeout)
-            old_to = self._sock.gettimeout()
-            self._sock.settimeout(hs_to)
+            # Any handshake failure CLOSES the socket before raising —
+            # ClusterWireConsumer rotates endpoints through this path
+            # and must not leak one open fd per failed node per sweep.
             try:
-                raw = _recv_frame(self._sock)
-            except (TimeoutError, socket.timeout):
-                raise AuthError(
-                    f"no auth handshake from server within {hs_to:g}s — the "
-                    "server is likely not auth-enabled (omit username/"
-                    "password); if it is just slow, raise handshake_timeout"
-                ) from None
-            finally:
-                self._sock.settimeout(old_to)
-            if raw is None:
-                raise ConnectionError("server closed during handshake")
-            hs = json.loads(raw)
-            if not hs.get("handshake"):
-                raise AuthError("server did not offer an auth handshake")
-            token = _scramble_token(password or "", bytes.fromhex(hs["seed"]))
-            resp, _ = self._call(
-                {"cmd": "auth", "username": username, "token": token.hex()}
-            )
-            if not resp.get("ok"):  # pragma: no cover - _call raises first
-                raise AuthError(resp.get("message", "auth failed"))
+                hs_to = handshake_timeout if timeout is None else min(timeout, handshake_timeout)
+                old_to = self._sock.gettimeout()
+                self._sock.settimeout(hs_to)
+                try:
+                    raw = _recv_frame(self._sock)
+                except (TimeoutError, socket.timeout):
+                    raise AuthError(
+                        f"no auth handshake from server within {hs_to:g}s — the "
+                        "server is likely not auth-enabled (omit username/"
+                        "password); if it is just slow, raise handshake_timeout"
+                    ) from None
+                finally:
+                    self._sock.settimeout(old_to)
+                if raw is None:
+                    raise ConnectionError("server closed during handshake")
+                hs = json.loads(raw)
+                if not hs.get("handshake"):
+                    raise AuthError("server did not offer an auth handshake")
+                token = _scramble_token(password or "", bytes.fromhex(hs["seed"]))
+                resp, _ = self._call(
+                    {"cmd": "auth", "username": username, "token": token.hex()}
+                )
+                if not resp.get("ok"):  # pragma: no cover - _call raises first
+                    raise AuthError(resp.get("message", "auth failed"))
+            except BaseException:
+                self.close()
+                raise
 
     def _call(self, req: dict) -> tuple[dict, bytes | None]:
         req["client_id"] = self.client_id
@@ -870,7 +877,7 @@ class ClusterWireConsumer:
     # -- connection management --------------------------------------------
 
     def _connect(self) -> None:
-        last_err: Exception | None = None
+        errs: list[Exception] = []
         for _ in range(len(self.endpoints)):
             self._i = (self._i + 1) % len(self.endpoints)
             host, port = self.endpoints[self._i]
@@ -888,12 +895,14 @@ class ClusterWireConsumer:
                 # AuthError here = ONE node rejected/misconfigured (e.g.
                 # a rolling --auth change): try the next endpoint like
                 # any dead node rather than aborting the failover class
-                last_err = e
-        if isinstance(last_err, AuthError):
-            # every endpoint refused the credentials: retrying cannot
-            # help — surface the credential problem, loudly
-            raise last_err
-        raise ConnectionError(f"no server endpoint reachable: {last_err}")
+                errs.append(e)
+        if errs and all(isinstance(e, AuthError) for e in errs):
+            # EVERY endpoint refused the credentials (not merely the
+            # last one tried — a down node plus a refusing node is an
+            # availability problem, still worth retrying): surface the
+            # credential problem, loudly
+            raise errs[-1]
+        raise ConnectionError(f"no server endpoint reachable: {errs}")
 
     def _restart(self, resubscribe_rollback: bool) -> None:
         """Reconnect to the next node and restore session state — the

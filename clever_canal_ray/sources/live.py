@@ -367,17 +367,24 @@ def pump(
         else:
             idle += 1
             if carry and idle >= carry_flush_idle_rounds:
-                # sustained quiescence: the held-back run is complete
-                flush(carry)
-                carry = []
+                # sustained quiescence: the held-back run is complete.
+                # Clear carry FIRST so flush() sees no pending hold-back
+                # and records the source's exact (now-complete) cursor
+                # for _seq-less sources.
+                done, carry = carry, []
+                flush(done)
         rounds += 1
         hit_max = max_rounds is not None and rounds >= max_rounds
-        quiesced = (
-            idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop
-        ) or getattr(source, "exhausted", False)
-        if hit_max or quiesced:
-            if quiesced:
-                flush(carry)  # EOF / idle-stop: the tail is complete
-            # max_rounds: strand the carry — a resume re-polls it
+        exhausted = getattr(source, "exhausted", False)
+        idle_stop = idle_rounds_to_stop is not None and idle >= idle_rounds_to_stop
+        if hit_max or exhausted or idle_stop:
+            # flush the tail only when quiescence is PROVEN (EOF, or
+            # enough consecutive empty polls) — an idle_rounds_to_stop
+            # below carry_flush_idle_rounds must not become a back door
+            # for half-transaction commits; stranded carry is re-polled
+            # on resume by any replayable source
+            if carry and (exhausted or idle >= carry_flush_idle_rounds):
+                done, carry = carry, []
+                flush(done)
             return published
         time.sleep(poll_interval)

@@ -108,7 +108,13 @@ def find_start_position(paths_or_dirs, ts_ms: int) -> tuple[int, int]:
     from clever_canal_ray.schema import pack_position
 
     if isinstance(paths_or_dirs, str) or (
-        isinstance(paths_or_dirs, list) and paths_or_dirs and os.path.isdir(paths_or_dirs[0])
+        isinstance(paths_or_dirs, list)
+        and paths_or_dirs
+        # dirs-vs-paths WITHOUT touching the filesystem: segment files
+        # always end in .parquet (the discover regex requires it), so
+        # an isdir probe — which misroutes a NOT-YET-CREATED journal
+        # dir into the "these are file paths" branch — isn't needed
+        and not str(paths_or_dirs[0]).endswith(".parquet")
     ):
         # consumer-side seek: tolerate a shard dir whose publisher
         # hasn't started yet (same rule as the get/long-poll path)

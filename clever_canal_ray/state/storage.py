@@ -252,13 +252,21 @@ class _FileLock:
                         # the stalled holder released and a successor
                         # acquired between our mtime check and the
                         # rename — restore the live lock instead of
-                        # breaking it (restore failing means yet another
-                        # writer claimed the name; drop our copy)
+                        # breaking it. Restore via os.link (create-if-
+                        # absent: it FAILS on an existing destination,
+                        # unlike rename, which would silently replace a
+                        # third waiter's brand-new lock); if another
+                        # writer claimed the name meanwhile, drop our
+                        # copy. A restored lock whose owner released
+                        # while displaced is ownerless and clears via
+                        # the stale window — a bounded liveness hit,
+                        # never a safety one.
                         if time.time() - os.path.getmtime(broken) <= _LOCK_STALE_SEC:
                             try:
-                                os.rename(broken, self.path)
+                                os.link(broken, self.path)
                             except OSError:
-                                os.remove(broken)
+                                pass
+                            os.remove(broken)
                             continue
                         os.remove(broken)
                     except FileNotFoundError:  # pragma: no cover

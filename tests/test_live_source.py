@@ -350,7 +350,10 @@ def test_pump_never_commits_partial_external_txn(ray_session, tmp_path):
     _insert(db, recs)
     src = SqliteChangeSource(db)
     pub = SegmentPublisher(seg, PAYLOAD)
-    pump(src, pub, poll_interval=0.0, idle_rounds_to_stop=2,
+    # idle_rounds_to_stop >= carry_flush_idle_rounds so quiescence is
+    # PROVEN before the stop — a lower stop threshold strands the tail
+    # for the resume to re-poll instead of flushing it
+    pump(src, pub, poll_interval=0.0, idle_rounds_to_stop=4,
          max_records_per_segment=3)
     paths = discover_segments(seg)
     tables = [pq.read_table(p) for p in paths]
@@ -418,15 +421,7 @@ def test_pump_slow_source_does_not_half_commit(ray_session, tmp_path):
     only sustained quiescence (carry_flush_idle_rounds) may."""
     seg = str(tmp_path / "segments")
 
-    class Scripted:
-        def __init__(self, polls):
-            self.polls = list(polls)
-            self.cursor = 0
-
-        def poll(self, limit=10_000):
-            out = self.polls.pop(0) if self.polls else []
-            self.cursor += len(out)
-            return out
+    from tests.util import ScriptedSource as Scripted
 
     t9a = [{"op": "I", "doc_id": f"x{i}", "after": {"doc_id": f"x{i}", "val": "a"},
             "txn_id": 9} for i in range(2)]

@@ -474,15 +474,7 @@ def test_live_pump_txn_framing_property(tmp_path_factory, seed, n_txns, data):
     ) if len(recs) > 1 else []
     polls = [recs[a:b] for a, b in zip([0] + cuts, cuts + [len(recs)])]
 
-    class Scripted:
-        def __init__(self, polls):
-            self.polls = list(polls)
-            self.cursor = 0
-
-        def poll(self, limit=10_000):
-            out = self.polls.pop(0) if self.polls else []
-            self.cursor += len(out)
-            return out
+    from tests.util import ScriptedSource as Scripted
 
     seg = str(tmp_path_factory.mktemp("live_prop"))
     pub = SegmentPublisher(seg, PAYLOAD)

@@ -24,3 +24,18 @@ def assert_tables_equal(actual: pa.Table, expected: pa.Table):
     assert len(a) == len(e), f"row count {len(a)} != {len(e)}"
     for i, (ra, re_) in enumerate(zip(a, e)):
         assert ra == re_, f"row {i} differs:\n  actual:   {ra}\n  expected: {re_}"
+
+
+class ScriptedSource:
+    """Scripted live-source double for pump() tests: returns each
+    pre-baked poll result once, then empties; tracks the source cursor
+    like the real adapters."""
+
+    def __init__(self, polls):
+        self.polls = list(polls)
+        self.cursor = 0
+
+    def poll(self, limit=10_000):
+        out = self.polls.pop(0) if self.polls else []
+        self.cursor += len(out)
+        return out
